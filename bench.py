@@ -1,0 +1,70 @@
+"""Benchmark harness — runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric", "value" (total sec), "unit", "queries", "sf", ...}.
+
+Protocol mirrors the reference's benchmark sink (pa/gen_util.py:253-506):
+each query is consumed by a count-free noop write action, timed
+wall-clock; a warmup action first absorbs JVM/session startup so rates
+reflect steady state (the reference's warm-cache measurement mode).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from plumberapp_spark import get_spark  # noqa: E402
+from plumberapp_spark.queries import REGISTRY  # noqa: E402
+
+HEADLINE = [
+    "q01_pricing_summary",
+    "q02_filter_projection",
+    "q05_vocab_lookup",
+    "q06_zip_by_index",
+    "q08_batch_stats",
+    "q10_unbatch_roundtrip",
+    "q11_group_by_window",
+    "q12_string_pipeline",
+]
+
+
+def run_query(spark, name: str, sf_dir: str) -> float:
+    df = REGISTRY[name].fn(spark, sf_dir)
+    t0 = time.perf_counter()
+    df.write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    spark = get_spark("plumberapp_spark_bench")
+
+    # Warmup: absorb session/JIT startup (not part of the measurement).
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+
+    names = [n for n in HEADLINE if n in REGISTRY]
+    timings: dict[str, float] = {}
+    for name in names:
+        timings[name] = round(run_query(spark, name, sf_dir), 3)
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

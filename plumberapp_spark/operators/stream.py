@@ -1,0 +1,187 @@
+"""Stream-shaping operators (SURVEY §2.5 O1–O11, §2.3 J1–J3).
+
+The reference is an ordered stream; Spark DataFrames are unordered multisets.
+Every order-dependent operator here hangs off an explicit ``_row_idx`` column
+(SURVEY §7.1): dense, 0-based, assigned by :func:`with_row_idx`.
+
+Scale note (100 TB): a naive ``row_number() OVER (ORDER BY ...)`` collapses
+the whole table into ONE task. :func:`with_row_idx` instead uses the
+two-pass range-partition + offset technique (sort stays fully parallel;
+only one tiny per-partition-count collect hits the driver), so the ordered
+contract survives a 1000-executor cluster.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+ROW_IDX = "_row_idx"
+
+
+def with_row_idx(
+    df: DataFrame,
+    order_by: Sequence[str | Column],
+    col_name: str = ROW_IDX,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Assign a dense 0-based global index in ``order_by`` order.
+
+    ``order_by`` must be a unique total order (ties would make the index
+    nondeterministic). Two passes:
+
+    1. range-partition by the order key (parallel sort; contiguous, ordered
+       ranges), local ``row_number`` within each partition;
+    2. collect per-partition counts (one tiny job) and add cumulative
+       offsets.
+
+    Equivalent to ``row_number() OVER (ORDER BY ...) - 1`` but without the
+    single-partition bottleneck. Re-expresses the reference's implicit
+    stream ordering (SURVEY §7.1); order params mirror tf.data's
+    deterministic iteration.
+    """
+    order_cols = [F.col(c) if isinstance(c, str) else c for c in order_by]
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    parted = df.repartitionByRange(n, *order_cols)
+    pid = F.spark_partition_id()
+    w = Window.partitionBy(pid).orderBy(*order_cols)
+    local = parted.withColumn("__pid", pid).withColumn("__local_rn", F.row_number().over(w))
+    local = local.persist(StorageLevel.MEMORY_AND_DISK)
+    counts = {r["__pid"]: r["cnt"] for r in local.groupBy("__pid").agg(F.count("*").alias("cnt")).collect()}
+    offsets, acc = {}, 0
+    for p in sorted(counts):
+        offsets[p] = acc
+        acc += counts[p]
+    offset_map = F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv]) if offsets else F.create_map()
+    out = local.withColumn(col_name, (offset_map[F.col("__pid")] + F.col("__local_rn") - 1).cast("bigint"))
+    return out.drop("__pid", "__local_rn")
+
+
+def with_row_idx_simple(df: DataFrame, order_by: Sequence[str | Column], col_name: str = ROW_IDX) -> DataFrame:
+    """Single-window variant (ONE task — only for small inputs / oracles)."""
+    order_cols = [F.col(c) if isinstance(c, str) else c for c in order_by]
+    w = Window.orderBy(*order_cols)
+    return df.withColumn(col_name, (F.row_number().over(w) - 1).cast("bigint"))
+
+
+def take(df: DataFrame, n: int, idx: str = ROW_IDX) -> DataFrame:
+    """O3 ``take(n)`` — first n elements of the ordered stream.
+
+    Reference: take-node insertion ``pa/graphdef_util.py:519-563``.
+    """
+    if idx in df.columns:
+        return df.filter(F.col(idx) < n)
+    return df.limit(n)
+
+
+def skip(df: DataFrame, n: int, idx: str = ROW_IDX) -> DataFrame:
+    """O4 ``skip(n)``. Reference: ``mb/simple_gnmt/utils/iterator_utils.py:61-62``."""
+    return df.filter(F.col(idx) >= n)
+
+
+def shard(df: DataFrame, num_shards: int, index: int, idx: str = ROW_IDX) -> DataFrame:
+    """O5 ``shard(num, index)`` — every num-th element starting at ``index``.
+
+    Reference: ``mb/simple_resnet/MLPerf/imagenet_input.py:167``.
+    """
+    return df.filter(F.col(idx) % num_shards == index)
+
+
+def shuffle(df: DataFrame, seed: int, idx: str = ROW_IDX) -> DataFrame:
+    """O1 seeded pseudo-random permutation (declared order-insensitive —
+    verified as a multiset; SURVEY §7.2 keys randomness per row so reruns
+    are stable). Reference: ``imagenet_input.py:198-202``.
+
+    At scale this is a full shuffle exchange keyed by ``rand(seed)``; we
+    sort by the keyed hash so the permutation is a pure function of
+    (seed, row identity), not of partitioning.
+    """
+    key = F.abs(F.hash(F.col(idx).cast("string"), F.lit(seed)))
+    return df.orderBy(key, F.col(idx))
+
+
+def repeat(df: DataFrame, count: int, epoch_col: str = "_epoch") -> DataFrame:
+    """O2 ``repeat(count)`` — re-emit the stream ``count`` times.
+
+    Reference: ``imagenet_input.py:200``; node insert ``pa/graphdef_util.py:566-601``.
+    Infinite repeat (count=-1) is the streaming path — see
+    ``plumberapp_spark.streaming``.
+    """
+    if count < 0:
+        raise ValueError("infinite repeat: use plumberapp_spark.streaming.repeat_stream")
+    epochs = df.sparkSession.range(count).withColumnRenamed("id", epoch_col)
+    return df.crossJoin(F.broadcast(epochs))
+
+
+def zip_by_index(left: DataFrame, right: DataFrame, idx: str = ROW_IDX, suffix: str = "_r") -> DataFrame:
+    """J1 ``Dataset.zip`` — positionally pair two streams; truncates to the
+    shorter one (tf.data zip semantics). Reference:
+    ``mb/simple_gnmt/utils/iterator_utils.py:55``.
+
+    An equi inner join on the dense index — Spark co-partitions both sides
+    on ``_row_idx`` so this scales as an ordinary shuffle join; if both
+    sides already carry the same range partitioning the exchange is reused.
+    """
+    renamed = right
+    for c in right.columns:
+        if c != idx:
+            renamed = renamed.withColumnRenamed(c, c + suffix if c in left.columns else c)
+    return left.join(renamed, on=idx, how="inner")
+
+
+def concatenate(first: DataFrame, second: DataFrame, idx: str = ROW_IDX) -> DataFrame:
+    """J2 ``concatenate`` — append ``second`` after ``first`` (order kept via
+    re-based ``_row_idx``). Reference: ``imagenet_input.py:191-197``.
+    """
+    if idx in first.columns and idx in second.columns:
+        first_len = first.count()
+        second = second.withColumn(idx, F.col(idx) + F.lit(first_len))
+    return first.unionByName(second)
+
+
+def choose_from(dfs: Sequence[DataFrame], idx: str = ROW_IDX) -> DataFrame:
+    """J3 ``choose_from_datasets`` with a round-robin chooser — interleave k
+    streams element-by-element. Reference: ``mb/simple_rcnn/dataloader.py:514-520``
+    (horizontal/vertical image alternation).
+
+    Output order: element i of stream t lands at position ``i*k + t``.
+    """
+    k = len(dfs)
+    tagged = []
+    for t, d in enumerate(dfs):
+        tagged.append(d.withColumn(idx, F.col(idx) * k + t))
+    out = tagged[0]
+    for d in tagged[1:]:
+        out = out.unionByName(d)
+    return out
+
+
+def echo(df: DataFrame, factor: int, echo_col: str = "_echo") -> DataFrame:
+    """O9 flat_map dataset-echoing — each element expands to ``factor``
+    copies. Reference: ``pa/dataset_echoing.py:17-23`` (``paper_echoing``).
+    """
+    return df.withColumn(echo_col, F.explode(F.sequence(F.lit(0), F.lit(factor - 1))))
+
+
+def cache(df: DataFrame, storage_level: StorageLevel = StorageLevel.MEMORY_AND_DISK) -> DataFrame:
+    """O6 ``cache()`` — materialize-on-first-pass. Reference:
+    ``pa/graphdef_util.py:618-643`` (insertion), ``:787-833`` (removal =
+    ``unpersist``). Spark persist spills to disk instead of OOMing, so the
+    reference's 0.9-of-memory cache constraint becomes advisory
+    (optimizer.advisor still enforces it when choosing WHERE to persist).
+    """
+    return df.persist(storage_level)
+
+
+def prefetch(df: DataFrame, buffer_size: int) -> DataFrame:
+    """O7 ``prefetch(n)`` — producer/consumer decoupling buffer.
+
+    No Spark analog: stages pipeline internally and exchanges buffer
+    (SURVEY §7.5). Kept as a modeled no-op so plans and the LP cost model
+    line up with the reference (``pa/pipeline_optimizer.py:1102-1127``);
+    the plan IR records the buffer size for the optimizer.
+    """
+    return df

@@ -1,0 +1,109 @@
+"""Local mirror of the driver's correctness gate.
+
+Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` twin on
+DuckDB over the same parquet tables, then compares row count, column names,
+and an order-insensitive value hash (rows sorted, columns sorted by name,
+values canonicalized). Usage::
+
+    python tools/check_correctness.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+import time
+from pathlib import Path
+
+import duckdb
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from plumberapp_spark import get_spark  # noqa: E402
+from plumberapp_spark.session import TABLES  # noqa: E402
+from plumberapp_spark.queries import REGISTRY  # noqa: E402
+
+SF_DIR_DEFAULT = "/root/testdata/sf0.01"
+
+
+def canon(v) -> str:
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        if v == int(v) and abs(v) < 1e15:
+            return str(int(v))
+        return repr(round(v, 9))
+    if isinstance(v, bool):
+        return str(int(v))
+    return str(v)
+
+
+def frame_digest(cols: list[str], rows: list[tuple]) -> tuple[str, int]:
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    canon_rows = sorted("\x1f".join(canon(r[i]) for i in order) for r in rows)
+    import hashlib
+
+    h = hashlib.sha256("\x1e".join(canon_rows).encode()).hexdigest()[:16]
+    return h, len(rows)
+
+
+def main() -> int:
+    args = sys.argv[1:]
+    sf_dir = args[0] if args and "/" in args[0] else SF_DIR_DEFAULT
+    wanted = [a for a in args if "/" not in a] or list(REGISTRY)
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    spark = get_spark("check_correctness")
+    failures = 0
+    for name in wanted:
+        qd = REGISTRY[name]
+        t0 = time.time()
+        try:
+            sdf = qd.fn(spark, sf_dir)
+            scols = list(sdf.columns)
+            srows = [tuple(r) for r in sdf.collect()]
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL  {name}: spark error: {e}")
+            failures += 1
+            continue
+        spark_s = time.time() - t0
+        if qd.oracle is None:
+            print(f"ok?   {name}: rows={len(srows)} (no oracle — rows-only check) [{spark_s:.1f}s]")
+            continue
+        try:
+            res = con.execute(qd.oracle)
+            ocols = [d[0] for d in res.description]
+            orows = res.fetchall()
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL  {name}: duckdb error: {e}")
+            failures += 1
+            continue
+        sh, sn = frame_digest(scols, srows)
+        oh, on = frame_digest(ocols, orows)
+        if sorted(scols) != sorted(ocols):
+            print(f"FAIL  {name}: columns differ spark={sorted(scols)} duck={sorted(ocols)}")
+            failures += 1
+        elif sn != on:
+            print(f"FAIL  {name}: rows spark={sn} duck={on}")
+            failures += 1
+        elif sh != oh:
+            print(f"FAIL  {name}: value hash differs ({sn} rows)")
+            sset = {tuple(map(canon, r)) for r in srows}
+            oset = {tuple(map(canon, r)) for r in orows}
+            only_s = list(sset - oset)[:3]
+            only_o = list(oset - sset)[:3]
+            print(f"      spark-only: {only_s}\n      duck-only: {only_o}")
+            failures += 1
+        else:
+            print(f"PASS  {name}: rows={sn} hash={sh} [{spark_s:.1f}s]")
+    print(f"\n{len(wanted) - failures}/{len(wanted)} passed")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
