@@ -14,12 +14,13 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from plumberapp_spark import queries as _q  # noqa: E402
+from plumberapp_spark import all_queries as _q  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query (TPC-H Q1-shaped pricing summary) on sf0.001."""
-    return _q.q01_pricing_summary(spark, "/root/testdata/sf0.001")
+    from plumberapp_spark.queries import q01_pricing_summary
+    return q01_pricing_summary(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

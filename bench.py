@@ -19,7 +19,8 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 from plumberapp_spark import get_spark  # noqa: E402
-from plumberapp_spark.queries import REGISTRY  # noqa: E402
+import plumberapp_spark.all_queries  # noqa: F401
+from plumberapp_spark.registry import REGISTRY  # noqa: E402
 
 HEADLINE = [
     "q01_pricing_summary",

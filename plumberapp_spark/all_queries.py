@@ -1,0 +1,27 @@
+"""Aggregates every query group into the registry (import side effects),
+and exposes the driver-contract accessors.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+import plumberapp_spark.queries  # noqa: F401  (q01-q13: core relational + stream ops)
+import plumberapp_spark.queries_llm  # noqa: F401  (q14-q25: dedup/similarity/text/multimodal)
+
+try:  # q26+: metrics model, windows, joins (added incrementally)
+    import plumberapp_spark.queries_metrics  # noqa: F401
+except ImportError:
+    pass
+
+from plumberapp_spark.registry import REGISTRY
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: qd.fn for name, qd in REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: qd.oracle for name, qd in REGISTRY.items() if qd.oracle is not None}

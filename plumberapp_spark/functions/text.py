@@ -45,17 +45,22 @@ def word_ngrams(tokens: Column, n: int) -> Column:
     ``transform(sequence(1, size-n+1), i -> concat_ws(' ', slice(tokens, i, n)))``;
     empty array when fewer than n tokens.
     """
-    count = F.greatest(F.size(tokens) - (n - 1), F.lit(0))
-    return F.transform(
-        F.sequence(F.lit(1), count),
+    count = F.size(tokens) - (n - 1)
+    # sequence(1, 0) yields a DESCENDING [1,0] in Spark — guard short docs.
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(count, F.lit(1))),
         lambda i: F.concat_ws(" ", F.slice(tokens, i, n)),
     )
+    return F.when(count >= 1, grams).otherwise(F.array().cast("array<string>"))
 
 
 def char_shingles(col: Column, k: int) -> Column:
     """Character k-shingles of a string (substring sliding window)."""
-    count = F.greatest(F.length(col) - (k - 1), F.lit(0))
-    return F.transform(F.sequence(F.lit(1), count), lambda i: F.substring(col, i, k))
+    count = F.length(col) - (k - 1)
+    shingles = F.transform(
+        F.sequence(F.lit(1), F.greatest(count, F.lit(1))), lambda i: F.substring(col, i, k)
+    )
+    return F.when(count >= 1, shingles).otherwise(F.array().cast("array<string>"))
 
 
 def quality_features(col: Column) -> dict[str, Column]:

@@ -1,0 +1,75 @@
+"""Text-analysis operators over the ``documents`` table: quality scoring,
+language ID, token statistics, fingerprinting. All pure projections
+(zero-shuffle at any scale); the heuristic scorers are exact-oracle, with a
+pandas-UDF hook where a real model (fastText, a BPE tokenizer) would slot
+in on a cluster with the dependency installed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from plumberapp_spark.functions.text import (
+    tokenize,
+    token_count,
+    quality_features,
+    langid_best,
+    doc_fingerprint,
+)
+
+
+def text_quality(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Quality features + a composite score in [0,1]: long-enough, low
+    punctuation, some (but not all) stopwords — the standard cheap filters
+    applied before expensive pipeline stages.
+    """
+    feats = quality_features(F.col(text_col))
+    score = (
+        F.when(feats["n_tokens"] >= 10, F.lit(0.4)).otherwise(F.lit(0.0))
+        + F.when(feats["punct_ratio"] <= 0.2, F.lit(0.3)).otherwise(F.lit(0.0))
+        + F.when(
+            (feats["stopword_ratio"] >= 0.05) & (feats["stopword_ratio"] <= 0.6), F.lit(0.3)
+        ).otherwise(F.lit(0.0))
+    )
+    return df.select(
+        F.col(id_col),
+        feats["n_chars"].alias("n_chars"),
+        feats["n_tokens"].alias("n_tokens"),
+        F.round(feats["mean_token_len"], 4).alias("mean_token_len"),
+        F.round(feats["punct_ratio"], 4).alias("punct_ratio"),
+        F.round(feats["stopword_ratio"], 4).alias("stopword_ratio"),
+        F.round(score, 2).alias("quality_score"),
+    )
+
+
+def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Marker-token language ID ('und' when no marker hits)."""
+    return df.select(F.col(id_col), langid_best(F.col(text_col)).alias("pred_lang"))
+
+
+def token_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Token counting: whitespace tokens + a BPE-ish subword estimate
+    (ceil(chars/4) per token, the common ~4-chars-per-token heuristic) +
+    distinct token count.
+    """
+    toks = tokenize(F.col(text_col))
+    subword = F.aggregate(
+        toks, F.lit(0).cast("bigint"), lambda acc, t: acc + F.ceil(F.length(t) / 4).cast("bigint")
+    )
+    return df.select(
+        F.col(id_col),
+        token_count(F.col(text_col)).cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("n_distinct_tokens"),
+        subword.alias("n_subword_est"),
+    )
+
+
+def document_fingerprints(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Canonical fingerprint (md5 over sorted distinct lowercase tokens) +
+    cluster sizes — groups docs identical up to order/case/whitespace."""
+    fp = df.select(F.col(id_col), doc_fingerprint(F.col(text_col)).alias("fingerprint"))
+    sizes = fp.groupBy("fingerprint").agg(
+        F.min(id_col).alias("cluster_rep"), F.count("*").alias("cluster_size")
+    )
+    return fp.join(sizes, on="fingerprint")

@@ -18,7 +18,6 @@ Cross-engine discipline (learned the hard way, kept as law):
 
 from __future__ import annotations
 
-from dataclasses import dataclass
 from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -47,22 +46,7 @@ from plumberapp_spark.operators.transforms import (
 from plumberapp_spark.functions import tokenize
 
 
-@dataclass(frozen=True)
-class QueryDef:
-    fn: Callable[[SparkSession, str], DataFrame]
-    oracle: str | None
-    doc: str = ""
-
-
-REGISTRY: dict[str, QueryDef] = {}
-
-
-def register(name: str, oracle: str | None = None):
-    def deco(fn):
-        REGISTRY[name] = QueryDef(fn=fn, oracle=oracle, doc=fn.__doc__ or "")
-        return fn
-
-    return deco
+from plumberapp_spark.registry import REGISTRY, register
 
 
 # --------------------------------------------------------------------------

@@ -1,0 +1,322 @@
+r"""Training-data operator queries (dedup / similarity / text analysis /
+multimodal) with exact DuckDB oracles.
+
+Oracle building blocks (DuckDB):
+* tokens:   ``list_filter(string_split_regex(text, '\s+'), x -> x != '')``
+* hash56:   ``('0x' || substr(md5(s), 1, 14))::BIGINT`` (= functions.hashing.md5_long)
+* n-grams:  ``list_transform(generate_series(1, len(toks)-n+1), i ->
+  array_to_string(toks[i:i+n-1], ' '))`` (generate_series(1,0) is empty —
+  matches the guarded Spark word_ngrams)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from plumberapp_spark.registry import register
+from plumberapp_spark.session import load_table
+from plumberapp_spark.llm.dedup import (
+    exact_dedup,
+    minhash_signature,
+    minhash_lsh_candidates,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from plumberapp_spark.llm.similarity import brute_force_topk, near_dup_pairs_cosine
+from plumberapp_spark.llm.textqa import (
+    text_quality,
+    language_id,
+    token_stats,
+    document_fingerprints,
+)
+from plumberapp_spark.llm.multimodal import attach_media, extract_features
+from plumberapp_spark.functions.text import LANG_MARKERS, STOPWORDS
+
+TOKS = r"list_filter(string_split_regex(text, '\s+'), x -> x != '')"
+TOKS_LOWER = r"list_filter(string_split_regex(lower(text), '\s+'), x -> x != '')"
+
+
+def _hash56(expr: str) -> str:
+    return f"('0x' || substr(md5({expr}), 1, 14))::BIGINT"
+
+
+def _ngrams(toks: str, n: int) -> str:
+    return (
+        f"list_transform(generate_series(1, len({toks}) - {n - 1}), "
+        f"i -> array_to_string({toks}[i:i+{n - 1}], ' '))"
+    )
+
+
+# --------------------------------------------------------------------------
+# Deduplication
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q14_exact_dedup",
+    oracle="""
+    SELECT md5(text) AS digest, min(doc_id) AS keep_id, count(*) AS n_dupes
+    FROM documents GROUP BY 1
+    """,
+)
+def q14_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on content digest, deterministic survivor."""
+    return exact_dedup(load_table(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+@register(
+    "q15_fingerprint_clusters",
+    oracle=f"""
+    WITH fp AS (
+      SELECT doc_id,
+             md5(array_to_string(list_sort(list_distinct({TOKS_LOWER})), ' ')) AS fingerprint
+      FROM documents),
+    sizes AS (
+      SELECT fingerprint, min(doc_id) AS cluster_rep, count(*) AS cluster_size
+      FROM fp GROUP BY 1)
+    SELECT fp.fingerprint, fp.doc_id, s.cluster_rep, s.cluster_size
+    FROM fp JOIN sizes s USING (fingerprint)
+    """,
+)
+def q15_fingerprint_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-fingerprint dedup (rolling token-set hash): clusters of
+    docs identical up to order/case/whitespace."""
+    return document_fingerprints(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "q16_minhash_signature",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+         s AS (SELECT doc_id, list_distinct({_ngrams('toks', 3)}) AS sh FROM t)
+    SELECT doc_id,
+           {",".join(f'''
+           list_min(list_transform(sh, s -> ('0x' || substr(md5(concat('s{p}:', s)), 1, 14))::BIGINT)) AS mh_{p}''' for p in range(4))}
+    FROM s
+    """,
+)
+def q16_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (4 permutations over word 3-shingles), computed in
+    one narrow pass — no explode, no shuffle."""
+    return minhash_signature(load_table(spark, sf_dir, "documents"), "text", "doc_id", num_perm=4, ngram=3)
+
+
+@register(
+    "q17_minhash_lsh_pairs",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+         s AS (SELECT doc_id, list_distinct({_ngrams('toks', 3)}) AS sh FROM t),
+         sig AS (SELECT doc_id,
+           {",".join(f'''
+           list_min(list_transform(sh, x -> ('0x' || substr(md5(concat('s{p}:', x)), 1, 14))::BIGINT)) AS mh_{p}''' for p in range(8))}
+         FROM s),
+         band AS (SELECT doc_id,
+           {",".join(f'''
+           md5(concat_ws('_', '{b}', mh_{2 * b}::VARCHAR, mh_{2 * b + 1}::VARCHAR)) AS band_{b}''' for b in range(4))}
+         FROM sig),
+         stack AS (SELECT doc_id, unnest([band_0, band_1, band_2, band_3]) AS band_key FROM band)
+    SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+    FROM stack l JOIN stack r USING (band_key)
+    WHERE l.doc_id < r.doc_id
+    """,
+)
+def q17_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH candidate pairs: 8 permutations, 4 bands × 2 rows; docs
+    colliding in any band are near-dup candidates."""
+    return minhash_lsh_candidates(
+        load_table(spark, sf_dir, "documents"), "text", "doc_id", num_perm=8, bands=4, ngram=3
+    )
+
+
+@register(
+    "q18_simhash",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {TOKS} AS toks FROM documents)
+    SELECT doc_id, CAST(
+      {" + ".join(
+        f"(CASE WHEN 2 * len(list_filter(toks, t -> (('0x' || substr(md5(t), 1, 14))::BIGINT & {1 << j}) != 0)) > len(toks) THEN {1 << j} ELSE 0 END)"
+        for j in range(16)
+      )}
+    AS BIGINT) AS simhash
+    FROM t
+    """,
+)
+def q18_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash — per-bit token-hash majority vote, zero shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", simhash(F.col("text"), bits=16).alias("simhash"))
+
+
+@register(
+    "q19_ngram_jaccard_top_pairs",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+         s AS (SELECT doc_id, list_distinct({_ngrams('toks', 3)}) AS sh FROM t),
+         sized AS (SELECT doc_id, sh, len(sh) AS n FROM s),
+         inv AS (SELECT doc_id, n, unnest(sh) AS shingle FROM sized),
+         pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n AS n_a, b.n AS n_b,
+                          count(*) AS inter
+                   FROM inv a JOIN inv b USING (shingle)
+                   WHERE a.doc_id < b.doc_id
+                   GROUP BY 1, 2, 3, 4)
+    SELECT id_a, id_b, round(inter / (n_a + n_b - inter), 6) AS jaccard
+    FROM pairs
+    ORDER BY jaccard DESC, id_a, id_b LIMIT 20
+    """,
+)
+def q19_ngram_jaccard_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard via inverted-index self-join; top-20 most
+    similar pairs (deterministic tie-break)."""
+    pairs = ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), "text", "doc_id", ngram=3, threshold=0.0
+    )
+    return pairs.orderBy(F.col("jaccard").desc(), "id_a", "id_b").limit(20)
+
+
+# --------------------------------------------------------------------------
+# Similarity search
+# --------------------------------------------------------------------------
+
+_COS = (
+    "round(list_dot_product(cv, qv) / "
+    "(sqrt(list_dot_product(cv, cv)) * sqrt(list_dot_product(qv, qv))), 6)"
+)
+
+
+@register(
+    "q20_embedding_topk",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5),
+         c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+         scored AS (SELECT query_id, neighbor_id, {_COS} AS cos_sim
+                    FROM c, q WHERE neighbor_id != query_id),
+         ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+                    FROM scored)
+    SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= 10
+    """,
+)
+def q20_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 for 5 query vectors — the exact ANN
+    baseline (broadcast queries, one corpus pass, partial top-k)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return brute_force_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
+
+
+@register(
+    "q21_embedding_near_dup_pairs",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                          round(list_dot_product(a.e, b.e) /
+                                (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 6) AS cos_sim
+                   FROM v a, v b WHERE a.vec_id < b.vec_id)
+    SELECT id_a, id_b, cos_sim FROM pairs
+    ORDER BY cos_sim DESC, id_a, id_b LIMIT 50
+    """,
+)
+def q21_embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup: top-50 closest pairs (exact O(n²)
+    reference semantics; the LSH-bucketed path is the scale variant)."""
+    pairs = near_dup_pairs_cosine(load_table(spark, sf_dir, "embeddings"), threshold=-1.0)
+    return pairs.orderBy(F.col("cos_sim").desc(), "id_a", "id_b").limit(50)
+
+
+# --------------------------------------------------------------------------
+# Text analysis
+# --------------------------------------------------------------------------
+
+_STOP_LIST = "[" + ", ".join(f"'{w}'" for w in STOPWORDS) + "]"
+
+
+@register(
+    "q22_text_quality",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, text, {TOKS} AS toks FROM documents),
+         f AS (SELECT doc_id,
+                      CAST(strlen(text) AS BIGINT) AS n_chars,
+                      CAST(len(toks) AS BIGINT) AS n_tokens,
+                      strlen(text) - strlen(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS punct,
+                      len(list_filter(toks, t -> list_contains({_STOP_LIST}, lower(t)))) AS stop_hits
+               FROM t)
+    SELECT doc_id, n_chars, n_tokens,
+           round(CASE WHEN n_tokens > 0 THEN (n_chars - (n_tokens - 1)) / CAST(n_tokens AS DOUBLE) ELSE 0.0 END, 4) AS mean_token_len,
+           round(CASE WHEN n_chars > 0 THEN punct / CAST(n_chars AS DOUBLE) ELSE 0.0 END, 4) AS punct_ratio,
+           round(CASE WHEN n_tokens > 0 THEN stop_hits / CAST(n_tokens AS DOUBLE) ELSE 0.0 END, 4) AS stopword_ratio,
+           CAST(round((CASE WHEN n_tokens >= 10 THEN 0.4 ELSE 0.0 END)
+               + (CASE WHEN (CASE WHEN n_chars > 0 THEN punct / CAST(n_chars AS DOUBLE) ELSE 0.0 END) <= 0.2 THEN 0.3 ELSE 0.0 END)
+               + (CASE WHEN (CASE WHEN n_tokens > 0 THEN stop_hits / CAST(n_tokens AS DOUBLE) ELSE 0.0 END) BETWEEN 0.05 AND 0.6 THEN 0.3 ELSE 0.0 END), 2) AS DOUBLE) AS quality_score
+    FROM f
+    """,
+)
+def q22_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length/punct/stopword features + composite score."""
+    return text_quality(load_table(spark, sf_dir, "documents"))
+
+
+def _langid_oracle() -> str:
+    langs = sorted(LANG_MARKERS)
+    score_cols = ",\n                      ".join(
+        f"len(list_filter(toks, t -> list_contains([{', '.join(repr(m) for m in LANG_MARKERS[lang])}], t))) AS s_{lang}"
+        for lang in langs
+    )
+    # tie-break = first language in sorted order (matches langid_best)
+    case = f"CASE WHEN greatest({', '.join('s_' + lang for lang in langs)}) = 0 THEN 'und'"
+    for i, lang in enumerate(langs):
+        others = [f"s_{lang} >= s_{o}" for o in langs[i + 1 :]]
+        cond = " AND ".join(others) if others else "TRUE"
+        case += f"\n             WHEN {cond} THEN '{lang}'"
+    case += " END"
+    return f"""
+    WITH t AS (SELECT doc_id, {TOKS_LOWER} AS toks FROM documents),
+         s AS (SELECT doc_id, {score_cols} FROM t)
+    SELECT doc_id, {case} AS pred_lang FROM s
+    """
+
+
+@register("q23_language_id", oracle=_langid_oracle())
+def q23_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-token language ID (n-gram heuristic; 'und' when no hits)."""
+    return language_id(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "q24_token_stats",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {TOKS} AS toks FROM documents)
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct_tokens,
+           CAST(list_aggregate(list_transform(toks, t -> CAST(ceil(strlen(t) / 4.0) AS BIGINT)), 'sum') AS BIGINT) AS n_subword_est
+    FROM t
+    """,
+)
+def q24_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace + distinct + BPE-ish subword estimate."""
+    return token_stats(load_table(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# Multimodal plumbing
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q25_multimodal_features",
+    oracle="""
+    SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes, md5(text) AS digest
+    FROM documents
+    """,
+)
+def q25_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column plumbing: text bytes stand in for media payloads;
+    features extracted via Arrow-batched mapInPandas (the real multimodal
+    path, with the codec stubbed — llm/multimodal.py). Oracle checks the
+    deterministic byte-level features (ASCII corpus: octet_length ==
+    strlen)."""
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "payload", F.encode(F.col("text"), "UTF-8")
+    )
+    media = attach_media(docs, "payload", "text/plain")
+    feats = extract_features(media, "doc_id", "payload")
+    return feats.select("doc_id", "n_bytes", "digest")

@@ -5,7 +5,8 @@ from __future__ import annotations
 
 import pytest
 
-from plumberapp_spark.queries import REGISTRY
+import plumberapp_spark.all_queries  # noqa: F401
+from plumberapp_spark.registry import REGISTRY
 from tests.conftest import SF_DIR
 from tools.check_correctness import frame_digest
 

@@ -21,14 +21,19 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 from plumberapp_spark import get_spark  # noqa: E402
 from plumberapp_spark.session import TABLES  # noqa: E402
-from plumberapp_spark.queries import REGISTRY  # noqa: E402
+import plumberapp_spark.all_queries  # noqa: F401
+from plumberapp_spark.registry import REGISTRY  # noqa: E402
 
 SF_DIR_DEFAULT = "/root/testdata/sf0.01"
 
 
 def canon(v) -> str:
+    import decimal
+
     if v is None:
         return "NULL"
+    if isinstance(v, decimal.Decimal):
+        v = float(v)
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
