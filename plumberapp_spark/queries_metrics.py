@@ -1,0 +1,320 @@
+"""Query batch 3: the analytic/optimizer query shapes (SURVEY §2.6) over
+deterministic derived tables, plus remaining stream combinators and the
+multi-join relational path.
+
+The reference's §2.6 queries run over its ``stats.pb`` performance model;
+the driver provides no such table, so each query here DERIVES the same
+table shape deterministically (per-event_type operator stats from
+``events``) and then runs the reference's exact query semantics on it —
+oracle-checkable, same relational shape. The live metrics model built from
+Spark instrumentation is exercised in tests/test_metrics.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from plumberapp_spark.registry import register
+from plumberapp_spark.session import load_table
+from plumberapp_spark.operators import with_row_idx, shuffle, concatenate, choose_from
+from plumberapp_spark.functions.hashing import stable_bucket
+
+
+# --------------------------------------------------------------------------
+# Remaining stream combinators (O1, J2, J3)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q26_shuffle_multiset",
+    oracle="SELECT event_id, user_id FROM events",
+)
+def q26_shuffle_multiset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1 seeded shuffle — a permutation, so the multiset is unchanged
+    (SURVEY §7.1: shuffle is verified order-insensitively; the permutation
+    itself is keyed on (seed, row id) so reruns are stable)."""
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id")
+    return shuffle(with_row_idx(ev, ["event_id"]), seed=42).drop("_row_idx")
+
+
+@register(
+    "q27_concatenate",
+    oracle="""
+    WITH a AS (SELECT row_number() OVER (ORDER BY event_id) - 1 AS _row_idx, event_id
+               FROM events WHERE event_type = 'signup'),
+         b AS (SELECT (SELECT count(*) FROM a) + row_number() OVER (ORDER BY event_id) - 1 AS _row_idx, event_id
+               FROM events WHERE event_type = 'error')
+    SELECT _row_idx, event_id FROM a
+    UNION ALL
+    SELECT _row_idx, event_id FROM b
+    """,
+)
+def q27_concatenate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 concatenate — append stream b after stream a with re-based
+    ``_row_idx`` (imagenet_input.py:191-197 disk+memory partitions)."""
+    ev = load_table(spark, sf_dir, "events")
+    a = with_row_idx(ev.filter(F.col("event_type") == "signup").select("event_id"), ["event_id"])
+    b = with_row_idx(ev.filter(F.col("event_type") == "error").select("event_id"), ["event_id"])
+    return concatenate(a, b).select("_row_idx", "event_id")
+
+
+@register(
+    "q28_choose_from",
+    oracle="""
+    WITH a AS (SELECT row_number() OVER (ORDER BY event_id) - 1 AS _row_idx, event_id
+               FROM events WHERE event_type = 'signup'),
+         b AS (SELECT row_number() OVER (ORDER BY event_id) - 1 AS _row_idx, event_id
+               FROM events WHERE event_type = 'error')
+    SELECT _row_idx * 2 AS _row_idx, event_id FROM a
+    UNION ALL
+    SELECT _row_idx * 2 + 1 AS _row_idx, event_id FROM b
+    """,
+)
+def q28_choose_from(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 choose_from_datasets with round-robin chooser — element i of
+    stream t lands at i*k + t (simple_rcnn/dataloader.py:514-520)."""
+    ev = load_table(spark, sf_dir, "events")
+    a = with_row_idx(ev.filter(F.col("event_type") == "signup").select("event_id"), ["event_id"])
+    b = with_row_idx(ev.filter(F.col("event_type") == "error").select("event_id"), ["event_id"])
+    return choose_from([a, b]).select("_row_idx", "event_id")
+
+
+# --------------------------------------------------------------------------
+# §2.6 analytic-query shapes over a derived operator-stats table
+# --------------------------------------------------------------------------
+
+_METRICS_CTE = """
+    m AS (SELECT event_type AS name,
+                 count(*) AS aggregate_elements_produced,
+                 round(count(*) / sum(value), 6) AS expected_parallel_max_rate,
+                 round(sum(value), 2) AS processing_time,
+                 round(avg(value), 4) AS mean_dur,
+                 round(stddev_samp(value), 4) AS std_dur
+          FROM events GROUP BY 1)
+"""
+
+
+def _metrics_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The derived per-operator stats table: event_type plays the operator
+    name; rate/processing-time columns follow ranked_nodes_to_df
+    (pa/graph_rewrites.py:333-441)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(F.col("event_type").alias("name")).agg(
+        F.count("*").alias("aggregate_elements_produced"),
+        F.round(F.count("*") / F.sum("value"), 6).alias("expected_parallel_max_rate"),
+        F.round(F.sum("value"), 2).alias("processing_time"),
+        F.round(F.avg("value"), 4).alias("mean_dur"),
+        F.round(F.stddev_samp("value"), 4).alias("std_dur"),
+    )
+
+
+@register(
+    "q29_bottleneck_node",
+    oracle=f"""
+    WITH {_METRICS_CTE}
+    SELECT name, expected_parallel_max_rate FROM m
+    ORDER BY expected_parallel_max_rate, name LIMIT 1
+    """,
+)
+def q29_bottleneck_node(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q1 bottleneck query: argmin of expected_parallel_max_rate over the
+    operator stats table (pa/graph_rewrites.py:550-562 rank-0 of the
+    ranked list)."""
+    m = _metrics_df(spark, sf_dir)
+    return (
+        m.orderBy("expected_parallel_max_rate", "name")
+        .limit(1)
+        .select("name", "expected_parallel_max_rate")
+    )
+
+
+@register(
+    "q30_roofline_rollup",
+    oracle=f"""
+    WITH {_METRICS_CTE}
+    SELECT round(sum(processing_time), 2) AS total_W,
+           count(*) AS n_ops,
+           round(sum(processing_time) / sum(aggregate_elements_produced), 6) AS mean_cost_per_element,
+           round(min(expected_parallel_max_rate), 6) AS min_rate,
+           round(max(expected_parallel_max_rate), 6) AS max_rate
+    FROM m
+    """,
+)
+def q30_roofline_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q5/A8 roofline scalar rollups over the stats table
+    (pa/pipeline_optimizer.py:775-818: N = W/T, R = W/C aggregates)."""
+    m = _metrics_df(spark, sf_dir)
+    return m.agg(
+        F.round(F.sum("processing_time"), 2).alias("total_W"),
+        F.count("*").alias("n_ops"),
+        F.round(F.sum("processing_time") / F.sum("aggregate_elements_produced"), 6).alias(
+            "mean_cost_per_element"
+        ),
+        F.round(F.min("expected_parallel_max_rate"), 6).alias("min_rate"),
+        F.round(F.max("expected_parallel_max_rate"), 6).alias("max_rate"),
+    )
+
+
+@register(
+    "q31_span_outliers",
+    oracle="""
+    WITH s AS (SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sd
+               FROM events GROUP BY 1)
+    SELECT e.event_id, e.event_type, round(e.value, 2) AS value
+    FROM events e JOIN s USING (event_type)
+    WHERE e.value > s.mu + 2 * s.sd
+    """,
+)
+def q31_span_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9 grouped span statistics: per-span mean/std, outliers above
+    mean + 2σ (pa/graph_rewrites.py:266-320)."""
+    ev = load_table(spark, sf_dir, "events")
+    stats = ev.groupBy("event_type").agg(
+        F.avg("value").alias("mu"), F.stddev_samp("value").alias("sd")
+    )
+    return (
+        ev.join(stats, on="event_type")
+        .filter(F.col("value") > F.col("mu") + 2 * F.col("sd"))
+        .select("event_id", "event_type", F.round("value", 2).alias("value"))
+    )
+
+
+@register(
+    "q32_convergence_lag",
+    oracle="""
+    SELECT user_id, event_id,
+           CASE WHEN abs(value / prev - 1) < 0.01 THEN 1 ELSE 0 END AS converged
+    FROM (SELECT user_id, event_id, value,
+                 lag(value) OVER (PARTITION BY user_id ORDER BY event_id) AS prev
+          FROM events)
+    WHERE prev IS NOT NULL AND prev != 0
+    """,
+)
+def q32_convergence_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A12 AUTOTUNE convergence detection: relative rate error between
+    successive samples < 1% (pa/gen_util.py:86-105), via lag()."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    lagged = ev.withColumn("prev", F.lag("value").over(w))
+    return (
+        lagged.filter(F.col("prev").isNotNull() & (F.col("prev") != 0))
+        .select(
+            "user_id",
+            "event_id",
+            F.when(F.abs(F.col("value") / F.col("prev") - 1) < 0.01, 1).otherwise(0).alias("converged"),
+        )
+    )
+
+
+@register(
+    "q33_plateau_detection",
+    oracle="""
+    SELECT user_id, event_id,
+           CASE WHEN cnt5 = 5 AND min5 > 0 AND (max5 - min5) / min5 < 0.1 THEN 1 ELSE 0 END AS plateau
+    FROM (SELECT user_id, event_id,
+                 count(*) OVER w AS cnt5,
+                 max(value) OVER w AS max5,
+                 min(value) OVER w AS min5
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY event_id ROWS BETWEEN 4 PRECEDING AND CURRENT ROW))
+    """,
+)
+def q33_plateau_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A13/Q14 cycle/plateau detection: last-5 sliding window with < 10%
+    max improvement (pa/graph_rewrites.py:170-198)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id").rowsBetween(-4, 0)
+    won = (
+        ev.withColumn("cnt5", F.count("*").over(w))
+        .withColumn("max5", F.max("value").over(w))
+        .withColumn("min5", F.min("value").over(w))
+    )
+    plateau = (
+        (F.col("cnt5") == 5)
+        & (F.col("min5") > 0)
+        & ((F.col("max5") - F.col("min5")) / F.col("min5") < 0.1)
+    )
+    return won.select("user_id", "event_id", F.when(plateau, 1).otherwise(0).alias("plateau"))
+
+
+@register(
+    "q34_deterministic_sample",
+    oracle="""
+    SELECT count(*) AS n, round(sum(value), 2) AS sample_sum
+    FROM events
+    WHERE ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 14))::BIGINT % 10 < 3
+    """,
+)
+def q34_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A15 subsampling simulation — deterministic md5-bucket sample (30%)
+    so both engines draw the identical subset (pa/simulation.py:138-193
+    uses random subsets; we key the 'randomness' by row id, SURVEY §7.2)."""
+    ev = load_table(spark, sf_dir, "events")
+    sampled = ev.filter(stable_bucket(F.col("event_id").cast("string"), 10) < 3)
+    return sampled.agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sample_sum"))
+
+
+# --------------------------------------------------------------------------
+# Multi-join relational path (J5/J6 shapes at TPC-H scale)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q35_revenue_by_nation",
+    oracle="""
+    SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           count(*) AS n_lineitems
+    FROM region
+    JOIN nation   ON n_regionkey = r_regionkey
+    JOIN customer ON c_nationkey = n_nationkey
+    JOIN orders   ON o_custkey = c_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE r_name = 'ASIA'
+    GROUP BY n_name
+    """,
+)
+def q35_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5/J6 multi-join rollup (TPC-H Q5 shape): small dims broadcast,
+    lineitem⋈orders is the one real shuffle (AQE re-plans it)."""
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = load_table(spark, sf_dir, "nation")
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count("*").alias("n_lineitems"),
+        )
+    )
+
+
+@register(
+    "q36_order_priority_window",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority,
+           CAST(row_number() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS price_rank,
+           round(sum(o_totalprice) OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey
+                                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+    FROM orders
+    """,
+)
+def q36_order_priority_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic window functions over a partitioned stream: rank + running
+    total per priority class (the window-function surface backing A12/A13)."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+    return orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.row_number().over(w).cast("bigint").alias("price_rank"),
+        F.round(F.sum("o_totalprice").over(w.rowsBetween(Window.unboundedPreceding, 0)), 2).alias(
+            "running_total"
+        ),
+    )
