@@ -99,8 +99,12 @@ def shuffle(df: DataFrame, seed: int, idx: str = ROW_IDX) -> DataFrame:
     sort by the keyed hash so the permutation is a pure function of
     (seed, row identity), not of partitioning.
     """
-    key = F.abs(F.hash(F.col(idx).cast("string"), F.lit(seed)))
-    return df.orderBy(key, F.col(idx))
+    if idx in df.columns:
+        key = F.abs(F.hash(F.col(idx).cast("string"), F.lit(seed)))
+        return df.orderBy(key, F.col(idx))
+    # no index column: key the permutation on the full row content
+    row_key = F.concat_ws("\x1f", *[F.col(c).cast("string") for c in df.columns])
+    return df.orderBy(F.abs(F.hash(row_key, F.lit(seed))), row_key)
 
 
 def repeat(df: DataFrame, count: int, epoch_col: str = "_epoch") -> DataFrame:

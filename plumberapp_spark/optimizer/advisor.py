@@ -1,0 +1,137 @@
+"""The optimizer proper: profile → query the model → emit plan advice →
+apply as a rewritten Pipeline (DataPipelineOptimizer analog,
+pa/pipeline_optimizer.py:508-533 + step_par_2,
+pa/pipeline_optimizer_wrapper.py:122-202).
+
+Advice maps the reference's rewrites onto Spark levers:
+parallelism θ → partition counts; cache point → persist(); prefetch →
+modeled buffer (LP input only); disk scaling → source partition count.
+Every application re-checks schema invariance.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+
+from pyspark.sql import SparkSession
+
+from plumberapp_spark.metrics.machine_info import (
+    FRACTION_CACHEABLE_MEMORY,
+    DEFAULT_DISK_BANDWIDTH_MBPS,
+    MachineInfo,
+)
+from plumberapp_spark.metrics.model import MetricsModel
+from plumberapp_spark.metrics.profiler import PipelineProfiler
+from plumberapp_spark.optimizer.lp import LPResult, max_min_throughput
+from plumberapp_spark.plans.nodes import CACHE_DENYLIST_OPS, PARALLELIZABLE_OPS, Pipeline
+from plumberapp_spark.plans import rewrites
+
+
+@dataclass
+class Advice:
+    thetas: dict[str, float] = field(default_factory=dict)
+    partitions: dict[str, int] = field(default_factory=dict)
+    cache_at: str | None = None
+    prefetch_at: str | None = None
+    prefetch_buffer: int = 0
+    bottleneck: str | None = None
+    lp: LPResult | None = None
+    notes: list[str] = field(default_factory=list)
+
+
+def choose_cache_candidate(model: MetricsModel, machine: MachineInfo) -> str | None:
+    """Q6/A7 cache placement (pa/pipeline_optimizer.py:1178-1218,
+    pa/graph_rewrites.py:707-731): keep nodes with
+    0 < expected_dataset_size < 0.9·memory, not in the deny-list, not at or
+    downstream of a random UDF; take the LAST survivor in topo order."""
+    budget = FRACTION_CACHEABLE_MEMORY * machine.memory_bytes
+    survivors = [
+        s
+        for s in model.stats
+        if 0 < s.expected_dataset_size < budget
+        and s.op not in CACHE_DENYLIST_OPS
+        and not s.is_random_udf_downstream
+        and not s.cached
+    ]
+    if not survivors:
+        return None
+    return max(survivors, key=lambda s: s.topo_idx).name
+
+
+def prefetch_gap(model: MetricsModel, num_cores: int) -> int:
+    """Q8 prefetch sizing: N_gap = max(N* − N, 0), N* = cores the roofline
+    says we need, N = cores actually used
+    (pa/pipeline_optimizer.py:1102-1127)."""
+    roof = model.roofline(num_cores)
+    n_star = min(float(num_cores), roof["cpu_upper_bound_rate"] / max(roof["observed_rate"], 1e-9) * roof["cores_used_N"])
+    return max(0, math.ceil(n_star - roof["cores_used_N"]))
+
+
+def disk_parallelism_scale(model: MetricsModel, bandwidth_mbps: float = DEFAULT_DISK_BANDWIDTH_MBPS) -> dict[str, int]:
+    """Q4 disk optimization: if source utilization of the disk bound is
+    below 1, scale source parallelism by ceil(par/required_util)
+    (pa/pipeline_optimizer.py:1047-1100)."""
+    x_disk = model.disk_upper_bound(bandwidth_mbps)
+    out: dict[str, int] = {}
+    if not math.isfinite(x_disk) or x_disk <= 0:
+        return out
+    for s in model.stats:
+        if s.op.startswith("source"):
+            required_util = s.observed_rate / x_disk
+            if 0 < required_util < 1:
+                out[s.name] = max(s.parallelism, math.ceil(s.parallelism / required_util))
+    return out
+
+
+class Optimizer:
+    def __init__(self, spark: SparkSession, machine: MachineInfo | None = None):
+        self.spark = spark
+        self.machine = machine or MachineInfo()
+
+    def advise(self, pipeline: Pipeline, sample_rows: int | None = None) -> Advice:
+        model = PipelineProfiler(self.spark).profile(pipeline, sample_rows=sample_rows)
+        return self.advise_from_model(pipeline, model)
+
+    def advise_from_model(self, pipeline: Pipeline, model: MetricsModel) -> Advice:
+        advice = Advice()
+        advice.bottleneck = model.bottleneck_node().name
+
+        all_rates = {s.name: s.expected_per_core_max_rate for s in model.stats}
+        sequential = {s.name for s in model.stats if not s.is_parallel}
+        if all_rates:
+            lp = max_min_throughput(all_rates, float(self.machine.num_cores), sequential_ops=sequential)
+            advice.lp = lp
+            advice.thetas = lp.thetas
+            for name, theta in lp.thetas.items():
+                node = pipeline.find(name)
+                if node.op in PARALLELIZABLE_OPS:
+                    advice.partitions[name] = max(1, math.ceil(theta))
+
+        for name, n in disk_parallelism_scale(model).items():
+            advice.partitions[name] = max(advice.partitions.get(name, 1), n)
+            advice.notes.append(f"disk underutilized: raised {name} to {n} partitions (Q4)")
+
+        advice.cache_at = choose_cache_candidate(model, self.machine)
+        gap = prefetch_gap(model, self.machine.num_cores)
+        if gap > 0:
+            first_real = next((s.name for s in model.stats if not s.op.startswith("source")), None)
+            advice.prefetch_at = first_real
+            advice.prefetch_buffer = gap
+        return advice
+
+    def apply(self, pipeline: Pipeline, advice: Advice) -> Pipeline:
+        """Apply advice as plan rewrites; schema invariance enforced
+        (reference's _throw_if_element_spec_changed)."""
+        out = pipeline
+        if advice.partitions:
+            out = rewrites.apply_parallelism(out, {n: float(p) for n, p in advice.partitions.items()}, self.spark)
+        if advice.cache_at:
+            out = rewrites.insert_cache_after(out, advice.cache_at, self.spark)
+        if advice.prefetch_at and advice.prefetch_buffer:
+            out = rewrites.set_prefetch(out, advice.prefetch_at, advice.prefetch_buffer, self.spark)
+        return out
+
+    def optimize(self, pipeline: Pipeline, sample_rows: int | None = None) -> tuple[Pipeline, Advice]:
+        advice = self.advise(pipeline, sample_rows=sample_rows)
+        return self.apply(pipeline, advice), advice

@@ -1,0 +1,209 @@
+"""Metrics model + optimizer: profiling, §2.6 queries, LP water-filling,
+min-cost enumeration, cache advisor, rewrite loop, annotations —
+mirroring the reference's test surface (test_gen_util, test_machine_info,
+test_statistics_collection) plus its runtime invariants."""
+
+from __future__ import annotations
+
+import math
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from plumberapp_spark.plans.nodes import Pipeline
+from plumberapp_spark.metrics.profiler import PipelineProfiler
+from plumberapp_spark.metrics.bench import bench_dataframe
+from plumberapp_spark.metrics.monitor import MonitoringThread
+from plumberapp_spark.metrics.machine_info import CostModel, MachineInfo
+from plumberapp_spark.optimizer.lp import (
+    fit_piecewise_linear,
+    max_min_throughput,
+    min_cost_at_rate,
+)
+from plumberapp_spark.optimizer.advisor import Optimizer, choose_cache_candidate
+from plumberapp_spark.optimizer.loop import StepLog, detect_cycle, run_rewriter_loop
+from plumberapp_spark.optimizer.annotations import (
+    expand_grid_combinations,
+    optimize_pipeline,
+    should_optimize,
+)
+from tests.conftest import SF_DIR
+
+
+def small_pipeline() -> Pipeline:
+    return (
+        Pipeline.source_parquet(f"{SF_DIR}/events.parquet", ["event_id", "value"])
+        .filter(F.col("value") > 1, desc="value>1")
+        .with_columns({"v2": F.col("value") * 2})
+    )
+
+
+# -- profiler / metrics model ---------------------------------------------
+
+
+def test_profile_builds_model(spark):
+    model = PipelineProfiler(spark).profile(small_pipeline())
+    assert len(model.stats) == 3
+    df = model.to_df()
+    assert {"name", "op", "parent_name", "expected_parallel_max_rate", "p_busy"} <= set(df.columns)
+    # parent convention: source's parent is the filter (its consumer)
+    src = next(s for s in model.stats if s.op == "source_parquet")
+    assert src.parent_name.startswith("filter")
+    # element counts flow: filter reduces, map preserves
+    by_op = {s.op: s for s in model.stats}
+    assert by_op["map"].aggregate_elements_produced == by_op["filter"].aggregate_elements_produced
+    assert 0.99 < by_op["map"].element_ratio <= 1.0 or by_op["map"].element_ratio == 1.0
+
+
+def test_bottleneck_and_roofline(spark):
+    model = PipelineProfiler(spark).profile(small_pipeline())
+    b = model.bottleneck_node()
+    assert b.name in {s.name for s in model.stats}
+    roof = model.roofline(num_cores=8)
+    assert roof["total_work_s"] > 0 and roof["cores_used_N"] > 0
+    assert model.disk_upper_bound(100.0) > 0
+
+
+def test_metrics_joins(spark):
+    model = PipelineProfiler(spark).profile(small_pipeline())
+    joined = model.join_thetas({s.name: 1.0 for s in model.stats})
+    assert joined.filter(F.col("LP_Thetas_Recommendation").isNull()).count() == 0
+
+
+# -- bench + monitoring ----------------------------------------------------
+
+
+def test_bench_dataframe(spark):
+    df = spark.range(10000).withColumn("x", F.col("id") * 2)
+    s = bench_dataframe(df, time_limit_s=1.0)
+    assert s.total_elements >= 10000 and s.element_rate > 0 and s.num_runs >= 1
+
+
+def test_monitoring_thread_collects():
+    with MonitoringThread(interval_s=0.05) as m:
+        time.sleep(0.5)
+    assert len(m.samples) > 0
+    assert all(0 <= s.cpu_percent <= 100 for s in m.samples)
+
+
+def test_machine_info_roundtrip():
+    mi = MachineInfo.from_dicts(
+        [{"HOSTNAME": "h", "CORES": 4, "MEMORY": 123, "FILES": [{"PATH": "/x", "BANDWIDTH": 50.0, "AVAILABLE_SPACE": 10}]}]
+    )
+    assert mi.to_dicts()[0]["CORES"] == 4
+    assert mi.files[0].bandwidth_mbps == 50.0
+    assert CostModel().core_cost(2) == pytest.approx(0.063222)
+
+
+# -- LP / cost / fit -------------------------------------------------------
+
+
+def test_lp_water_filling_equalizes():
+    res = max_min_throughput({"a": 100.0, "b": 50.0, "c": 200.0}, cores_available=4.0)
+    # optimum equalizes throughput: theta_i * r_i equal across ops
+    prods = [res.thetas[n] * r for n, r in [("a", 100.0), ("b", 50.0), ("c", 200.0)]]
+    assert max(prods) - min(prods) < 1e-3
+    assert res.cores_used <= 4.0 + 1e-6
+    # X = cores / sum(1/r) closed form
+    assert res.min_rate == pytest.approx(4.0 / (1 / 100 + 1 / 50 + 1 / 200), rel=1e-3)
+
+
+def test_lp_sequential_cap():
+    res = max_min_throughput({"seq": 10.0, "par": 100.0}, cores_available=16.0, sequential_ops={"seq"})
+    assert res.thetas["seq"] <= 1.0 + 1e-9
+    assert res.min_rate == pytest.approx(10.0, rel=1e-3)  # capped by the sequential op
+    assert res.binding == "upper_bounds"
+
+
+def test_min_cost_prefers_cache_when_cheap():
+    topo = ["src", "map", "sink"]
+    rates = {"src": 10.0, "map": 20.0, "sink": 100.0}
+    res = min_cost_at_rate(
+        rates,
+        topo,
+        min_rate=5.0,
+        cost_vcpu_hour=1.0,
+        cost_gb_ram_hour=0.001,
+        cacheable_sizes={"map": float(1 << 30)},
+        upstream_of={"map": {"src"}},
+    )
+    # caching at map drops src+map cpu cost (0.75) for 0.001 memory cost
+    assert res.cache_at == "map"
+    assert res.thetas["src"] == 0.0
+    res2 = min_cost_at_rate(rates, topo, min_rate=5.0, cost_vcpu_hour=1.0, cost_gb_ram_hour=10.0,
+                            cacheable_sizes={"map": float(100 << 30)}, upstream_of={"map": {"src"}})
+    assert res2.cache_at is None  # memory too expensive
+
+
+def test_piecewise_fit_recovers_knee():
+    xs = [1, 2, 3, 4, 5, 6, 7, 8]
+    ys = [10.0, 20.0, 30.0, 32.0, 34.0, 36.0, 38.0, 40.0]
+    fit = fit_piecewise_linear(xs, ys)
+    assert fit.m1 == pytest.approx(10.0, abs=1.0)
+    assert fit.m2 == pytest.approx(2.0, abs=1.0)
+    assert 2.5 <= fit.x_thresh <= 4.5
+
+
+# -- advisor / loop / annotations -----------------------------------------
+
+
+def test_optimizer_advice_and_apply(spark):
+    p = small_pipeline()
+    opt = Optimizer(spark)
+    optimized, advice = opt.optimize(p, sample_rows=500)
+    assert advice.bottleneck is not None
+    assert advice.lp is not None and advice.lp.cores_used > 0
+    # schema preserved through application (the core invariant)
+    assert p.schema(spark) == optimized.schema(spark)
+
+
+def test_cache_advisor_respects_taint(spark):
+    p = small_pipeline().shuffle(seed=3).with_columns({"v3": F.col("value") + 1})
+    model = PipelineProfiler(spark).profile(p, sample_rows=500)
+    cand = choose_cache_candidate(model, MachineInfo())
+    # everything at/after shuffle is tainted; candidate must be upstream
+    tainted = p.random_tainted()
+    assert cand is None or cand not in tainted
+
+
+def test_cycle_detection():
+    logs = [StepLog(step=i, change="map_1.parallelism=2", rate=100.0 + i * 0.1) for i in range(5)]
+    assert detect_cycle(logs)
+    logs2 = [StepLog(step=i, change=f"map_{i}.parallelism=2", rate=100.0 * (1 + i)) for i in range(5)]
+    assert not detect_cycle(logs2)
+
+
+def test_rewriter_loop_improves_or_stops(spark):
+    p = small_pipeline()
+    out, logs = run_rewriter_loop(spark, p, num_steps=3, step_time_s=0.5, sample_rows=500)
+    assert 1 <= len(logs) <= 3
+    assert all(log.rate > 0 for log in logs)
+    assert p.schema(spark) == out.schema(spark)
+
+
+def test_annotations_gates(monkeypatch, spark):
+    monkeypatch.setenv("PLUMBER_NO_OPTIMIZE", "1")
+    assert not should_optimize()
+    monkeypatch.delenv("PLUMBER_NO_OPTIMIZE")
+    monkeypatch.setenv("PLUMBER_OPTIMIZE_PIPELINE", "0")
+    assert not should_optimize()
+    monkeypatch.setenv("PLUMBER_OPTIMIZE_PIPELINE", "1")
+    assert should_optimize()
+
+    calls = {}
+
+    @optimize_pipeline(sample_rows=200)
+    def build(spark_, **kw):
+        calls["built"] = True
+        return small_pipeline()
+
+    monkeypatch.setenv("PLUMBER_NO_OPTIMIZE", "1")
+    p = build(spark)
+    assert calls["built"] and isinstance(p, Pipeline)
+    assert all(n.parallelism is None for n in p.nodes())  # gate off → untouched
+
+
+def test_grid_expansion():
+    grid = expand_grid_combinations({"a": [1, 2], "b": ["x"]})
+    assert grid == [{"a": 1, "b": "x"}, {"a": 2, "b": "x"}]
