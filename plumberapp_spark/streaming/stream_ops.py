@@ -1,0 +1,137 @@
+"""Structured Streaming surface (SURVEY §7.3).
+
+The reference's unbounded mode is ``repeat()`` with count=-1 — a stream
+the benchmark consumes until a time limit (pa/gen_util.py:376-412). Spark's
+native unbounded abstraction is Structured Streaming; this module provides:
+
+* :func:`rate_stream` — the infinite-source analog (rate source).
+* :func:`repeat_stream` — infinite repeat of a finite DataFrame: a rate
+  stream joined to the (broadcast) finite table by modular index; each
+  micro-batch emits the next slice of the endless epoch loop.
+* :func:`windowed_event_counts` — watermarked sliding-window aggregation
+  (the streaming analog of the metrics monitoring rollups A10/A12; the
+  reference has NO late-data semantics at all, so watermarking is a pure
+  extension).
+* :func:`stateful_rate_monitor` — custom stateful operator via
+  ``applyInPandasWithState``: per-key running rate + convergence flag,
+  the streaming port of AutotuneState (pa/gen_util.py:86-105).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Tuple
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+CONVERGENCE_REL_ERR = 0.01  # pa/gen_util.py:87-90
+
+
+def rate_stream(spark: SparkSession, rows_per_second: int = 1000) -> DataFrame:
+    """S5-analog unbounded integer source."""
+    return spark.readStream.format("rate").option("rowsPerSecond", rows_per_second).load()
+
+
+def repeat_stream(spark: SparkSession, finite: DataFrame, idx_col: str, n_rows: int, rows_per_second: int = 1000) -> DataFrame:
+    """O2 repeat(-1): endless re-emission of a finite table. The rate
+    stream provides the unbounded driver; each tick maps to row
+    ``value % n_rows`` of the finite side (broadcast join, no state)."""
+    ticks = rate_stream(spark, rows_per_second).select(
+        F.col("value").alias("_tick"), F.col("timestamp").alias("_tick_ts")
+    )
+    ticks = ticks.withColumn("_pos", F.col("_tick") % n_rows)
+    finite_b = F.broadcast(finite.withColumnRenamed(idx_col, "_pos"))
+    return (
+        ticks.join(finite_b, on="_pos")
+        .withColumn("_epoch", (F.col("_tick") / n_rows).cast("bigint"))
+        .drop("_tick_ts")
+    )
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    window: str = "10 seconds",
+    slide: str | None = None,
+    watermark: str = "30 seconds",
+) -> DataFrame:
+    """A10/A12 streaming rollup: watermarked windowed counts + mean value.
+    Works on a streaming OR batch DataFrame (same code path — Spark's
+    unified semantics)."""
+    df = events
+    if df.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+    win = F.window(F.col(ts_col), window, slide) if slide else F.window(F.col(ts_col), window)
+    return df.groupBy(win.alias("w"), F.col("event_type")).agg(
+        F.count("*").alias("n"), F.avg("value").alias("mean_value")
+    )
+
+
+_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("count", T.LongType()),
+        T.StructField("last_rate", T.DoubleType()),
+    ]
+)
+
+_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("key", T.StringType()),
+        T.StructField("total", T.LongType()),
+        T.StructField("rate", T.DoubleType()),
+        T.StructField("converged", T.BooleanType()),
+    ]
+)
+
+
+def _rate_monitor_fn(
+    key: Tuple[str], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    (count, last_rate) = state.get if state.exists else (0, 0.0)
+    batch_n = 0
+    batch_sum = 0.0
+    for pdf in pdfs:
+        batch_n += len(pdf)
+        batch_sum += float(pdf["value"].sum())
+    count += batch_n
+    rate = batch_n / max(batch_sum, 1e-9)
+    converged = last_rate > 0 and abs(rate / last_rate - 1) < CONVERGENCE_REL_ERR
+    state.update((count, rate))
+    yield pd.DataFrame({"key": [key[0]], "total": [count], "rate": [rate], "converged": [converged]})
+
+
+def stateful_rate_monitor(events: DataFrame, key_col: str = "event_type") -> DataFrame:
+    """A12 as a custom stateful streaming operator
+    (``applyInPandasWithState``): per-key cumulative count + batch rate +
+    convergence flag against the previous batch's rate."""
+    return (
+        events.groupBy(key_col)
+        .applyInPandasWithState(
+            _rate_monitor_fn,
+            outputStructType=_OUT_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def run_stream_to_memory(stream_df: DataFrame, query_name: str, timeout_s: float = 10.0):
+    """Drive a streaming DataFrame into an in-memory sink until idle or
+    timeout; returns the collected rows (test/bench harness)."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("update" if stream_df.isStreaming else "append")
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return stream_df.sparkSession.sql(f"SELECT * FROM {query_name}")
