@@ -16,6 +16,11 @@ try:  # q26+: metrics model, windows, joins (added incrementally)
 except ImportError:
     pass
 
+try:  # q37+: optimizer-query shapes, TPC-H analogs, LP/MILP surface
+    import plumberapp_spark.queries_analytic  # noqa: F401
+except ImportError:
+    pass
+
 from plumberapp_spark.registry import REGISTRY
 
 

@@ -1,0 +1,480 @@
+"""Query batch 4 (q37-q48): the remaining §2 analytic/optimizer query
+shapes (cache placement Q6, disk bound Q4, prefetch gap Q8, LP Q2, MILP
+Q3, file-size aggregation A14, padded batch A3) plus heavy relational
+join/agg shapes (TPC-H Q3/Q6/Q10/Q18 analogs) and a skew-salted
+aggregation that demonstrates the two-stage partial-agg strategy used at
+100 TB scale.
+
+The §2.6 optimizer queries run over the same deterministically-derived
+operator-stats table as queries_metrics (event_type = operator name), so
+every SQL-expressible one is oracle-checked; the LP/MILP solvers (Q2/Q3)
+are genuinely non-SQL (iterative numeric optimization) and register
+without an oracle (driver records a rows-only check, as SURVEY §2.6
+notes for pa/convex_solver.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from plumberapp_spark.registry import register
+from plumberapp_spark.session import load_table
+
+# --------------------------------------------------------------------------
+# Shared derived operator-stats table (same fixture as queries_metrics):
+# event_type plays the operator name; topo_idx is its deterministic
+# topological position; bytes columns come from payload sizes.
+# --------------------------------------------------------------------------
+
+_M_CTE = """
+    m AS (SELECT event_type AS name,
+                 CAST(row_number() OVER (ORDER BY event_type) - 1 AS BIGINT) AS topo_idx,
+                 count(*) AS elements,
+                 sum(length(props)) AS bytes_produced,
+                 round(count(*) / sum(value), 6) AS rate,
+                 round(sum(value), 2) AS processing_time
+          FROM (SELECT event_type, value, props FROM events)
+          GROUP BY event_type)
+"""
+
+
+def _stats_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    agg = ev.groupBy(F.col("event_type").alias("name")).agg(
+        F.count("*").alias("elements"),
+        F.sum(F.length("props")).alias("bytes_produced"),
+        F.round(F.count("*") / F.sum("value"), 6).alias("rate"),
+        F.round(F.sum("value"), 2).alias("processing_time"),
+    )
+    w = Window.orderBy("name")
+    return agg.withColumn("topo_idx", (F.row_number().over(w) - 1).cast("bigint"))
+
+
+# --------------------------------------------------------------------------
+# q37 — Q6/A7 cache placement
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q37_cache_placement",
+    oracle=f"""
+    WITH {_M_CTE},
+    t AS (SELECT sum(bytes_produced) AS total_bytes FROM m)
+    SELECT name, topo_idx, bytes_produced AS expected_dataset_size
+    FROM m, t
+    WHERE bytes_produced > 0
+      AND bytes_produced < 0.9 * total_bytes
+      AND topo_idx < 3
+    ORDER BY topo_idx DESC LIMIT 1
+    """,
+)
+def q37_cache_placement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q6 cache placement (pa/pipeline_optimizer.py:1178-1218
+    `_get_cache_candidates`): keep nodes with 0 < expected_dataset_size <
+    0.9*memory (FRACTION_CACHEABLE_MEMORY, pa/pipeline_optimizer.py:25),
+    drop nodes at/after the random UDF (taint, pa/graphdef_util.py:251-266
+    — fixture: the op at topo_idx 3 is random, so 3+ are tainted), take
+    the LAST survivor in topological order."""
+    m = _stats_df(spark, sf_dir)
+    total = m.agg(F.sum("bytes_produced").alias("total_bytes"))
+    return (
+        m.crossJoin(F.broadcast(total))
+        .filter(
+            (F.col("bytes_produced") > 0)
+            & (F.col("bytes_produced") < 0.9 * F.col("total_bytes"))
+            & (F.col("topo_idx") < 3)
+        )
+        .orderBy(F.col("topo_idx").desc())
+        .limit(1)
+        .select("name", "topo_idx", F.col("bytes_produced").alias("expected_dataset_size"))
+    )
+
+
+# --------------------------------------------------------------------------
+# q38 — A3 padded_batch
+# --------------------------------------------------------------------------
+
+_PAD12 = "['</s>','</s>','</s>','</s>','</s>','</s>','</s>','</s>','</s>','</s>','</s>','</s>']"
+
+
+@register(
+    "q38_padded_batch",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS _row_idx,
+             array_to_string((string_split(text, ' ') || {_PAD12})[1:12], ' ') AS padded
+      FROM documents
+    )
+    SELECT CAST(_row_idx // 8 AS BIGINT) AS batch_id,
+           count(*) AS batch_size,
+           string_agg(padded, '|' ORDER BY doc_id) AS batch_digest
+    FROM toks
+    GROUP BY 1
+    HAVING count(*) = 8
+    """,
+)
+def q38_padded_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 padded_batch (mb/simple_gnmt/utils/iterator_utils.py:207-229;
+    notebook/Example.ipynb cell 4): pad each token sequence to length 12
+    with '</s>', then batch 8 consecutive rows with drop_remainder. The
+    batch window is floor(_row_idx / 8) — a single hash-agg, no sort of
+    the full table; at 100 TB the row index comes from pre-sorted
+    bucketed storage rather than a global window."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    w = Window.orderBy("doc_id")
+    toks = docs.select(
+        "doc_id",
+        (F.row_number().over(w) - 1).cast("bigint").alias("_row_idx"),
+        F.array_join(
+            F.slice(
+                F.concat(F.split("text", " "), F.array_repeat(F.lit("</s>"), 12)), 1, 12
+            ),
+            " ",
+        ).alias("padded"),
+    )
+    return (
+        toks.groupBy(F.floor(F.col("_row_idx") / 8).cast("bigint").alias("batch_id"))
+        .agg(
+            F.count("*").alias("batch_size"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("doc_id", "padded"))),
+                    lambda x: x.padded,
+                ),
+                "|",
+            ).alias("batch_digest"),
+        )
+        .filter(F.col("batch_size") == 8)
+    )
+
+
+# --------------------------------------------------------------------------
+# q39-q42 — heavy relational shapes (TPC-H Q3/Q6/Q10/Q18 analogs)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q39_shipping_priority",
+    oracle="""
+    SELECT l.l_orderkey,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+           o.o_orderpriority
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+                    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-06-01'
+      AND l.l_shipdate > TIMESTAMP '1998-06-01'
+    GROUP BY 1, 3, 4
+    ORDER BY revenue DESC, l.l_orderkey LIMIT 10
+    """,
+)
+def q39_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dims broadcast into the fact scan so the
+    only shuffle is the final small groupBy; filters land in parquet
+    PushedFilters (both date predicates prune row groups at scale)."""
+    cutoff = F.lit("1998-06-01").cast("timestamp")
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    l = load_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    return (
+        l.join(F.broadcast(o), l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+        .select("l_orderkey", "revenue", "orderdate", "o_orderpriority")
+    )
+
+
+@register(
+    "q40_forecast_revenue",
+    oracle="""
+    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+           count(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+    """,
+)
+def q40_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure scan-filter-aggregate — at scale the entire
+    predicate set pushes to the parquet reader and the agg is a
+    zero-shuffle partial+final pair (check .explain for PushedFilters)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & (F.col("l_discount").between(0.05, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@register(
+    "q41_returned_items",
+    oracle="""
+    SELECT c.c_custkey, c.c_name,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           n.n_name
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+                    JOIN customer c ON o.o_custkey = c.c_custkey
+                    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_returnflag = 'R'
+    GROUP BY 1, 2, 4
+    ORDER BY revenue DESC, c.c_custkey LIMIT 20
+    """,
+)
+def q41_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: fact⋈fact shuffle join (lineitem⋈orders, AQE
+    picks the strategy) with broadcast dims; top-k is a TakeOrdered, not
+    a global sort."""
+    l = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+        .select("c_custkey", "c_name", "revenue", "n_name")
+    )
+
+
+@register(
+    "q42_large_volume_orders",
+    oracle="""
+    WITH big AS (SELECT l_orderkey, sum(l_quantity) AS total_qty
+                 FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 300)
+    SELECT o.o_orderkey, strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+           round(o.o_totalprice, 2) AS totalprice, big.total_qty
+    FROM orders o JOIN big ON o.o_orderkey = big.l_orderkey
+    """,
+)
+def q42_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: pre-aggregate the fact table BEFORE the join
+    (groupBy+HAVING shrinks lineitem ~4x, and the survivors of
+    `> 300` are tiny) so the join side that reaches orders is
+    broadcast-able — the scale-critical ordering of agg-then-join."""
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 300)
+    )
+    return (
+        o.join(F.broadcast(big), o.o_orderkey == big.l_orderkey)
+        .select(
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            F.round("o_totalprice", 2).alias("totalprice"),
+            "total_qty",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q43/q44 — Q4 disk bound, Q8 prefetch gap (reference formulas over the
+# derived stats table)
+# --------------------------------------------------------------------------
+
+_DISK_BW = 100e6  # reference default 100 MB/s, pa/graph_rewrites.py:156-168
+
+
+@register(
+    "q43_disk_bound",
+    oracle=f"""
+    WITH {_M_CTE},
+    src AS (SELECT * FROM m ORDER BY topo_idx LIMIT 1)
+    SELECT name,
+           round({_DISK_BW} / (bytes_produced * 1.0 / elements), 4) AS x_disk_rate,
+           round(rate / ({_DISK_BW} / (bytes_produced * 1.0 / elements)), 9) AS required_util,
+           CAST(least(ceil(4.0 / greatest(rate / ({_DISK_BW} / (bytes_produced * 1.0 / elements)), 0.125)), 32) AS BIGINT)
+             AS recommended_parallelism
+    FROM src
+    """,
+)
+def q43_disk_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4 disk bound (pa/pipeline_optimizer.py:1047-1100): X_disk =
+    bandwidth / bytes_per_root_element; required_util = rate / X_disk;
+    when util < 1 the source parallelism scales by ceil(par/util), capped
+    at the core count (fixture: par=4, cores=32, floor util 1/8)."""
+    src = _stats_df(spark, sf_dir).orderBy("topo_idx").limit(1)
+    bpe = F.col("bytes_produced") * 1.0 / F.col("elements")
+    x_disk = F.lit(_DISK_BW) / bpe
+    util = F.col("rate") / x_disk
+    return src.select(
+        "name",
+        F.round(x_disk, 4).alias("x_disk_rate"),
+        F.round(util, 9).alias("required_util"),
+        F.least(F.ceil(4.0 / F.greatest(util, F.lit(0.125))), F.lit(32))
+        .cast("bigint")
+        .alias("recommended_parallelism"),
+    )
+
+
+@register(
+    "q44_prefetch_gap",
+    oracle=f"""
+    WITH {_M_CTE},
+    t AS (SELECT sum(processing_time) AS w, max(processing_time) AS tmax FROM m)
+    SELECT name,
+           round(processing_time / tmax, 6) AS n_live,
+           round(32 * processing_time / w, 6) AS n_star,
+           CAST(greatest(ceil(round(32 * processing_time / w - processing_time / tmax, 6)), 0) AS BIGINT)
+             AS prefetch_gap
+    FROM m, t
+    """,
+)
+def q44_prefetch_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8 prefetch sizing (pa/pipeline_optimizer.py:1102-1127): per node,
+    N_gap = max(ceil(N* - N), 0) where N is the live customer count and
+    N* the roofline target (fixture: N = share of the slowest node's
+    work, N* = fair share of 32 cores)."""
+    m = _stats_df(spark, sf_dir)
+    t = m.agg(
+        F.sum("processing_time").alias("w"), F.max("processing_time").alias("tmax")
+    )
+    n_live = F.col("processing_time") / F.col("tmax")
+    n_star = F.lit(32) * F.col("processing_time") / F.col("w")
+    return m.crossJoin(F.broadcast(t)).select(
+        "name",
+        F.round(n_live, 6).alias("n_live"),
+        F.round(n_star, 6).alias("n_star"),
+        F.greatest(F.ceil(F.round(n_star - n_live, 6)), F.lit(0))
+        .cast("bigint")
+        .alias("prefetch_gap"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q45 — A14 file-size aggregation
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q45_file_size_agg",
+    oracle="""
+    SELECT source AS path,
+           sum(n_chars) AS size_bytes,
+           count(*) AS n_files,
+           round(100.0 * sum(n_chars) / sum(sum(n_chars)) OVER (), 4) AS share_pct
+    FROM documents GROUP BY source
+    """,
+)
+def q45_file_size_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A14 dataset_file_sizes (pa/graph_rewrites.py:200-263): per-path
+    working-set sizes plus each path's share of the total — the input to
+    the cacheability and disk-bandwidth checks."""
+    docs = load_table(spark, sf_dir, "documents")
+    per = docs.groupBy(F.col("source").alias("path")).agg(
+        F.sum("n_chars").alias("size_bytes"), F.count("*").alias("n_files")
+    )
+    return per.withColumn(
+        "share_pct",
+        F.round(100.0 * F.col("size_bytes") / F.sum("size_bytes").over(Window.partitionBy()), 4),
+    )
+
+
+# --------------------------------------------------------------------------
+# q46 — skew-salted two-stage aggregation (scale technique, oracle = plain agg)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q46_skew_salted_agg",
+    oracle="""
+    SELECT event_type, round(sum(value), 2) AS total_value, count(*) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def q46_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigation pattern for 100 TB groupBys on low-cardinality /
+    hot keys: salt the key into 16 subkeys, partial-aggregate, then merge
+    — two small shuffles instead of one skewed one. Result is identical
+    to the plain aggregation (the oracle)."""
+    ev = load_table(spark, sf_dir, "events")
+    salted = ev.withColumn("_salt", F.pmod(F.hash("event_id"), F.lit(16)))
+    partial = salted.groupBy("event_type", "_salt").agg(
+        F.sum("value").alias("pv"), F.count("*").alias("pn")
+    )
+    return partial.groupBy("event_type").agg(
+        F.round(F.sum("pv"), 2).alias("total_value"),
+        F.sum("pn").alias("n"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q47/q48 — Q2 LP and Q3 MILP (non-SQL numeric optimization; rows-only)
+# --------------------------------------------------------------------------
+
+
+@register("q47_lp_throughput", oracle=None)
+def q47_lp_throughput(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 LP max-throughput (pa/convex_solver.py:91-135): allocate core
+    shares theta to equalize per-op throughput under a core budget.
+    Iterative numeric optimization — not SQL-expressible, so rows-only;
+    determinism is covered by tests/test_metrics_optimizer.py. The stats
+    table stays a DataFrame; only the tiny per-op rate vector (one row
+    per operator, ~5 rows) is collected to the driver — the same
+    driver-side solver pattern scales unchanged to 1000 executors."""
+    from plumberapp_spark.optimizer.lp import max_min_throughput
+
+    m = _stats_df(spark, sf_dir)
+    rates = {r["name"]: float(r["rate"]) for r in m.select("name", "rate").collect()}
+    res = max_min_throughput(rates, cores_available=32.0)
+    rows = [
+        (n, round(res.thetas[n], 6), round(res.min_rate, 6), res.binding)
+        for n in sorted(res.thetas)
+    ]
+    return spark.createDataFrame(rows, "name string, theta double, min_rate double, binding string")
+
+
+@register("q48_min_cost_milp", oracle=None)
+def q48_min_cost_milp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q3 min-cost-at-rate MILP (pa/convex_solver.py:158-300): pick core
+    shares + at most one cache to hit a target rate at minimum $/hour
+    (GCP N1 constants, pa/machine_info.py:83-109). Enumerative/numeric —
+    rows-only check."""
+    from plumberapp_spark.optimizer.lp import min_cost_at_rate
+
+    m = _stats_df(spark, sf_dir)
+    rows_in = m.select("name", "rate", "bytes_produced", "topo_idx").collect()
+    rates = {r["name"]: float(r["rate"]) for r in rows_in}
+    topo = [r["name"] for r in sorted(rows_in, key=lambda r: r["topo_idx"])]
+    sizes = {r["name"]: float(r["bytes_produced"]) for r in rows_in}
+    upstream = {n: set(topo[:i]) for i, n in enumerate(topo)}
+    target = min(rates.values()) * 0.5
+    res = min_cost_at_rate(
+        rates,
+        topo,
+        min_rate=target,
+        cost_vcpu_hour=0.031611,
+        cost_gb_ram_hour=0.004237,
+        cacheable_sizes=sizes,
+        upstream_of=upstream,
+    )
+    rows = [
+        (n, round(res.thetas[n], 6), res.cache_at, round(res.cost_per_hour, 8))
+        for n in sorted(res.thetas)
+    ]
+    return spark.createDataFrame(
+        rows, "name string, theta double, cache_at string, cost_per_hour double"
+    )
