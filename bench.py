@@ -31,7 +31,37 @@ HEADLINE = [
     "q10_unbatch_roundtrip",
     "q11_group_by_window",
     "q12_string_pipeline",
+    "q14_exact_dedup",
+    "q17_minhash_lsh_pairs",
+    "q35_revenue_by_nation",
+    "q39_shipping_priority",
+    "q40_forecast_revenue",
+    "q41_returned_items",
+    "q42_large_volume_orders",
+    "q46_skew_salted_agg",
 ]
+
+# Primary input table per query — the denominator for rows/sec rates
+# (the reference reports elements/sec over the source stream,
+# pa/gen_util.py:470-488).
+PRIMARY_INPUT = {
+    "q01_pricing_summary": "lineitem",
+    "q02_filter_projection": "orders",
+    "q05_vocab_lookup": "documents",
+    "q06_zip_by_index": "events",
+    "q08_batch_stats": "lineitem",
+    "q10_unbatch_roundtrip": "events",
+    "q11_group_by_window": "documents",
+    "q12_string_pipeline": "documents",
+    "q14_exact_dedup": "documents",
+    "q17_minhash_lsh_pairs": "documents",
+    "q35_revenue_by_nation": "lineitem",
+    "q39_shipping_priority": "lineitem",
+    "q40_forecast_revenue": "lineitem",
+    "q41_returned_items": "lineitem",
+    "q42_large_volume_orders": "lineitem",
+    "q46_skew_salted_agg": "events",
+}
 
 
 def run_query(spark, name: str, sf_dir: str) -> float:
@@ -46,13 +76,22 @@ def main() -> None:
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
     spark = get_spark("plumberapp_spark_bench")
 
-    # Warmup: absorb session/JIT startup (not part of the measurement).
-    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    # Warmup: absorb session/JIT startup (not part of the measurement),
+    # and capture source-table cardinalities for the rate report.
+    input_rows = {
+        t: spark.read.parquet(f"{sf_dir}/{t}.parquet").count()
+        for t in ("lineitem", "orders", "events", "documents")
+    }
 
     names = [n for n in HEADLINE if n in REGISTRY]
     timings: dict[str, float] = {}
+    rates: dict[str, float] = {}
     for name in names:
-        timings[name] = round(run_query(spark, name, sf_dir), 3)
+        dt = run_query(spark, name, sf_dir)
+        timings[name] = round(dt, 3)
+        src = PRIMARY_INPUT.get(name)
+        if src:
+            rates[name] = round(input_rows[src] / max(dt, 1e-9))
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -62,6 +101,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "rows_per_sec": rates,
+                "input_rows": input_rows,
             }
         )
     )

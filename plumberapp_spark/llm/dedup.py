@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from plumberapp_spark.functions.hashing import md5_long, minhash_value
+from plumberapp_spark.functions.hashing import md5_long, minhash_signature_column
 from plumberapp_spark.functions.text import tokenize, word_ngrams
 
 
@@ -72,15 +72,45 @@ def minhash_signature(df: DataFrame, text_col: str, id_col: str, num_perm: int, 
     ``ngram``-shingles, as ``mh_0..mh_{k-1}`` columns.
 
     One narrow pass: the shingle array and all k minima are computed
-    row-local (no explode, no shuffle) — at 100 TB this is the difference
-    between a projection and a k-times-exploded exchange.
+    row-local (no explode, no shuffle until the small signature exchange).
+    Each shingle is md5-hashed ONCE and all k permutation minima fold out
+    of that single pass (minhash_signature_column), so hashing cost is
+    independent of k. The signature array is materialized behind a
+    round-robin exchange before the per-permutation columns are split
+    out: higher-order-function expressions are interpreted (not
+    codegen'd, so no cross-column CSE), and without the barrier each
+    derived column would re-run the full hash pass. The exchanged rows
+    are (id, k longs) — a few hundred bytes/row at any corpus size.
     """
+    sig = _signature_arrays(df, text_col, id_col, num_perm, ngram)
+    return sig.select(
+        F.col(id_col), *[F.col("_sig")[p].alias(f"mh_{p}") for p in range(num_perm)]
+    )
+
+
+def _signature_arrays(
+    df: DataFrame, text_col: str, id_col: str, num_perm: int, ngram: int
+) -> DataFrame:
+    """(id, _sig array<bigint>) with the signature computed exactly once
+    per row, in parallel.
+
+    Two deliberate exchanges: (1) BEFORE the projection — shingling +
+    hashing is the CPU-heavy stage, and a small/compact input (one parquet
+    row group) would otherwise pin it to one task; at 100 TB the reader
+    already yields thousands of input splits and this exchange coalesces
+    to defaultParallelism either way. (2) AFTER the projection — an
+    anti-projection-collapse barrier so downstream extraction of the k
+    signature elements reuses the materialized array instead of re-running
+    the hash pass per output column (HOFs are interpreted: no codegen CSE).
+    The second exchange carries only (id, k longs)."""
+    par = df.sparkSession.sparkContext.defaultParallelism
     toks = tokenize(F.col(text_col))
     shingles = F.array_distinct(word_ngrams(toks, ngram))
-    out = df.select(F.col(id_col), shingles.alias("_shingles"))
-    for s in range(num_perm):
-        out = out.withColumn(f"mh_{s}", minhash_value(F.col("_shingles"), seed=s))
-    return out.drop("_shingles")
+    src = df.select(F.col(id_col), F.col(text_col)).repartition(par)
+    sig = src.select(
+        F.col(id_col), minhash_signature_column(shingles, num_perm).alias("_sig")
+    )
+    return sig.repartition(par)
 
 
 def minhash_lsh_candidates(
@@ -101,25 +131,39 @@ def minhash_lsh_candidates(
     pre-filtered by a quality pass (see textqa).
     """
     rows_per_band = num_perm // bands
-    sig = minhash_signature(df, text_col, id_col, num_perm, ngram)
+    sig = _signature_arrays(df, text_col, id_col, num_perm, ngram)
     band_cols = []
     for b in range(bands):
-        parts = [F.col(f"mh_{b * rows_per_band + r}").cast("string") for r in range(rows_per_band)]
+        parts = [
+            F.col("_sig")[b * rows_per_band + r].cast("string") for r in range(rows_per_band)
+        ]
         band_cols.append(F.md5(F.concat_ws("_", F.lit(str(b)), *parts)).alias(f"band_{b}"))
     banded = sig.select(F.col(id_col), *band_cols)
     stacked = banded.select(
         F.col(id_col),
         F.explode(F.array(*[F.col(f"band_{b}") for b in range(bands)])).alias("band_key"),
     )
-    left = stacked.alias("l")
-    right = stacked.alias("r")
-    pairs = (
-        left.join(right, on="band_key")
-        .filter(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
-        .select(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
-        .distinct()
+    # Bucket-then-pair instead of a band-key self-join: a self-join would
+    # execute the (expensive) signature lineage twice and shuffle both
+    # sides; grouping runs it once, and pairs are generated row-locally
+    # inside each (small, by LSH construction) bucket.
+    buckets = (
+        stacked.groupBy("band_key")
+        .agg(F.sort_array(F.collect_set(id_col)).alias("ids"))
+        .filter(F.size("ids") > 1)
     )
-    return pairs
+    pair = F.explode(
+        F.flatten(
+            F.transform(
+                F.col("ids"),
+                lambda x, i: F.transform(
+                    F.slice(F.col("ids"), i + F.lit(2), F.size(F.col("ids"))),
+                    lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+                ),
+            )
+        )
+    )
+    return buckets.select(pair.alias("p")).select("p.id_a", "p.id_b").distinct()
 
 
 def ngram_jaccard_pairs(

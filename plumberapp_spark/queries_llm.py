@@ -89,11 +89,13 @@ def q15_fingerprint_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q16_minhash_signature",
     oracle=f"""
     WITH t AS (SELECT doc_id, {TOKS} AS toks FROM documents),
-         s AS (SELECT doc_id, list_distinct({_ngrams('toks', 3)}) AS sh FROM t)
+         s AS (SELECT doc_id, list_distinct({_ngrams('toks', 3)}) AS sh FROM t),
+         hs AS (SELECT doc_id,
+                list_transform(sh, s -> ('0x' || substr(md5(s), 1, 14))::BIGINT) AS h FROM s)
     SELECT doc_id,
            {",".join(f'''
-           list_min(list_transform(sh, s -> ('0x' || substr(md5(concat('s{p}:', s)), 1, 14))::BIGINT)) AS mh_{p}''' for p in range(4))}
-    FROM s
+           list_min(list_transform(h, x -> (x * {2 * p + 1} + {p * 0x9E3779B9}) % 2305843009213693951)) AS mh_{p}''' for p in range(4))}
+    FROM hs
     """,
 )
 def q16_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -107,10 +109,12 @@ def q16_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH t AS (SELECT doc_id, {TOKS} AS toks FROM documents),
          s AS (SELECT doc_id, list_distinct({_ngrams('toks', 3)}) AS sh FROM t),
+         hs AS (SELECT doc_id,
+                list_transform(sh, s -> ('0x' || substr(md5(s), 1, 14))::BIGINT) AS h FROM s),
          sig AS (SELECT doc_id,
            {",".join(f'''
-           list_min(list_transform(sh, x -> ('0x' || substr(md5(concat('s{p}:', x)), 1, 14))::BIGINT)) AS mh_{p}''' for p in range(8))}
-         FROM s),
+           list_min(list_transform(h, x -> (x * {2 * p + 1} + {p * 0x9E3779B9}) % 2305843009213693951)) AS mh_{p}''' for p in range(8))}
+         FROM hs),
          band AS (SELECT doc_id,
            {",".join(f'''
            md5(concat_ws('_', '{b}', mh_{2 * b}::VARCHAR, mh_{2 * b + 1}::VARCHAR)) AS band_{b}''' for b in range(4))}

@@ -1,0 +1,106 @@
+"""Physical-plan assertions: the scale properties the engine promises
+(SURVEY §4.1 — "Catalyst provides these free once pipelines are
+relational") must actually show up in `.explain`. These tests pin them so
+a refactor that silently breaks pushdown / broadcast / partial
+aggregation fails CI, not a 100 TB run.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import plumberapp_spark.all_queries  # noqa: F401
+from plumberapp_spark.registry import REGISTRY
+from tests.conftest import SF_DIR
+
+
+def formatted_plan(df) -> str:
+    jvm = df.sparkSession._jvm
+    mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    return df._jdf.queryExecution().explainString(mode)
+
+
+def build(spark, name):
+    return REGISTRY[name].fn(spark, SF_DIR)
+
+
+def test_filter_pushdown_and_pruning(spark):
+    """q02: both predicates reach the parquet scan; only the 4 referenced
+    columns are read (orders has 6); zero shuffles; fully codegen'd."""
+    plan = formatted_plan(build(spark, "q02_filter_projection"))
+    assert "EqualTo(o_orderstatus,O)" in plan
+    assert "GreaterThan(o_totalprice,50000.0)" in plan
+    assert "ReadSchema: struct<o_orderkey:bigint,o_custkey:bigint,o_orderstatus:string,o_totalprice:double>" in plan
+    assert "Exchange" not in plan
+    assert "codegen id" in plan
+
+
+def test_range_predicates_push_to_scan(spark):
+    """q40 (TPC-H Q6 shape): date-range, between, and < predicates all in
+    PushedFilters — at 100 TB these prune row groups before IO."""
+    plan = formatted_plan(build(spark, "q40_forecast_revenue"))
+    assert "GreaterThanOrEqual(l_shipdate," in plan
+    assert "LessThan(l_shipdate," in plan
+    assert "GreaterThanOrEqual(l_discount,0.05)" in plan
+    assert "LessThan(l_quantity,24.0)" in plan
+    # column pruning: 4 of lineitem's 11 columns read
+    assert "ReadSchema: struct<l_quantity:double,l_extendedprice:double,l_discount:double,l_shipdate:" in plan
+
+
+def test_partial_aggregation_before_shuffle(spark):
+    """q40: map-side combine (partial_sum) runs before the single-row
+    exchange — the shuffle carries one row per task, not the table."""
+    plan = formatted_plan(build(spark, "q40_forecast_revenue"))
+    assert "partial_sum" in plan
+    # exactly one exchange node (formatted output names each node twice:
+    # once in the tree, once in the "(n) Exchange" detail section)
+    assert plan.count(") Exchange") == 1
+    assert "SinglePartition" in plan
+
+
+def test_dim_joins_are_broadcast(spark):
+    """q35 (TPC-H Q5 shape): all three dim joins are BroadcastHashJoin;
+    no sort-merge join of a dim against the fact table."""
+    plan = formatted_plan(build(spark, "q35_revenue_by_nation"))
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in plan or plan.count("SortMergeJoin") <= 1
+
+
+def test_vocab_lookup_is_broadcast_join(spark):
+    """q05 (J4 — the reference's one true join): the vocab side must
+    broadcast, never shuffle the token stream."""
+    plan = formatted_plan(build(spark, "q05_vocab_lookup"))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_agg_before_join_keeps_broadcast(spark):
+    """q42 (TPC-H Q18 shape): the HAVING-filtered pre-aggregate is the
+    broadcast side — the orders scan is never shuffled."""
+    plan = formatted_plan(build(spark, "q42_large_volume_orders"))
+    assert "BroadcastHashJoin" in plan
+    assert "partial_sum" in plan
+
+
+def test_salted_agg_is_two_stage(spark):
+    """q46: salting yields two aggregation pairs (partial+final per
+    stage); the first shuffle key includes the salt column."""
+    plan = formatted_plan(build(spark, "q46_skew_salted_agg"))
+    assert plan.count("HashAggregate") >= 4
+    assert "_salt" in plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["q01_pricing_summary", "q14_exact_dedup", "q22_text_quality", "q24_token_stats"],
+)
+def test_hot_path_stays_jvm_side(spark, name):
+    """Headline scans/aggs/text ops contain no Python row UDFs
+    (BatchEvalPython) — everything stays in codegen'd JVM expressions.
+    (AQE plans only print codegen ids once finalized, so the codegen
+    marker is asserted just for non-adaptive plans.)"""
+    plan = formatted_plan(build(spark, name))
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    if "AdaptiveSparkPlan" not in plan:
+        assert "codegen id" in plan
