@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from plumberapp_spark.functions.vectors import cosine
+from plumberapp_spark.functions.vectors import cosine, dot, l2_norm
 from plumberapp_spark.functions.hashing import md5_long
 
 
@@ -119,13 +119,27 @@ def near_dup_pairs_cosine(
 
     O(n²) reference semantics — correct at oracle scale; the production
     path routes candidates through :func:`lsh_bucketed_topk` buckets first.
+
+    Per-vector norms are precomputed once behind a repartition barrier
+    (n sqrt-of-dots instead of 2·n² inside the pair loop), and the
+    streamed side is spread across defaultParallelism tasks so the
+    quadratic stage is parallel even when the input is one parquet row
+    group.
     """
-    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
-    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
-    pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    par = df.sparkSession.sparkContext.defaultParallelism
+    normed = df.select(
+        F.col(id_col), F.col(vec_col).alias("_v"), l2_norm(F.col(vec_col)).alias("_n")
+    ).repartition(par)
+    a = normed.select(
+        F.col(id_col).alias("id_a"), F.col("_v").alias("_va"), F.col("_n").alias("_na")
+    )
+    b = normed.select(
+        F.col(id_col).alias("id_b"), F.col("_v").alias("_vb"), F.col("_n").alias("_nb")
+    )
+    pairs = a.crossJoin(F.broadcast(b)).filter(F.col("id_a") < F.col("id_b"))
+    denom = F.col("_na") * F.col("_nb")
+    cos = F.when(denom > 0, dot(F.col("_va"), F.col("_vb")) / denom).otherwise(F.lit(0.0))
     return (
-        pairs.select(
-            "id_a", "id_b", F.round(cosine(F.col("_va"), F.col("_vb")), 6).alias("cos_sim")
-        )
+        pairs.select("id_a", "id_b", F.round(cos, 6).alias("cos_sim"))
         .filter(F.col("cos_sim") >= threshold)
     )
