@@ -426,6 +426,68 @@ def q46_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
+# --------------------------------------------------------------------------
+# q49 — A6 topological ordering via iterative frontier join
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q49_topo_depth",
+    oracle="""
+    WITH RECURSIVE
+    nodes AS (SELECT DISTINCT source AS name,
+                     CAST(substr(source, 4) AS INT) AS num
+              FROM documents),
+    edges AS (SELECT name, CASE WHEN num = 0 THEN NULL
+                                ELSE 'src' || CAST(num // 2 AS VARCHAR) END AS parent_name
+              FROM nodes),
+    walk AS (
+      SELECT name, CAST(0 AS BIGINT) AS depth FROM edges WHERE parent_name IS NULL
+      UNION ALL
+      SELECT e.name, w.depth + 1 FROM edges e JOIN walk w ON e.parent_name = w.name
+    )
+    SELECT name, depth FROM walk
+    """,
+)
+def q49_topo_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 topological ordering (pa/pipeline_optimizer.py:1168-1172
+    nx.topological_sort; pa/graph_rewrites.py:655-659): depth of every
+    node from the root over a (name, parent_name) edge table, computed
+    as an iterative frontier join — each round joins the edge table
+    against the previous frontier (the relational recursive-CTE
+    equivalent; rounds = DAG depth, each a broadcast join against the
+    small frontier). Edge fixture: source 'srcN' has parent 'src(N//2)'
+    — a binary tree over the 20 document sources."""
+    docs = load_table(spark, sf_dir, "documents")
+    nodes = docs.select(
+        F.col("source").alias("name"),
+        F.substring("source", 4, 10).cast("int").alias("num"),
+    ).distinct()
+    edges = nodes.select(
+        "name",
+        F.when(F.col("num") == 0, F.lit(None)).otherwise(
+            F.concat(F.lit("src"), (F.col("num") / 2).cast("int").cast("string"))
+        ).alias("parent_name"),
+    )
+    edges = edges.persist()
+    frontier = edges.filter(F.col("parent_name").isNull()).select(
+        "name", F.lit(0).cast("bigint").alias("depth")
+    )
+    out = frontier
+    # fixed-point loop: ≤ ceil(log2(#nodes)) rounds for the tree fixture;
+    # the frontier is tiny, so each join broadcasts it
+    for _ in range(8):
+        frontier = (
+            edges.join(F.broadcast(frontier.select(F.col("name").alias("parent_name"), "depth")),
+                       "parent_name")
+            .select("name", (F.col("depth") + 1).cast("bigint").alias("depth"))
+        )
+        if frontier.isEmpty():
+            break
+        out = out.unionAll(frontier)
+    return out
+
+
 @register("q47_lp_throughput", oracle=None)
 def q47_lp_throughput(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q2 LP max-throughput (pa/convex_solver.py:91-135): allocate core
