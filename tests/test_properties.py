@@ -1,0 +1,150 @@
+"""Property-based tests (hypothesis) for operator invariants — the
+golden-test corpus checks fixed inputs; these check the *laws* the
+operators promise for arbitrary inputs (SURVEY §5 "our strategy" (b)).
+
+Solver/expression properties run pure-Python with many examples; the
+Spark-backed stream-operator laws run few examples on tiny frames (each
+example is a Spark job).
+"""
+
+from __future__ import annotations
+
+from hypothesis import given, settings, strategies as st, HealthCheck
+
+from pyspark.sql import functions as F
+
+from plumberapp_spark.operators.stream import (
+    with_row_idx_simple,
+    take,
+    skip,
+    shard,
+)
+from plumberapp_spark.operators.batching import batch, unbatch
+from plumberapp_spark.optimizer.lp import (
+    max_min_throughput,
+    fit_piecewise_linear,
+)
+
+SPARK_SETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+
+# --------------------------------------------------------------------------
+# LP (Q2) — pure Python, many examples
+# --------------------------------------------------------------------------
+
+
+@given(
+    rates=st.dictionaries(
+        st.sampled_from([f"op{i}" for i in range(8)]),
+        st.floats(min_value=0.5, max_value=1e6, allow_nan=False),
+        min_size=1,
+        max_size=8,
+    ),
+    cores=st.floats(min_value=1.0, max_value=128.0),
+)
+@settings(max_examples=200, deadline=None)
+def test_lp_respects_core_budget_and_caps(rates, cores):
+    res = max_min_throughput(rates, cores_available=cores)
+    # never allocates more than the budget (beyond fp tolerance)
+    assert res.cores_used <= cores + 1e-6 or res.binding == "upper_bounds"
+    # theta bounds hold
+    for n, t in res.thetas.items():
+        assert t >= 0.01 - 1e-9
+        assert t <= max(cores, 1.0) + 1e-9
+    # achieved rate is the min over allocated op rates
+    achieved = min(res.thetas[n] * max(rates[n], 1e-12) for n in rates)
+    assert abs(achieved - res.min_rate) <= 1e-6 * max(1.0, achieved)
+
+
+@given(
+    rates=st.dictionaries(
+        st.sampled_from([f"op{i}" for i in range(6)]),
+        st.floats(min_value=0.5, max_value=1e5),
+        min_size=2,
+        max_size=6,
+    ),
+    cores=st.floats(min_value=2.0, max_value=64.0),
+    extra=st.floats(min_value=1.0, max_value=32.0),
+)
+@settings(max_examples=100, deadline=None)
+def test_lp_monotone_in_cores(rates, cores, extra):
+    """More cores can never make the achievable min-rate worse."""
+    lo = max_min_throughput(rates, cores_available=cores)
+    hi = max_min_throughput(rates, cores_available=cores + extra)
+    assert hi.min_rate >= lo.min_rate - 1e-6 * max(1.0, lo.min_rate)
+
+
+@given(
+    xs=st.lists(st.integers(min_value=1, max_value=64), min_size=4, max_size=12, unique=True),
+    m=st.floats(min_value=0.1, max_value=100.0),
+    b=st.floats(min_value=0.0, max_value=1000.0),
+)
+@settings(max_examples=100, deadline=None)
+def test_piecewise_fit_recovers_pure_line(xs, m, b):
+    """Q11: a 2-segment fit of points on ONE line predicts that line."""
+    xs = sorted(xs)
+    ys = [m * x + b for x in xs]
+    fit = fit_piecewise_linear(xs, ys)
+    for x, y in zip(xs, ys):
+        assert abs(fit.predict(x) - y) <= 1e-4 * max(1.0, abs(y))
+
+
+# --------------------------------------------------------------------------
+# Stream operator laws — Spark-backed, few examples
+# --------------------------------------------------------------------------
+
+
+def _indexed(spark, values):
+    df = spark.createDataFrame([(int(v),) for v in values], "v int")
+    return with_row_idx_simple(df, ["v"])
+
+
+@given(
+    values=st.lists(st.integers(0, 1000), min_size=1, max_size=40, unique=True),
+    n=st.integers(0, 45),
+)
+@settings(**SPARK_SETTINGS)
+def test_take_skip_partition_the_stream(spark, values, n):
+    """take(n) ⊎ skip(n) == stream, and they are disjoint (O3/O4)."""
+    df = _indexed(spark, values)
+    got_take = {r["v"] for r in take(df, n).collect()}
+    got_skip = {r["v"] for r in skip(df, n).collect()}
+    assert got_take | got_skip == set(values)
+    assert not (got_take & got_skip)
+    assert len(got_take) == min(n, len(values))
+
+
+@given(
+    values=st.lists(st.integers(0, 1000), min_size=1, max_size=40, unique=True),
+    num_shards=st.integers(1, 5),
+)
+@settings(**SPARK_SETTINGS)
+def test_shards_partition_the_stream(spark, values, num_shards):
+    """shard(k, i) for i in 0..k-1 partitions the stream (O5)."""
+    df = _indexed(spark, values)
+    pieces = [{r["v"] for r in shard(df, num_shards, i).collect()} for i in range(num_shards)]
+    union = set().union(*pieces)
+    assert union == set(values)
+    assert sum(len(p) for p in pieces) == len(values)
+
+
+@given(
+    values=st.lists(st.integers(0, 1000), min_size=1, max_size=40, unique=True),
+    k=st.integers(1, 7),
+)
+@settings(**SPARK_SETTINGS)
+def test_batch_unbatch_roundtrip(spark, values, k):
+    """unbatch(batch(k)) is the identity on the multiset (A1/O8), and
+    with drop_remainder every batch has exactly k elements."""
+    df = _indexed(spark, values)
+    batched = batch(df, k)
+    back = {r["v"] for r in unbatch(batched).collect()}
+    assert back == set(values)
+    dropped = batch(df, k, drop_remainder=True)
+    sizes = [r["batch_size_actual"] for r in dropped.collect()]
+    assert all(s == k for s in sizes)
+    assert len(sizes) == len(values) // k
