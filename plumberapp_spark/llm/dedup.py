@@ -166,6 +166,34 @@ def minhash_lsh_candidates(
     return buckets.select(pair.alias("p")).select("p.id_a", "p.id_b").distinct()
 
 
+def dedup_then_lsh(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_perm: int = 8,
+    bands: int = 4,
+    ngram: int = 3,
+) -> DataFrame:
+    """The scale-correct near-dup pipeline: EXACT dedup first (constant
+    width digest groupBy, keeps the min-id survivor per distinct text),
+    then MinHash+LSH candidates over survivors only.
+
+    Composition law (measured, SCALE.md §9): on a corpus with heavy
+    exact duplication, LSH alone must emit C(dup_count, 2) pairs per
+    bucket — inherently quadratic in duplicate multiplicity (362s at the
+    100x corpus); deduping first removes that blowup at the cost of one
+    cheap digest exchange (5.8s, 63x faster, same near-dup information).
+    Any candidate-generating operator (LSH, inverted-index Jaccard,
+    embedding buckets) should sit downstream of exact dedup.
+    """
+    survivors = (
+        df.groupBy(F.md5(F.col(text_col)).alias("_digest"))
+        .agg(F.min(id_col).alias(id_col), F.first(text_col).alias(text_col))
+        .drop("_digest")
+    )
+    return minhash_lsh_candidates(survivors, text_col, id_col, num_perm, bands, ngram)
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str,
