@@ -119,14 +119,16 @@ def q38_padded_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A3 padded_batch (mb/simple_gnmt/utils/iterator_utils.py:207-229;
     notebook/Example.ipynb cell 4): pad each token sequence to length 12
     with '</s>', then batch 8 consecutive rows with drop_remainder. The
-    batch window is floor(_row_idx / 8) — a single hash-agg, no sort of
-    the full table; at 100 TB the row index comes from pre-sorted
-    bucketed storage rather than a global window."""
+    batch window is floor(_row_idx / 8) — a single hash-agg; the index
+    comes from the two-phase with_row_idx (range partition + offsets,
+    SCALE.md §6), never a single-partition global window."""
+    from plumberapp_spark.operators.stream import with_row_idx
+
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    w = Window.orderBy("doc_id")
-    toks = docs.select(
+    indexed = with_row_idx(docs, ["doc_id"])
+    toks = indexed.select(
         "doc_id",
-        (F.row_number().over(w) - 1).cast("bigint").alias("_row_idx"),
+        "_row_idx",
         F.array_join(
             F.slice(
                 F.concat(F.split("text", " "), F.array_repeat(F.lit("</s>"), 12)), 1, 12
@@ -540,3 +542,33 @@ def q48_min_cost_milp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "name string, theta double, cache_at string, cost_per_hour double"
     )
+
+
+# --------------------------------------------------------------------------
+# q51 — SQL front-end surface (spark.sql over registered views)
+# --------------------------------------------------------------------------
+
+_Q51_SQL = """
+SELECT n.n_name,
+       round(avg(c.c_acctbal), 4) AS avg_acctbal,
+       count(*) AS n_customers,
+       round(max(c.c_acctbal) - min(c.c_acctbal), 2) AS acctbal_range
+FROM {customer} c JOIN {nation} n ON c.c_nationkey = n.n_nationkey
+WHERE c.c_acctbal > (SELECT avg(c_acctbal) FROM {customer})
+GROUP BY n.n_name
+"""
+
+
+@register(
+    "q51_sql_interface",
+    oracle=_Q51_SQL.format(customer="customer", nation="nation"),
+)
+def q51_sql_interface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL front-end: the engine's tables registered as temp views and
+    queried via ``spark.sql`` — scalar subquery + join + group rollup.
+    Identical SQL text runs on both engines (the whole point of the
+    relational re-expression: the reference's opaque-UDF pipelines could
+    never be queried this way)."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("v_customer")
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("v_nation")
+    return spark.sql(_Q51_SQL.format(customer="v_customer", nation="v_nation"))
