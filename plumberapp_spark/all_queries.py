@@ -21,6 +21,11 @@ try:  # q37+: optimizer-query shapes, TPC-H analogs, LP/MILP surface
 except ImportError:
     pass
 
+try:  # q52+: Structured Streaming surface under the driver contract
+    import plumberapp_spark.queries_streaming  # noqa: F401
+except ImportError:
+    pass
+
 from plumberapp_spark.registry import REGISTRY
 
 

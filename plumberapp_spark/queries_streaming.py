@@ -1,0 +1,76 @@
+"""Query batch 5: Structured Streaming executed inside the driver
+contract — a real ``readStream`` file source, event-time window
+aggregation, ``availableNow`` trigger draining to a memory sink, result
+returned as a batch DataFrame. Replayed over bounded input the stream
+is deterministic, so it has a full SQL oracle: the one place the
+engine's streaming and relational surfaces are provably the same
+semantics (O2's unbounded ``repeat``/rate-control mode lives in
+plumberapp_spark.streaming and is exercised by tests).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from plumberapp_spark.registry import register
+
+
+@register(
+    "q52_streaming_window_counts",
+    oracle="""
+    SELECT event_type,
+           strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           count(*) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q52_streaming_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10/A12's streaming analog done as actual Structured Streaming:
+    1-day event-time tumbling windows per event_type over a parquet file
+    stream, drained with Trigger.AvailableNow into a memory sink.
+
+    Day windows align to the epoch, so ``window('1 day').start ==
+    date_trunc('day', ts)`` and the bounded replay matches the batch
+    GROUP BY oracle exactly. ``ts`` arrives as int64 nanoseconds (the
+    session reads TIMESTAMP(NANOS) via nanosAsLong) and is converted
+    with timestamp_micros(ns div 1000) — exact for micro-aligned data.
+    At scale this same plan runs unbounded with a watermark; state is
+    one row per (event_type, day) — bounded and tiny."""
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    # FileStreamSource requires a directory base path; a glob keeps the
+    # base at sf_dir while matching only the events file(s)
+    stream = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .load(f"{sf_dir}/events.*")
+    )
+    ts = F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+    agg = (
+        stream.select("event_type", ts.alias("_ts"), "value")
+        .groupBy("event_type", F.window("_ts", "1 day").alias("_w"))
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            "event_type",
+            F.date_format(F.col("_w.start"), "yyyy-MM-dd").alias("day"),
+            "n_events",
+            "total_value",
+        )
+    )
+    sink = "q52_sink_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    for q in spark.streams.active:
+        if q.name == sink:
+            q.stop()
+    query = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(sink)
