@@ -68,10 +68,17 @@ def prefetch_gap(model: MetricsModel, num_cores: int) -> int:
     return max(0, math.ceil(n_star - roof["cores_used_N"]))
 
 
-def disk_parallelism_scale(model: MetricsModel, bandwidth_mbps: float = DEFAULT_DISK_BANDWIDTH_MBPS) -> dict[str, int]:
+def disk_parallelism_scale(
+    model: MetricsModel,
+    bandwidth_mbps: float = DEFAULT_DISK_BANDWIDTH_MBPS,
+    max_parallelism: int | None = None,
+) -> dict[str, int]:
     """Q4 disk optimization: if source utilization of the disk bound is
     below 1, scale source parallelism by ceil(par/required_util)
-    (pa/pipeline_optimizer.py:1047-1100)."""
+    (pa/pipeline_optimizer.py:1047-1100), capped at ``max_parallelism``
+    — a task can't use more than one core, so recommending more read
+    tasks than cores only adds scheduling overhead (the reference's
+    interleave scaling is likewise bounded by the thread pool)."""
     x_disk = model.disk_upper_bound(bandwidth_mbps)
     out: dict[str, int] = {}
     if not math.isfinite(x_disk) or x_disk <= 0:
@@ -80,7 +87,10 @@ def disk_parallelism_scale(model: MetricsModel, bandwidth_mbps: float = DEFAULT_
         if s.op.startswith("source"):
             required_util = s.observed_rate / x_disk
             if 0 < required_util < 1:
-                out[s.name] = max(s.parallelism, math.ceil(s.parallelism / required_util))
+                scaled = max(s.parallelism, math.ceil(s.parallelism / required_util))
+                if max_parallelism is not None:
+                    scaled = min(scaled, max_parallelism)
+                out[s.name] = scaled
     return out
 
 
@@ -108,7 +118,9 @@ class Optimizer:
                 if node.op in PARALLELIZABLE_OPS:
                     advice.partitions[name] = max(1, math.ceil(theta))
 
-        for name, n in disk_parallelism_scale(model).items():
+        for name, n in disk_parallelism_scale(
+            model, max_parallelism=2 * self.machine.num_cores
+        ).items():
             advice.partitions[name] = max(advice.partitions.get(name, 1), n)
             advice.notes.append(f"disk underutilized: raised {name} to {n} partitions (Q4)")
 
