@@ -23,8 +23,10 @@ DEFAULT_BENCHMARK_TIME = 62  # pa/pipeline_optimizer.py:26
 
 @dataclass
 class BenchSummary:
-    """The summary dict the reference's benchmark returns
-    (pa/gen_util.py:470-506)."""
+    """Q12/A11: the summary the reference's benchmark returns — element
+    rate over the timed window, per-run rates, convergence flag, CPU/mem
+    stats (rate computation pa/gen_util.py:470-488, summary
+    :484-506)."""
 
     total_elements: int
     num_runs: int

@@ -35,7 +35,11 @@ def batch(
 
     Reference: ``mb/simple_resnet/MLPerf/imagenet_input.py:214,225``;
     parallel-batch rewrite ``pa/graphdef_util.py:81-107`` (N/A here —
-    Spark aggregation is parallel by construction).
+    Spark aggregation is parallel by construction). A2 ``MapAndBatch``
+    fusion (``pa/graphdef_util.py:13,46,896-897``) is likewise built-in:
+    Catalyst collapses an upstream projection into this aggregation's
+    input stage (one WholeStageCodegen span — see
+    tests/test_explain_plans.py).
 
     Output: one row per batch with ``_batch_id``, ``batch`` (array of
     structs sorted by ``_row_idx``) and ``batch_size_actual``.

@@ -121,3 +121,51 @@ def parse_example(df: DataFrame, features: Sequence[str]) -> DataFrame:
     ``mb/simple_ssd/object_detection/tf_example_decoder.py:36-77``.
     """
     return df.select(*features)
+
+
+def transpose_layout(col: Column, shape: Sequence[int], perm: Sequence[int]) -> Column:
+    """P7 layout transform (``tf.transpose`` to HWCN/HWNC,
+    ``mb/simple_resnet/MLPerf/imagenet_input.py:122-132``; fused variant
+    ``mb/simple_ssd/dataloader.py:323-371``): permute the axes of a
+    row-major-flattened tensor stored as a flat array column.
+
+    Pure JVM-side index arithmetic — ``out[i] = in[old_index(i)]`` over a
+    ``sequence`` of positions; no UDF, no shuffle. ``shape`` is the input
+    shape, ``perm`` the axis permutation (both small Python constants, so
+    the index expression constant-folds)."""
+    n = 1
+    for d in shape:
+        n *= d
+    out_shape = [shape[p] for p in perm]
+    # strides of the input, row-major
+    in_strides = [1] * len(shape)
+    for i in range(len(shape) - 2, -1, -1):
+        in_strides[i] = in_strides[i + 1] * shape[i + 1]
+
+    def old_index(i: Column) -> Column:
+        # decompose output position into out_shape coords, re-linearize
+        # through the permuted input strides
+        rem = i
+        idx = F.lit(0)
+        for axis in range(len(out_shape)):
+            stride_out = 1
+            for d in out_shape[axis + 1 :]:
+                stride_out *= d
+            coord = (rem / stride_out).cast("int")
+            rem = rem % stride_out
+            idx = idx + coord * F.lit(in_strides[perm[axis]])
+        return idx
+
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(n - 1)), lambda i: F.element_at(col, old_index(i) + 1)
+    )
+
+
+def restructure(df: DataFrame, schema) -> DataFrame:
+    """O12 ``RestructuredDataset`` (``pa/annotations.py:56-63``): re-assert
+    an element spec over the stream — column order + dtypes forced to
+    ``schema`` (a StructType). Pure projection; fails analysis if a column
+    is missing, exactly like the reference's spec patch."""
+    return df.select(
+        *[F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields]
+    )

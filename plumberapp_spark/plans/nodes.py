@@ -280,7 +280,13 @@ class Pipeline:
 
     def to_df(self, spark: SparkSession) -> DataFrame:
         """Materialize the plan: topo-recursive build, persist at cached
-        nodes, repartition where parallelism overrides are set."""
+        nodes, repartition where parallelism overrides are set.
+
+        This is S7 (``ResumeDataset``, ``pa/graphdef_util.py:456-483``,
+        ``pa/pipeline_optimizer.py:28-41``): where the reference
+        re-instantiates a pipeline from serialized GraphDef +
+        element_spec after surgery, we simply rebuild the DataFrame from
+        the (rewritten) plan object — no serialization round-trip."""
         memo: dict[int, DataFrame] = {}
 
         def build(node: PlanNode) -> DataFrame:
