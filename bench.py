@@ -33,6 +33,7 @@ HEADLINE = [
     "q12_string_pipeline",
     "q14_exact_dedup",
     "q17_minhash_lsh_pairs",
+    "q50_dedup_then_lsh",
     "q35_revenue_by_nation",
     "q39_shipping_priority",
     "q40_forecast_revenue",
@@ -55,6 +56,7 @@ PRIMARY_INPUT = {
     "q12_string_pipeline": "documents",
     "q14_exact_dedup": "documents",
     "q17_minhash_lsh_pairs": "documents",
+    "q50_dedup_then_lsh": "documents",
     "q35_revenue_by_nation": "lineitem",
     "q39_shipping_priority": "lineitem",
     "q40_forecast_revenue": "lineitem",
