@@ -109,6 +109,74 @@ def lsh_bucketed_topk(
     )
 
 
+def top_pairs_cosine_blocked(
+    df: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k closest pairs via BLOCK MATMUL — the vectorized
+    pandas-UDF path for the inherently-quadratic exact pair search.
+
+    The (normalized) corpus matrix is broadcast to every task; each
+    partition computes ``block @ corpus.T`` with one numpy matmul and
+    keeps only its local top-k pairs (a pair (a,b), a<b, is owned by the
+    partition holding a — complete and disjoint), so the exchange
+    carries k rows per task, not n² pairs. ~10-50x faster than the
+    per-pair expression form (interpreted HOF dot products); result is
+    identical under round-6 + id tie-break. Still O(n²) flops — for
+    corpora where even vectorized all-pairs is too much, route through
+    :func:`lsh_bucketed_topk` buckets first.
+    """
+    import numpy as np
+    import pandas as pd
+
+    spark = df.sparkSession
+    rows = df.select(F.col(id_col), F.col(vec_col)).collect()
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    mat = np.array([list(r[1]) for r in rows], dtype=np.float64)
+    norms = np.sqrt((mat * mat).sum(axis=1))
+    norms[norms == 0] = 1.0
+    unit = mat / norms[:, None]
+    order = np.argsort(ids)
+    ids_b = spark.sparkContext.broadcast(ids[order])
+    unit_b = spark.sparkContext.broadcast(unit[order])
+
+    out_schema = "id_a bigint, id_b bigint, cos_sim double"
+
+    def block_pairs(batches):
+        all_ids = ids_b.value
+        all_unit = unit_b.value
+        for pdf in batches:
+            blk_ids = pdf["_bid"].to_numpy(dtype=np.int64)
+            pos = np.searchsorted(all_ids, blk_ids)
+            sims = all_unit[pos] @ all_unit.T  # |block| x n
+            rows_a, rows_b, vals = [], [], []
+            for r in range(len(blk_ids)):
+                mask = all_ids > blk_ids[r]  # own pairs (a, b>a) only
+                if not mask.any():
+                    continue
+                cand = np.round(sims[r][mask], 6)
+                bs = all_ids[mask]
+                top = np.argsort(-cand, kind="stable")[: k]
+                rows_a.append(np.full(len(top), blk_ids[r]))
+                rows_b.append(bs[top])
+                vals.append(cand[top])
+            if rows_a:
+                yield pd.DataFrame(
+                    {
+                        "id_a": np.concatenate(rows_a),
+                        "id_b": np.concatenate(rows_b),
+                        "cos_sim": np.concatenate(vals),
+                    }
+                )
+
+    par = spark.sparkContext.defaultParallelism
+    blocks = df.select(F.col(id_col).alias("_bid")).repartition(par)
+    pairs = blocks.mapInPandas(block_pairs, out_schema)
+    return pairs.orderBy(F.col("cos_sim").desc(), "id_a", "id_b").limit(k)
+
+
 def near_dup_pairs_cosine(
     df: DataFrame,
     threshold: float,

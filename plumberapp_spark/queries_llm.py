@@ -359,3 +359,27 @@ def q50_dedup_then_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_then_lsh(
         load_table(spark, sf_dir, "documents"), "text", "doc_id", num_perm=8, bands=4, ngram=3
     )
+
+
+@register(
+    "q53_embedding_pairs_blocked",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                          round(list_dot_product(a.e, b.e) /
+                                (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 6) AS cos_sim
+                   FROM v a, v b WHERE a.vec_id < b.vec_id)
+    SELECT id_a, id_b, cos_sim FROM pairs
+    ORDER BY cos_sim DESC, id_a, id_b LIMIT 50
+    """,
+)
+def q53_embedding_pairs_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The vectorized scale path for q21's exact pair search: block
+    matmul in an Arrow-batched pandas UDF (one numpy matmul per
+    partition, local top-k, k rows per task shuffled). SAME oracle as
+    q21 — proves the fast path computes identical pairs."""
+    from plumberapp_spark.llm.similarity import top_pairs_cosine_blocked
+
+    return top_pairs_cosine_blocked(
+        load_table(spark, sf_dir, "embeddings"), k=50, id_col="vec_id", vec_col="embedding"
+    )
