@@ -1,0 +1,46 @@
+"""The vectorized (Arrow mapInPandas) MinHash signature path must be
+bit-identical to the interpreted expression form it replaced on the hot
+path (dedup.py:_signature_arrays docstring has the measurements)."""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+from pyspark.sql import functions as F
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from plumberapp_spark.functions.hashing import minhash_signature_column  # noqa: E402
+from plumberapp_spark.functions.text import tokenize, word_ngrams  # noqa: E402
+from plumberapp_spark.llm.dedup import _signature_arrays  # noqa: E402
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_vectorized_signature_matches_expression_form(spark):
+    df = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    num_perm, ngram = 8, 3
+
+    fast = {
+        r[0]: r[1]
+        for r in _signature_arrays(df, "text", "doc_id", num_perm, ngram).collect()
+    }
+    shingles = F.array_distinct(word_ngrams(tokenize(F.col("text")), ngram))
+    slow = {
+        r[0]: r[1]
+        for r in df.select(
+            "doc_id", minhash_signature_column(shingles, num_perm).alias("_sig")
+        ).collect()
+    }
+    assert fast == slow
+
+
+def test_vectorized_signature_handles_short_and_null_docs(spark):
+    df = spark.createDataFrame(
+        [(1, "one two"), (2, None), (3, "a b c d"), (4, "   ")],
+        "doc_id bigint, text string",
+    )
+    sigs = {r[0]: r[1] for r in _signature_arrays(df, "text", "doc_id", 4, 3).collect()}
+    assert sigs[1] is None and sigs[2] is None and sigs[4] is None
+    assert sigs[3] is not None and len(sigs[3]) == 4
