@@ -177,6 +177,84 @@ def top_pairs_cosine_blocked(
     return pairs.orderBy(F.col("cos_sim").desc(), "id_a", "id_b").limit(k)
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    n_centroids: int = 16,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF (inverted-file) ANN: partition the corpus into ``n_centroids``
+    cells, search only each query's ``nprobe`` nearest cells, exact cosine
+    re-rank inside.
+
+    Deterministic everywhere so a SQL oracle can replay it exactly:
+    centroids are the ``n_centroids`` corpus vectors with the smallest
+    ``md5(id)`` (a uniform, engine-recomputable pseudo-random sample —
+    the same trick classical IVF solves with k-means; swapping in trained
+    centroids changes recall, not the plan shape); cell assignment is
+    argmax cosine rounded to 6 decimals, ties to the smaller centroid id.
+
+    100 TB posture: the centroid table is k rows — broadcast. Cell
+    assignment is one narrow pass over the corpus (crossJoin with the
+    broadcast centroids + per-row top-1 window on a key that is the row
+    id, so the "window" is a local partial sort). The only exchange that
+    scales with the corpus is the candidate join on ``_cell``, whose
+    volume is |corpus|·nprobe/n_centroids per query instead of |corpus|
+    — the IVF contract. Queries are assumed small and broadcast.
+    """
+    cents = (
+        corpus.select(F.col(id_col).alias("_c_id"), F.col(vec_col).alias("_c_vec"))
+        .orderBy(F.md5(F.col("_c_id").cast("string")), "_c_id")
+        .limit(n_centroids)
+    )
+
+    def assign(df: DataFrame, out_id: str, out_vec: str, n: int) -> DataFrame:
+        scored = (
+            df.select(F.col(id_col).alias(out_id), F.col(vec_col).alias(out_vec))
+            .crossJoin(F.broadcast(cents))
+            .select(
+                out_id,
+                out_vec,
+                "_c_id",
+                F.round(cosine(F.col(out_vec), F.col("_c_vec")), 6).alias("_s"),
+            )
+        )
+        w = Window.partitionBy(out_id).orderBy(F.col("_s").desc(), F.col("_c_id"))
+        return (
+            scored.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= n)
+            .select(out_id, out_vec, F.col("_c_id").alias("_cell"))
+        )
+
+    corpus_cells = assign(corpus, "neighbor_id", "_cvec", 1)
+    query_cells = assign(queries, query_id_col, "_qvec", nprobe)
+    cand = corpus_cells.join(F.broadcast(query_cells), on="_cell").filter(
+        F.col("neighbor_id") != F.col(query_id_col)
+    )
+    scored = cand.select(
+        query_id_col,
+        "neighbor_id",
+        F.round(cosine(F.col("_cvec"), F.col("_qvec")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            query_id_col,
+            "neighbor_id",
+            "cos_sim",
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+    )
+
+
 def near_dup_pairs_cosine(
     df: DataFrame,
     threshold: float,

@@ -362,6 +362,49 @@ def q50_dedup_then_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q54_ivf_topk",
+    oracle="""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         cent AS (SELECT vec_id AS c_id, e AS ce FROM v
+                  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+         sim AS (SELECT v.vec_id, cent.c_id,
+                        round(list_dot_product(v.e, cent.ce) /
+                              (sqrt(list_dot_product(v.e, v.e)) * sqrt(list_dot_product(cent.ce, cent.ce))), 6) AS s
+                 FROM v CROSS JOIN cent),
+         ranked AS (SELECT vec_id, c_id,
+                           row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, c_id) AS rn
+                    FROM sim),
+         vc AS (SELECT vec_id, c_id AS cell FROM ranked WHERE rn = 1),
+         qc AS (SELECT vec_id AS query_id, c_id AS cell FROM ranked
+                WHERE rn <= 2 AND vec_id % 50 = 0),
+         cand AS (SELECT qc.query_id, vc.vec_id AS neighbor_id
+                  FROM vc JOIN qc ON vc.cell = qc.cell
+                  WHERE vc.vec_id != qc.query_id),
+         scored AS (SELECT cand.query_id, cand.neighbor_id,
+                           round(list_dot_product(a.e, b.e) /
+                                 (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 6) AS cos_sim
+                    FROM cand
+                    JOIN v a ON a.vec_id = cand.query_id
+                    JOIN v b ON b.vec_id = cand.neighbor_id),
+         out AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+                 FROM scored)
+    SELECT query_id, neighbor_id, cos_sim, CAST(rank AS BIGINT) AS rank
+    FROM out WHERE rank <= 5
+    """,
+)
+def q54_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN — the scale path the brief names alongside LSH: md5-seeded
+    centroids (broadcast), argmax-cosine cell assignment (one narrow
+    corpus pass), nprobe=2 cell probe, exact re-rank within cells."""
+    from plumberapp_spark.llm.similarity import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_topk(
+        emb, emb.filter(F.col("vec_id") % 50 == 0), k=5, n_centroids=16, nprobe=2
+    )
+
+
+@register(
     "q53_embedding_pairs_blocked",
     oracle=f"""
     WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),

@@ -1,0 +1,48 @@
+"""IVF ANN quality contract: deterministic output, and recall@k vs the
+exact brute-force ranking stays above a floor at the default
+n_centroids/nprobe (everything md5-seeded, so this is a fixed number for
+the fixture corpus, not a flaky statistic)."""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+from pyspark.sql import functions as F
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from plumberapp_spark.llm.similarity import brute_force_topk, ivf_topk  # noqa: E402
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_ivf_recall_vs_brute_force(spark):
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    k = 5
+    exact = brute_force_topk(emb, queries, k=k).collect()
+    approx = ivf_topk(emb, queries, k=k, n_centroids=16, nprobe=2).collect()
+
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    approx_sets = {}
+    for r in approx:
+        approx_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+
+    assert set(approx_sets) == set(exact_sets)  # every query answered
+    hits = sum(len(approx_sets[q] & exact_sets[q]) for q in exact_sets)
+    recall = hits / (len(exact_sets) * k)
+    # nprobe=2 of 16 cells scans ~1/8 of the corpus; the fixture's recall
+    # is deterministic — pin a floor well under it so corpus regen at the
+    # same SF doesn't flap, but a broken cell assignment (recall ~1/8) fails.
+    assert recall >= 0.4, f"recall@{k} = {recall}"
+
+
+def test_ivf_is_deterministic(spark):
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    a = sorted(map(tuple, ivf_topk(emb, queries, k=3).collect()))
+    b = sorted(map(tuple, ivf_topk(emb, queries, k=3).collect()))
+    assert a == b
