@@ -55,6 +55,12 @@ def get_spark(app_name: str = "plumberapp_spark", shuffle_partitions: int | None
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Managed-table warehouse (bucketed tables, sources/bucketing.py)
+        # kept out of the repo tree; static conf, so it lives here.
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/spark_graft_warehouse"),
+        )
         # events.parquet carries TIMESTAMP(NANOS) which Spark rejects by
         # default; read as long (ns since epoch) — order-preserving, and
         # convertible via timestamp_micros(ns div 1000).

@@ -1,0 +1,76 @@
+"""Bucketed co-located join: both Exchanges disappear, results identical.
+
+The scale claim in sources/bucketing.py is enforced here at the physical
+plan level — a regression that re-introduces a shuffle on either side of
+the bucketed lineitem⋈orders join fails this test, not a cluster run.
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+import pytest
+from pyspark.sql import functions as F
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from plumberapp_spark.sources.bucketing import bucketed, write_bucketed  # noqa: E402
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def bucketed_tables(spark):
+    # warehouse dir points at /tmp (static conf, set in session.py)
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    od = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    write_bucketed(li.withColumnRenamed("l_orderkey", "okey"), "li_b", "okey", 8)
+    write_bucketed(od.withColumnRenamed("o_orderkey", "okey"), "od_b", "okey", 8)
+    yield "li_b", "od_b"
+    for t in ("li_b", "od_b"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def _joined(spark, bucketed_tables):
+    li, od = bucketed_tables
+    return (
+        bucketed(spark, li)
+        .join(bucketed(spark, od), "okey")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("rev"),
+        )
+    )
+
+
+def test_bucketed_join_elides_both_exchanges(spark, bucketed_tables):
+    # Disable broadcast so the join strategy under test is SMJ; AQE off so
+    # the pre-execution plan is the final one we inspect.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _joined(spark, bucketed_tables)._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    # The only allowed Exchange is the one AFTER the join for the groupBy;
+    # below the SMJ both children must read bucketed scans directly.
+    assert "SortMergeJoin" in plan, plan
+    assert "Exchange hashpartitioning(okey" not in plan, plan
+    assert "SelectedBucketsCount" in plan, plan
+
+
+def test_bucketed_join_matches_plain_join(spark, bucketed_tables):
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").withColumnRenamed("l_orderkey", "okey")
+    od = spark.read.parquet(f"{SF_DIR}/orders.parquet").withColumnRenamed("o_orderkey", "okey")
+    plain = (
+        li.join(od, "okey")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("rev"),
+        )
+    )
+    got = {tuple(r) for r in _joined(spark, bucketed_tables).collect()}
+    want = {tuple(r) for r in plain.collect()}
+    assert got == want
