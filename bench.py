@@ -40,6 +40,11 @@ HEADLINE = [
     "q41_returned_items",
     "q42_large_volume_orders",
     "q46_skew_salted_agg",
+    "q20_embedding_topk",
+    "q22_text_quality",
+    "q24_token_stats",
+    "q53_embedding_pairs_blocked",
+    "q54_ivf_topk",
 ]
 
 # Primary input table per query — the denominator for rows/sec rates
@@ -63,6 +68,11 @@ PRIMARY_INPUT = {
     "q41_returned_items": "lineitem",
     "q42_large_volume_orders": "lineitem",
     "q46_skew_salted_agg": "events",
+    "q20_embedding_topk": "embeddings",
+    "q22_text_quality": "documents",
+    "q24_token_stats": "documents",
+    "q53_embedding_pairs_blocked": "embeddings",
+    "q54_ivf_topk": "embeddings",
 }
 
 
@@ -82,7 +92,7 @@ def main() -> None:
     # and capture source-table cardinalities for the rate report.
     input_rows = {
         t: spark.read.parquet(f"{sf_dir}/{t}.parquet").count()
-        for t in ("lineitem", "orders", "events", "documents")
+        for t in ("lineitem", "orders", "events", "documents", "embeddings")
     }
 
     # Reference protocol (pa/gen_util.py:253-506): measure steady state.

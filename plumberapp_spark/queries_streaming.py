@@ -74,3 +74,38 @@ def q52_streaming_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     query.awaitTermination()
     return spark.table(sink)
+
+
+@register("q55_stateful_rate_monitor", oracle=None)
+def q55_stateful_rate_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A12's convergence detector as a CUSTOM STATEFUL streaming operator
+    (``applyInPandasWithState``, plumberapp_spark/streaming/stream_ops.py):
+    per-event-type cumulative count, per-batch rate, and a converged flag
+    comparing successive batch rates (pa/gen_util.py:86-105 semantics).
+
+    Rows-only check by design: per-batch rates depend on micro-batch
+    boundaries, which are a runtime property, not a relational one — the
+    reference's AutotuneState has the same character (its rates depend on
+    wall-clock windows). State per key is two scalars — bounded at any
+    corpus size; the exchange is one hash partition on event_type.
+    """
+    from plumberapp_spark.streaming.stream_ops import stateful_rate_monitor
+
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(schema).format("parquet").load(f"{sf_dir}/events.*")
+    )
+    mon = stateful_rate_monitor(stream.select("event_type", "value"))
+    sink = "q55_sink_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    for q in spark.streams.active:
+        if q.name == sink:
+            q.stop()
+    query = (
+        mon.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(sink)
