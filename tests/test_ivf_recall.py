@@ -46,3 +46,15 @@ def test_ivf_is_deterministic(spark):
     a = sorted(map(tuple, ivf_topk(emb, queries, k=3).collect()))
     b = sorted(map(tuple, ivf_topk(emb, queries, k=3).collect()))
     assert a == b
+
+
+def test_ivf_vectorized_matches_expression_form(spark):
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    fast = sorted(
+        map(tuple, ivf_topk(emb, queries, k=5, vectorized=True).collect())
+    )
+    slow = sorted(
+        map(tuple, ivf_topk(emb, queries, k=5, vectorized=False).collect())
+    )
+    assert fast == slow
