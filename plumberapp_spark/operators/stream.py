@@ -6,8 +6,9 @@ Every order-dependent operator here hangs off an explicit ``_row_idx`` column
 
 Scale note (100 TB): a naive ``row_number() OVER (ORDER BY ...)`` collapses
 the whole table into ONE task. :func:`with_row_idx` instead uses the
-two-pass range-partition + offset technique (sort stays fully parallel;
-only one tiny per-partition-count collect hits the driver), so the ordered
+deterministic-bucket + offset technique (literal quantile boundaries →
+parallel per-bucket sort; offsets from a ≤num_partitions-row broadcast
+side; only the boundary vector touches the driver), so the ordered
 contract survives a 1000-executor cluster.
 """
 
@@ -31,33 +32,52 @@ def with_row_idx(
     """Assign a dense 0-based global index in ``order_by`` order.
 
     ``order_by`` must be a unique total order (ties would make the index
-    nondeterministic). Two passes:
+    nondeterministic). Technique (no persist, no full-data driver pull):
 
-    1. range-partition by the order key (parallel sort; contiguous, ordered
-       ranges), local ``row_number`` within each partition;
-    2. collect per-partition counts (one tiny job) and add cumulative
-       offsets.
+    1. one tiny driver job computes ~``n`` approx-quantile boundaries of
+       the LEADING order key; they are embedded as literals, so every
+       consumer of this DataFrame sees the identical bucketing (unlike
+       ``repartitionByRange``, whose sampling is random per job — two
+       plan branches over the same range exchange can disagree);
+    2. deterministic bucket per row (≤n JVM comparisons against the
+       literal boundaries), local ``row_number`` within each bucket
+       (parallel sort after one hash shuffle on bucket);
+    3. per-bucket counts → cumulative offsets (≤n-row aggregate +
+       running-sum window) broadcast-joined back on bucket.
 
-    Equivalent to ``row_number() OVER (ORDER BY ...) - 1`` but without the
-    single-partition bottleneck. Re-expresses the reference's implicit
-    stream ordering (SURVEY §7.1); order params mirror tf.data's
-    deterministic iteration.
+    The final index is invariant to boundary placement (offset + local
+    rank = global rank for ANY order-consistent bucketing), so approx
+    quantiles are exact enough. Equivalent to
+    ``row_number() OVER (ORDER BY ...) - 1`` without the single-partition
+    bottleneck; skew is bounded by quantile quality. Leading key must be
+    numeric-castable (all engine call sites are); otherwise everything
+    falls into one bucket — correct but serial. Re-expresses the
+    reference's implicit stream ordering (SURVEY §7.1).
     """
     order_cols = [F.col(c) if isinstance(c, str) else c for c in order_by]
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
-    parted = df.repartitionByRange(n, *order_cols)
-    pid = F.spark_partition_id()
-    w = Window.partitionBy(pid).orderBy(*order_cols)
-    local = parted.withColumn("__pid", pid).withColumn("__local_rn", F.row_number().over(w))
-    local = local.persist(StorageLevel.MEMORY_AND_DISK)
-    counts = {r["__pid"]: r["cnt"] for r in local.groupBy("__pid").agg(F.count("*").alias("cnt")).collect()}
-    offsets, acc = {}, 0
-    for p in sorted(counts):
-        offsets[p] = acc
-        acc += counts[p]
-    offset_map = F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv]) if offsets else F.create_map()
-    out = local.withColumn(col_name, (offset_map[F.col("__pid")] + F.col("__local_rn") - 1).cast("bigint"))
-    return out.drop("__pid", "__local_rn")
+    lead = order_cols[0].cast("double")
+    probs = [i / n for i in range(1, n)]
+    bounds = sorted(set(df.select(lead.alias("__k")).approxQuantile("__k", probs, 0.001))) if probs else []
+    if bounds:
+        barr = F.array(*[F.lit(float(b)) for b in bounds])
+        bucket = F.aggregate(
+            barr, F.lit(0), lambda acc, b: acc + F.when(lead > b, 1).otherwise(0)
+        )
+    else:
+        bucket = F.lit(0)
+    bucketed = df.withColumn("__bucket", bucket)
+    w = Window.partitionBy("__bucket").orderBy(*order_cols)
+    local = bucketed.withColumn("__local_rn", F.row_number().over(w))
+    counts = bucketed.groupBy("__bucket").agg(F.count("*").alias("__cnt"))
+    wc = Window.orderBy("__bucket").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "__bucket", F.coalesce(F.sum("__cnt").over(wc), F.lit(0)).alias("__off")
+    )
+    out = local.join(F.broadcast(offsets), "__bucket").withColumn(
+        col_name, (F.col("__off") + F.col("__local_rn") - 1).cast("bigint")
+    )
+    return out.drop("__bucket", "__local_rn", "__off")
 
 
 def with_row_idx_simple(df: DataFrame, order_by: Sequence[str | Column], col_name: str = ROW_IDX) -> DataFrame:

@@ -426,3 +426,47 @@ def q53_embedding_pairs_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top_pairs_cosine_blocked(
         load_table(spark, sf_dir, "embeddings"), k=50, id_col="vec_id", vec_col="embedding"
     )
+
+@register(
+    "q56_lsh_bucketed_topk",
+    oracle="""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         planes AS (SELECT p, list_transform(generate_series(0, 63), j ->
+                      ('0x' || substr(md5('h' || p::VARCHAR || ':' || j::VARCHAR), 1, 14))::BIGINT
+                      / 36028797018963968.0 - 1) AS pl
+                    FROM generate_series(0, 3) t(p)),
+         buck AS (SELECT v.vec_id,
+                         string_agg(CASE WHEN list_dot_product(v.e, planes.pl) >= 0
+                                         THEN '1' ELSE '0' END, '' ORDER BY planes.p) AS bucket
+                  FROM v CROSS JOIN planes GROUP BY v.vec_id),
+         b AS (SELECT buck.vec_id, buck.bucket, v.e FROM buck JOIN v USING (vec_id)),
+         q AS (SELECT vec_id AS query_id, e AS qe, bucket FROM b WHERE vec_id % 50 = 0),
+         cand AS (SELECT q.query_id, b.vec_id AS neighbor_id, b.e AS ce, q.qe
+                  FROM b JOIN q ON b.bucket = q.bucket WHERE b.vec_id != q.query_id),
+         scored AS (SELECT query_id, neighbor_id,
+                           round(list_dot_product(ce, qe) /
+                                 (sqrt(list_dot_product(ce, ce)) * sqrt(list_dot_product(qe, qe))), 6) AS cos_sim
+                    FROM cand),
+         out AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+                 FROM scored)
+    SELECT query_id, neighbor_id, cos_sim, CAST(rank AS BIGINT) AS rank
+    FROM out WHERE rank <= 5
+    """,
+)
+def q56_lsh_bucketed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN — the brief's other named scale path beside IVF
+    (q54). Sign pattern over 4 md5-derived random hyperplanes is the
+    bucket key (pa-free, recomputable on any executor: no fitted model to
+    broadcast); exact cosine re-rank within bucket collisions only. The
+    bucket join replaces q20's full corpus x queries cross product with
+    a 1/2^planes-selective equi-join, so at 100 TB the candidate set —
+    not the corpus — bounds the shuffle. The oracle replicates the exact
+    hyperplane hash (md5 56-bit prefix affine map), bucketing, and
+    re-rank in DuckDB, so this approximate index is value-checked, not
+    just recall-checked."""
+    from plumberapp_spark.llm.similarity import lsh_bucketed_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return lsh_bucketed_topk(
+        emb, emb.filter(F.col("vec_id") % 50 == 0), k=5, dim=64, num_planes=4
+    )
