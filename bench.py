@@ -45,6 +45,7 @@ HEADLINE = [
     "q24_token_stats",
     "q53_embedding_pairs_blocked",
     "q54_ivf_topk",
+    "q56_lsh_bucketed_topk",
 ]
 
 # Primary input table per query — the denominator for rows/sec rates
@@ -55,7 +56,7 @@ PRIMARY_INPUT = {
     "q02_filter_projection": "orders",
     "q05_vocab_lookup": "documents",
     "q06_zip_by_index": "events",
-    "q08_batch_stats": "lineitem",
+    "q08_batch_stats": "events",
     "q10_unbatch_roundtrip": "events",
     "q11_group_by_window": "documents",
     "q12_string_pipeline": "documents",
@@ -73,6 +74,7 @@ PRIMARY_INPUT = {
     "q24_token_stats": "documents",
     "q53_embedding_pairs_blocked": "embeddings",
     "q54_ivf_topk": "embeddings",
+    "q56_lsh_bucketed_topk": "embeddings",
 }
 
 

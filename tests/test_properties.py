@@ -148,3 +148,22 @@ def test_batch_unbatch_roundtrip(spark, values, k):
     sizes = [r["batch_size_actual"] for r in dropped.collect()]
     assert all(s == k for s in sizes)
     assert len(sizes) == len(values) // k
+
+
+def test_with_row_idx_dense_deterministic_and_unpersisted(spark):
+    """with_row_idx assigns the dense permutation 0..n-1 in key order, gives
+    every downstream consumer the identical assignment (regression: the
+    range-partition variant relied on repartitionByRange, whose per-job
+    random sampling let two plan branches disagree), and persists nothing
+    (regression: the old persist()-based variant leaked cached blocks
+    across a long session)."""
+    from plumberapp_spark.operators.stream import with_row_idx
+
+    persisted_before = spark.sparkContext._jsc.getPersistentRDDs().size()
+    df = spark.range(0, 5000).select((F.col("id") * 7919 % 5000).alias("k"))
+    idx = with_row_idx(df, ["k"], num_partitions=8)
+    a = sorted((r["k"], r["_row_idx"]) for r in idx.collect())
+    b = sorted((r["k"], r["_row_idx"]) for r in idx.collect())
+    assert a == b
+    assert [i for _, i in a] == list(range(5000))  # dense, ordered by k
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() == persisted_before
