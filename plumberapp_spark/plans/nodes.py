@@ -75,6 +75,9 @@ class Pipeline:
         """S1-analog parquet source (the canonical storage; SURVEY §2.1)."""
 
         def build(spark: SparkSession, _: list[DataFrame]) -> DataFrame:
+            from plumberapp_spark.session import ensure_read_confs
+
+            ensure_read_confs(spark)
             df = spark.read.parquet(path)
             return df.select(*columns) if columns else df
 

@@ -31,7 +31,7 @@ _M_CTE = """
     m AS (SELECT event_type AS name,
                  CAST(row_number() OVER (ORDER BY event_type) - 1 AS BIGINT) AS topo_idx,
                  count(*) AS elements,
-                 sum(length(props)) AS bytes_produced,
+                 CAST(sum(length(props)) AS BIGINT) AS bytes_produced,
                  round(count(*) / sum(value), 6) AS rate,
                  round(sum(value), 2) AS processing_time
           FROM (SELECT event_type, value, props FROM events)
@@ -375,7 +375,7 @@ def q44_prefetch_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q45_file_size_agg",
     oracle="""
     SELECT source AS path,
-           sum(n_chars) AS size_bytes,
+           CAST(sum(n_chars) AS BIGINT) AS size_bytes,
            count(*) AS n_files,
            round(100.0 * sum(n_chars) / sum(sum(n_chars)) OVER (), 4) AS share_pct
     FROM documents GROUP BY source

@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from plumberapp_spark.registry import register
+from plumberapp_spark.session import ensure_read_confs
 
 
 @register(
@@ -41,6 +42,7 @@ def q52_streaming_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     with timestamp_micros(ns div 1000) — exact for micro-aligned data.
     At scale this same plan runs unbounded with a watermark; state is
     one row per (event_type, day) — bounded and tiny."""
+    ensure_read_confs(spark)
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     # FileStreamSource requires a directory base path; a glob keeps the
     # base at sf_dir while matching only the events file(s)
@@ -49,7 +51,9 @@ def q52_streaming_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .format("parquet")
         .load(f"{sf_dir}/events.*")
     )
-    ts = F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+    # Integer division: epoch-ns (~1.7e18) exceeds double's 2^53 exact
+    # range, so float `/ 1000` can be off by 1 µs at window boundaries.
+    ts = F.timestamp_micros(F.expr("ts div 1000"))
     agg = (
         stream.select("event_type", ts.alias("_ts"), "value")
         .groupBy("event_type", F.window("_ts", "1 day").alias("_w"))
@@ -91,6 +95,7 @@ def q55_stateful_rate_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from plumberapp_spark.streaming.stream_ops import stateful_rate_monitor
 
+    ensure_read_confs(spark)
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     stream = (
         spark.readStream.schema(schema).format("parquet").load(f"{sf_dir}/events.*")

@@ -71,8 +71,24 @@ def get_spark(app_name: str = "plumberapp_spark", shuffle_partitions: int | None
     return spark
 
 
+def ensure_read_confs(spark: SparkSession) -> SparkSession:
+    """Make an externally-provided (vanilla) session able to read the
+    driver's parquet: ``events.parquet`` carries TIMESTAMP(NANOS), which
+    stock Spark rejects at scan time (PARQUET_TYPE_ILLEGAL).
+
+    ``nanosAsLong`` is a runtime SQL conf, so it can be set on any live
+    session — required because harnesses (the correctness driver, a user's
+    own notebook) build their own SparkSession and never call
+    :func:`get_spark`. Reading ns-as-long is order-preserving and exactly
+    convertible via ``timestamp_micros(ns div 1000)``.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str):
-    """Read one of the driver-provided parquet tables."""
+    """Read one of the driver-provided parquet tables (any session)."""
+    ensure_read_confs(spark)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

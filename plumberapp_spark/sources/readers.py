@@ -24,6 +24,9 @@ from pyspark.sql import types as T
 def read_parquet(spark: SparkSession, path: str, columns: Sequence[str] | None = None) -> DataFrame:
     """S1 canonical source. Reference: TFRecordDataset
     (mb/simple_resnet/MLPerf/imagenet_input.py:168-170)."""
+    from plumberapp_spark.session import ensure_read_confs
+
+    ensure_read_confs(spark)
     df = spark.read.parquet(path)
     return df.select(*columns) if columns else df
 
