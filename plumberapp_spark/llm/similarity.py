@@ -114,66 +114,89 @@ def top_pairs_cosine_blocked(
     k: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    rows_per_block: int = 2048,
 ) -> DataFrame:
-    """Exact top-k closest pairs via BLOCK MATMUL — the vectorized
-    pandas-UDF path for the inherently-quadratic exact pair search.
+    """Exact top-k closest pairs via a GRID BLOCK SELF-JOIN — the
+    vectorized scale path for the inherently-quadratic exact pair search.
 
-    The (normalized) corpus matrix is broadcast to every task; each
-    partition computes ``block @ corpus.T`` with one numpy matmul and
-    keeps only its local top-k pairs (a pair (a,b), a<b, is owned by the
-    partition holding a — complete and disjoint), so the exchange
-    carries k rows per task, not n² pairs. ~10-50x faster than the
-    per-pair expression form (interpreted HOF dot products); result is
-    identical under round-6 + id tie-break. Still O(n²) flops — for
-    corpora where even vectorized all-pairs is too much, route through
+    Nothing corpus-sized ever transits the driver (the only driver-side
+    value is one ``count()`` scalar used to pick the block count B).
+    Rows are hash-assigned to B blocks of ~``rows_per_block``; each row is
+    replicated to the B grid cells ``(min(blk,t), max(blk,t))`` it
+    participates in, and ``applyInPandas`` over the cell key computes that
+    cell's |A|x|B| cosine matrix with one numpy matmul, emitting only its
+    local top-k pairs ordered exactly like the global sort — so the final
+    exchange carries k rows per cell, not n² pairs.
+
+    Cost model at scale: O(n²) flops are inherent to exactness; shuffle is
+    n·B rows (B = ceil(n/rows_per_block)), each cell's working set is
+    ≤ 2·rows_per_block vectors + a rows_per_block² sims block (~32 MB of
+    doubles at the 2048 default) — bounded per task regardless of corpus
+    size. Top-k entries are selected by VALUE first (np.partition), so the
+    per-cell pair-id arrays are never materialized at n² size. For corpora
+    where even vectorized all-pairs flops are too much, route through
     :func:`lsh_bucketed_topk` buckets first.
     """
+    import math
+
     import numpy as np
     import pandas as pd
 
-    spark = df.sparkSession
-    rows = df.select(F.col(id_col), F.col(vec_col)).collect()
-    ids = np.array([r[0] for r in rows], dtype=np.int64)
-    mat = np.array([list(r[1]) for r in rows], dtype=np.float64)
-    norms = np.sqrt((mat * mat).sum(axis=1))
-    norms[norms == 0] = 1.0
-    unit = mat / norms[:, None]
-    order = np.argsort(ids)
-    ids_b = spark.sparkContext.broadcast(ids[order])
-    unit_b = spark.sparkContext.broadcast(unit[order])
+    n = df.count()  # scalar only; sizes the grid
+    n_blocks = max(1, math.ceil(n / rows_per_block))
+    base = df.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec")
+    ).withColumn("_blk", F.pmod(F.xxhash64(F.col("_id")), F.lit(n_blocks)).cast("int"))
+    cells = F.expr(
+        f"array_distinct(transform(sequence(0, {n_blocks - 1}),"
+        " t -> struct(least(_blk, t) AS pi, greatest(_blk, t) AS pj)))"
+    )
+    repl = base.withColumn("_cell", F.explode(cells)).select(
+        "_id", "_vec", "_blk", F.col("_cell.pi").alias("_pi"), F.col("_cell.pj").alias("_pj")
+    )
 
     out_schema = "id_a bigint, id_b bigint, cos_sim double"
 
-    def block_pairs(batches):
-        all_ids = ids_b.value
-        all_unit = unit_b.value
-        for pdf in batches:
-            blk_ids = pdf["_bid"].to_numpy(dtype=np.int64)
-            pos = np.searchsorted(all_ids, blk_ids)
-            sims = all_unit[pos] @ all_unit.T  # |block| x n
-            rows_a, rows_b, vals = [], [], []
-            for r in range(len(blk_ids)):
-                mask = all_ids > blk_ids[r]  # own pairs (a, b>a) only
-                if not mask.any():
-                    continue
-                cand = np.round(sims[r][mask], 6)
-                bs = all_ids[mask]
-                top = np.argsort(-cand, kind="stable")[: k]
-                rows_a.append(np.full(len(top), blk_ids[r]))
-                rows_b.append(bs[top])
-                vals.append(cand[top])
-            if rows_a:
-                yield pd.DataFrame(
-                    {
-                        "id_a": np.concatenate(rows_a),
-                        "id_b": np.concatenate(rows_b),
-                        "cos_sim": np.concatenate(vals),
-                    }
-                )
+    def cell_topk(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        i, j = int(key[0]), int(key[1])
+        ids = pdf["_id"].to_numpy(dtype=np.int64)
+        blk = pdf["_blk"].to_numpy()
+        mat = np.vstack(pdf["_vec"].to_numpy()).astype(np.float64)
+        norms = np.sqrt((mat * mat).sum(axis=1))
+        norms[norms == 0] = 1.0
+        unit = mat / norms[:, None]
+        if i == j:
+            a_ids, a_u = ids, unit
+            b_ids, b_u = ids, unit
+        else:
+            ia, ib = blk == i, blk == j
+            a_ids, a_u = ids[ia], unit[ia]
+            b_ids, b_u = ids[ib], unit[ib]
+        if len(a_ids) == 0 or len(b_ids) == 0:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cos_sim": []})
+        sims = np.round(a_u @ b_u.T, 6)
+        if i == j:
+            # keep each unordered pair exactly once
+            sims = np.where(a_ids[:, None] < b_ids[None, :], sims, -np.inf)
+        # value-first selection: find the k-th largest sim and materialize
+        # index/id arrays ONLY for entries at or above it (ties included, so
+        # the id tie-break below stays exact) — never the full n² pair list
+        flat = sims.ravel()
+        m = min(k, flat.size)
+        kth = -np.partition(-flat, m - 1)[m - 1]
+        sel = np.flatnonzero(flat >= (kth if np.isfinite(kth) else -np.inf))
+        vals = flat[sel]
+        finite = np.isfinite(vals)
+        sel, vals = sel[finite], vals[finite]
+        r, c = np.unravel_index(sel, sims.shape)
+        id_a = np.minimum(a_ids[r], b_ids[c])
+        id_b = np.maximum(a_ids[r], b_ids[c])
+        # local top-k in the GLOBAL order (-sim, id_a, id_b): truncation at k
+        # is then consistent with the final orderBy even across ties
+        top = np.lexsort((id_b, id_a, -vals))[:k]
+        return pd.DataFrame({"id_a": id_a[top], "id_b": id_b[top], "cos_sim": vals[top]})
 
-    par = spark.sparkContext.defaultParallelism
-    blocks = df.select(F.col(id_col).alias("_bid")).repartition(par)
-    pairs = blocks.mapInPandas(block_pairs, out_schema)
+    pairs = repl.groupBy("_pi", "_pj").applyInPandas(cell_topk, out_schema)
     return pairs.orderBy(F.col("cos_sim").desc(), "id_a", "id_b").limit(k)
 
 

@@ -1,0 +1,57 @@
+"""Exact pair search (q53 path): the grid block self-join must produce the
+same top-k pairs as a single-cell run and as the naive expression form,
+including when the corpus spans many grid cells — and its plan must not
+move the corpus through the driver (no broadcast of an n×d matrix; the only
+driver-side scalar is count())."""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+from pyspark.sql import functions as F
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from plumberapp_spark.llm.similarity import (  # noqa: E402
+    near_dup_pairs_cosine,
+    top_pairs_cosine_blocked,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _pairs(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def test_multi_cell_grid_matches_single_cell(spark):
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    one_cell = _pairs(top_pairs_cosine_blocked(emb, k=40, rows_per_block=4096))
+    many_cells = _pairs(top_pairs_cosine_blocked(emb, k=40, rows_per_block=60))
+    assert one_cell == many_cells
+
+
+def test_grid_matches_expression_form(spark):
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    naive = _pairs(
+        near_dup_pairs_cosine(emb, threshold=-1.0)
+        .orderBy(F.col("cos_sim").desc(), "id_a", "id_b")
+        .limit(25)
+    )
+    grid = _pairs(top_pairs_cosine_blocked(emb, k=25, rows_per_block=64))
+    assert naive == grid
+
+
+def test_no_corpus_collect_in_lineage(spark):
+    # The scale guarantee: the pair search is a pure DataFrame lineage —
+    # the plan shows the grid shuffle + FlatMapGroupsInPandas reading from
+    # the parquet scan, with no driver-materialized LocalTableScan (the old
+    # implementation collected the whole corpus and broadcast it).
+    from tests.test_explain_plans import formatted_plan
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    plan = formatted_plan(top_pairs_cosine_blocked(emb, k=10))
+    assert "FlatMapGroupsInPandas" in plan
+    assert "LocalTableScan" not in plan
+    assert "Scan parquet" in plan
