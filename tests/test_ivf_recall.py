@@ -58,3 +58,17 @@ def test_ivf_vectorized_matches_expression_form(spark):
         map(tuple, ivf_topk(emb, queries, k=5, vectorized=False).collect())
     )
     assert fast == slow
+
+
+def test_lsh_bucketing_vectorized_matches_expression_form(spark):
+    # The numpy matmul bucketing (default) and the interpreted expression
+    # form (the oracle definition) must produce identical buckets and
+    # therefore identical re-ranked results — same md5 plane derivation,
+    # sign decided at >= 0.
+    from plumberapp_spark.llm.similarity import lsh_bucketed_topk
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") % 50 == 0)
+    fast = sorted(map(tuple, lsh_bucketed_topk(emb, q, k=5, dim=64, num_planes=4, vectorized=True).collect()))
+    slow = sorted(map(tuple, lsh_bucketed_topk(emb, q, k=5, dim=64, num_planes=4, vectorized=False).collect()))
+    assert fast == slow
