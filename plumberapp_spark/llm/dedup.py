@@ -171,18 +171,33 @@ def minhash_lsh_candidates(
     num_perm: int = 8,
     bands: int = 4,
     ngram: int = 3,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """LSH banding over the MinHash signature: docs sharing any band key are
     candidate near-duplicates. Returns distinct candidate pairs (a < b).
 
     The only exchange is the band-key groupBy; band keys are md5 digests of
     ``rows_per_band`` signature values, so the shuffle payload is fixed
-    width. Skew guard: a pathological band bucket (e.g. empty docs) is
-    bounded by AQE skew-join splitting; boilerplate-text buckets should be
-    pre-filtered by a quality pass (see textqa).
+    width. Skew guards, in order of importance: (1) docs with NULL
+    signatures (fewer than ``ngram`` tokens) are dropped BEFORE banding —
+    ``concat_ws`` skips NULLs, so they would otherwise all share one band
+    key per band and a single task would materialize that bucket's id set
+    (AQE skew handling splits join partitions, NOT groupBy aggregates, so
+    nothing else bounds it); (2) run exact dedup first
+    (:func:`dedup_then_lsh`) so duplicate-heavy corpora don't put C(dups,2)
+    pairs in one bucket; (3) ``max_bucket_size`` optionally truncates each
+    sorted bucket id set — an explicit recall-for-boundedness trade for
+    boilerplate-text corpora, off by default so results stay oracle-exact.
     """
+    if num_perm % bands != 0:
+        raise ValueError(
+            f"num_perm ({num_perm}) must be divisible by bands ({bands}): "
+            "trailing permutations would be paid for but never banded"
+        )
     rows_per_band = num_perm // bands
-    sig = _signature_arrays(df, text_col, id_col, num_perm, ngram)
+    sig = _signature_arrays(df, text_col, id_col, num_perm, ngram).filter(
+        F.col("_sig").isNotNull()
+    )
     band_cols = []
     for b in range(bands):
         parts = [
@@ -203,6 +218,8 @@ def minhash_lsh_candidates(
         .agg(F.sort_array(F.collect_set(id_col)).alias("ids"))
         .filter(F.size("ids") > 1)
     )
+    if max_bucket_size is not None:
+        buckets = buckets.withColumn("ids", F.slice("ids", 1, max_bucket_size))
     pair = F.explode(
         F.flatten(
             F.transform(

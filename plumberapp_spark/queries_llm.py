@@ -118,7 +118,7 @@ def q16_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
          band AS (SELECT doc_id,
            {",".join(f'''
            md5(concat_ws('_', '{b}', mh_{2 * b}::VARCHAR, mh_{2 * b + 1}::VARCHAR)) AS band_{b}''' for b in range(4))}
-         FROM sig),
+         FROM sig WHERE mh_0 IS NOT NULL),
          stack AS (SELECT doc_id, unnest([band_0, band_1, band_2, band_3]) AS band_key FROM band)
     SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
     FROM stack l JOIN stack r USING (band_key)
@@ -342,7 +342,7 @@ def q25_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
          band AS (SELECT doc_id,
            {",".join(f'''
            md5(concat_ws('_', '{b}', mh_{2 * b}::VARCHAR, mh_{2 * b + 1}::VARCHAR)) AS band_{b}''' for b in range(4))}
-         FROM sig),
+         FROM sig WHERE mh_0 IS NOT NULL),
          stack AS (SELECT doc_id, unnest([band_0, band_1, band_2, band_3]) AS band_key FROM band)
     SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
     FROM stack l JOIN stack r USING (band_key)

@@ -44,3 +44,44 @@ def test_vectorized_signature_handles_short_and_null_docs(spark):
     sigs = {r[0]: r[1] for r in _signature_arrays(df, "text", "doc_id", 4, 3).collect()}
     assert sigs[1] is None and sigs[2] is None and sigs[4] is None
     assert sigs[3] is not None and len(sigs[3]) == 4
+
+
+def test_null_signature_docs_never_band(spark):
+    # Docs with fewer tokens than the shingle width have NULL signatures;
+    # they must be dropped before banding (concat_ws skips NULLs, so they
+    # would otherwise all collide into one hot band key per band and pair
+    # with each other quadratically).
+    from plumberapp_spark.llm.dedup import minhash_lsh_candidates
+
+    rows = [(i, "x") for i in range(20)] + [
+        (100, "the quick brown fox jumps over the lazy dog"),
+        (101, "the quick brown fox jumps over the lazy dog"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    pairs = minhash_lsh_candidates(df, "text", "doc_id", num_perm=8, bands=4).collect()
+    ids = {r for p in pairs for r in (p["id_a"], p["id_b"])}
+    assert ids == {100, 101}
+
+
+def test_bands_must_divide_num_perm(spark):
+    import pytest
+
+    from plumberapp_spark.llm.dedup import minhash_lsh_candidates
+
+    df = spark.createDataFrame([(1, "a b c d")], "doc_id bigint, text string")
+    with pytest.raises(ValueError, match="divisible"):
+        minhash_lsh_candidates(df, "text", "doc_id", num_perm=7, bands=4)
+
+
+def test_max_bucket_size_caps_pairs(spark):
+    from plumberapp_spark.llm.dedup import minhash_lsh_candidates
+
+    text = "the quick brown fox jumps over the lazy dog"
+    df = spark.createDataFrame(
+        [(i, text) for i in range(10)], "doc_id bigint, text string"
+    )
+    capped = minhash_lsh_candidates(
+        df, "text", "doc_id", num_perm=8, bands=4, max_bucket_size=3
+    ).collect()
+    # 3-id buckets -> C(3,2)=3 pairs, vs C(10,2)=45 uncapped
+    assert len(capped) == 3
