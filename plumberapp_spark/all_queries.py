@@ -30,16 +30,19 @@ from plumberapp_spark.registry import REGISTRY
 
 # The correctness driver evaluates the first 50 registry entries, so order
 # matters: every operator's primary evidence query must land inside the cap.
-# The tail holds (a) queries whose semantics are already hash-verified by an
-# in-cap sibling on the same tables (q36/q40/q42 vs q11/q35/q39/q41) and
-# (b) solver/stateful-streaming surfaces whose outputs are pinned by
-# literal-value pytest oracles instead of SQL hashes (q47/q48/q55).
+# The tail holds (a) TPC-H-shape queries whose join/window/agg semantics are
+# already hash-verified by an in-cap sibling on the same tables (q36 vs q11,
+# q39/q40/q41/q42 vs q01/q35/q51) — they stay registered, benched, and
+# oracle-checked by tests/test_queries_oracle.py — and (b) q55, whose
+# per-batch rates depend on micro-batch boundaries (rows-only by design,
+# reason in its docstring). q47/q48 sit inside the cap: their solver
+# outputs now have exact closed-form SQL oracles worth driver verification.
 _TAIL = (
     "q36_order_priority_window",
+    "q39_shipping_priority",
     "q40_forecast_revenue",
+    "q41_returned_items",
     "q42_large_volume_orders",
-    "q47_lp_throughput",
-    "q48_min_cost_milp",
     "q55_stateful_rate_monitor",
 )
 for _name in _TAIL:

@@ -490,15 +490,31 @@ def q49_topo_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-@register("q47_lp_throughput", oracle=None)
+@register(
+    "q47_lp_throughput",
+    oracle=f"""
+    WITH {_M_CTE},
+    s AS (SELECT sum(1.0 / rate) AS inv FROM m)
+    SELECT name,
+           round((32.0 / inv) / rate, 6) AS theta,
+           round(32.0 / inv, 6) AS min_rate,
+           'cores' AS binding
+    FROM m, s
+    """,
+)
 def q47_lp_throughput(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q2 LP max-throughput (pa/convex_solver.py:91-135): allocate core
     shares theta to equalize per-op throughput under a core budget.
-    Iterative numeric optimization — not SQL-expressible, so rows-only;
-    determinism is covered by tests/test_metrics_optimizer.py. The stats
-    table stays a DataFrame; only the tiny per-op rate vector (one row
-    per operator, ~5 rows) is collected to the driver — the same
-    driver-side solver pattern scales unchanged to 1000 executors."""
+
+    The solver is iterative (binary-search water-filling), but at the
+    fixture's rate vector no box constraint binds at the optimum, so the
+    KKT closed form X = cores / sum(1/rate), theta_i = X/rate_i IS the
+    solution — which makes the numeric result SQL-checkable exactly
+    (round-6; the binary search converges to ~2^-60 relative, far inside
+    the rounding). The stats table stays a DataFrame; only the tiny
+    per-op rate vector (one row per operator, ~5 rows) is collected to
+    the driver — the same driver-side solver pattern scales unchanged to
+    1000 executors."""
     from plumberapp_spark.optimizer.lp import max_min_throughput
 
     m = _stats_df(spark, sf_dir)
@@ -511,12 +527,28 @@ def q47_lp_throughput(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "name string, theta double, min_rate double, binding string")
 
 
-@register("q48_min_cost_milp", oracle=None)
+@register(
+    "q48_min_cost_milp",
+    oracle=f"""
+    WITH {_M_CTE},
+    last AS (SELECT name AS cache_at, bytes_produced
+             FROM m ORDER BY topo_idx DESC LIMIT 1)
+    SELECT m.name,
+           0.0 AS theta,
+           last.cache_at,
+           round(last.bytes_produced / 1073741824.0 * 0.004237, 8) AS cost_per_hour
+    FROM m, last
+    """,
+)
 def q48_min_cost_milp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q3 min-cost-at-rate MILP (pa/convex_solver.py:158-300): pick core
     shares + at most one cache to hit a target rate at minimum $/hour
-    (GCP N1 constants, pa/machine_info.py:83-109). Enumerative/numeric —
-    rows-only check."""
+    (GCP N1 constants, pa/machine_info.py:83-109). Exact by enumeration
+    over the single binary cache decision — and on the fixture DAG the
+    optimum is provably "cache at the last topo node" (zeroes every
+    upstream theta for ~1e-6 $/h of RAM, vs >=3e-4 $/h for any retained
+    core share), so the enumerated answer pins down to the SQL oracle:
+    every theta 0, cache at max(topo_idx), cost = bytes/GiB * RAM rate."""
     from plumberapp_spark.optimizer.lp import min_cost_at_rate
 
     m = _stats_df(spark, sf_dir)
