@@ -85,22 +85,111 @@ def extract_features(df: DataFrame, id_col: str, binary_col: str) -> DataFrame:
     return df.select(F.col(id_col), F.col(binary_col)).mapInPandas(_featurize, FEATURE_SCHEMA)
 
 
-def decode_image(df: DataFrame, binary_col: str) -> DataFrame:
+def _pil():
+    """Optional-dependency gate: PIL when installed, None otherwise.
+
+    Checked at operator-build time on the driver; in local mode (and any
+    uniformly-provisioned cluster image) executors match the driver."""
+    try:
+        from PIL import Image  # noqa: PLC0415
+
+        return Image
+    except ImportError:
+        return None
+
+
+DECODED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("channels", T.LongType()),
+        T.StructField("mode", T.StringType()),
+    ]
+)
+
+
+def decode_image(df: DataFrame, id_col: str, binary_col: str) -> DataFrame:
     """P5 image decode (decode_jpeg analog, imagenet_input.py:52,78-80).
 
-    STUB: real decode requires PIL/cv2, absent in this container.
+    With PIL installed this is a REAL decode: each Arrow batch opens the
+    payload and emits (height, width, channels, mode) — the shape
+    information the reference's decode_and_crop consumes. The binary
+    column never shuffles (mapInPandas is narrow); rows leave as a few
+    ints. Without PIL (this container) it raises at build time with the
+    honest message — use :func:`extract_features` for the deterministic
+    byte-level stand-in.
     """
-    raise NotImplementedError(
-        "image decode requires PIL/cv2 (not in this container); "
-        "use extract_features for the deterministic byte-level path"
-    )
+    Image = _pil()
+    if Image is None:
+        raise NotImplementedError(
+            "image decode requires PIL/cv2 (not in this container); "
+            "use extract_features for the deterministic byte-level path"
+        )
+    import io
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"doc_id": [], "height": [], "width": [], "channels": [], "mode": []}
+            for row_id, payload in zip(pdf[id_col], pdf[binary_col]):
+                with Image.open(io.BytesIO(bytes(payload))) as im:
+                    rows["doc_id"].append(int(row_id))
+                    rows["height"].append(im.height)
+                    rows["width"].append(im.width)
+                    rows["channels"].append(len(im.getbands()))
+                    rows["mode"].append(im.mode)
+            yield pd.DataFrame(rows)
+
+    return df.select(F.col(id_col), F.col(binary_col)).mapInPandas(_decode, DECODED_SCHEMA)
 
 
 def sample_frames(df: DataFrame, binary_col: str, every_n: int) -> DataFrame:
-    """Video frame sampling. STUB: requires ffmpeg bindings."""
+    """Video frame sampling. STUB: requires ffmpeg bindings (absent here
+    and not probed for — no pure-Python fallback is honest for video)."""
     raise NotImplementedError("video frame sampling requires ffmpeg (not in this container)")
 
 
-def resize_images(df: DataFrame, binary_col: str, height: int, width: int) -> DataFrame:
-    """P6 resize/augment analog. STUB: requires PIL/cv2."""
-    raise NotImplementedError("image resize requires PIL/cv2 (not in this container)")
+def resize_images(
+    df: DataFrame, id_col: str, binary_col: str, height: int, width: int
+) -> DataFrame:
+    """P6 central-crop + resize (the eval path of
+    imagenet_input.py:96-120: crop the largest center square, resize to
+    target, re-encode). PNG output keeps the bytes deterministic across
+    runs (JPEG encoders are not bit-stable across library versions).
+
+    Requires PIL; raises at build time without it (this container).
+    """
+    Image = _pil()
+    if Image is None:
+        raise NotImplementedError("image resize requires PIL/cv2 (not in this container)")
+    import io
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("image", T.BinaryType()),
+            T.StructField("height", T.LongType()),
+            T.StructField("width", T.LongType()),
+        ]
+    )
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "image": [], "height": [], "width": []}
+            for row_id, payload in zip(pdf[id_col], pdf[binary_col]):
+                with Image.open(io.BytesIO(bytes(payload))) as im:
+                    side = min(im.width, im.height)
+                    left = (im.width - side) // 2
+                    top = (im.height - side) // 2
+                    im2 = im.crop((left, top, left + side, top + side)).resize(
+                        (width, height), Image.BILINEAR
+                    )
+                    buf = io.BytesIO()
+                    im2.save(buf, format="PNG")
+                    out["doc_id"].append(int(row_id))
+                    out["image"].append(buf.getvalue())
+                    out["height"].append(height)
+                    out["width"].append(width)
+            yield pd.DataFrame(out)
+
+    return df.select(F.col(id_col), F.col(binary_col)).mapInPandas(_resize, schema)
