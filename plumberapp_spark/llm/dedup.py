@@ -75,6 +75,56 @@ def simhash(text: Column, bits: int = 16) -> Column:
     return acc
 
 
+def simhash_table(
+    df: DataFrame, text_col: str, id_col: str, bits: int = 16, vectorized: bool = True
+) -> DataFrame:
+    """(id, simhash) for every row. ``vectorized=True`` (default) hashes
+    each token ONCE in an Arrow ``mapInPandas`` pass and takes the per-bit
+    majority vote in numpy; the expression form (:func:`simhash`) hashes
+    every token once PER BIT through interpreted ``filter`` lambdas (no
+    codegen, no cross-bit CSE — 16x the md5 work), and remains the oracle
+    definition. Bit-identical by construction; parity pinned in tests.
+    Measured at sf0.1: 5.7s -> ~0.5s warm.
+    """
+    if not vectorized:
+        return df.select(F.col(id_col), simhash(F.col(text_col), bits).alias("simhash"))
+
+    import numpy as np
+    import pandas as pd
+
+    id_ddl = df.schema[id_col].dataType.simpleString()
+    ws = re.compile(r"\s+")
+    js = np.arange(bits, dtype=np.uint64)
+    weights = (np.uint64(1) << js).astype(np.int64)
+
+    def sim_batches(batches):
+        for pdf in batches:
+            ids, out = [], []
+            for row_id, text in zip(pdf[id_col], pdf[text_col]):
+                toks = [t for t in ws.split(text) if t] if text is not None else []
+                n = len(toks)
+                if n == 0:
+                    ids.append(row_id)
+                    out.append(0)
+                    continue
+                hs = np.fromiter(
+                    (int(hashlib.md5(t.encode()).hexdigest()[:14], 16) for t in toks),
+                    dtype=np.uint64,
+                    count=n,
+                )
+                ones = ((hs[:, None] >> js[None, :]) & np.uint64(1)).sum(axis=0)
+                ids.append(row_id)
+                out.append(int(((2 * ones > n) * weights).sum()))
+            yield pd.DataFrame({id_col: ids, "simhash": pd.array(out, dtype="int64")})
+
+    par = df.sparkSession.sparkContext.defaultParallelism
+    return (
+        df.select(F.col(id_col), F.col(text_col))
+        .repartition(par)
+        .mapInPandas(sim_batches, f"{id_col} {id_ddl}, simhash bigint")
+    )
+
+
 def minhash_signature(df: DataFrame, text_col: str, id_col: str, num_perm: int, ngram: int = 3) -> DataFrame:
     """MinHash signature: ``num_perm`` seeded min-hashes over word
     ``ngram``-shingles, as ``mh_0..mh_{k-1}`` columns.

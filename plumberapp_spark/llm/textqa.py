@@ -43,9 +43,52 @@ def text_quality(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
     )
 
 
-def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Marker-token language ID ('und' when no marker hits)."""
-    return df.select(F.col(id_col), langid_best(F.col(text_col)).alias("pred_lang"))
+def language_id(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", vectorized: bool = True
+) -> DataFrame:
+    """Marker-token language ID ('und' when no marker hits).
+
+    ``vectorized=True`` (default) tokenizes each doc ONCE in an Arrow
+    ``mapInPandas`` pass and scores every language against that token
+    list; the expression form (:func:`langid_best`, the oracle
+    definition) re-runs lower+split+filter per language through
+    interpreted lambdas. Identical output by construction — same
+    tokenization, same strictly-greater argmax with name-order
+    tie-break; parity pinned in tests. sf0.1: 3.1s -> ~0.4s warm.
+    """
+    if not vectorized:
+        return df.select(F.col(id_col), langid_best(F.col(text_col)).alias("pred_lang"))
+
+    import re
+
+    import pandas as pd
+
+    from plumberapp_spark.functions.text import LANG_MARKERS
+
+    id_ddl = df.schema[id_col].dataType.simpleString()
+    ws = re.compile(r"\s+")
+    markers = {lang: frozenset(LANG_MARKERS[lang]) for lang in sorted(LANG_MARKERS)}
+
+    def lang_batches(batches):
+        for pdf in batches:
+            ids, preds = [], []
+            for row_id, text in zip(pdf[id_col], pdf[text_col]):
+                toks = [t for t in ws.split(text.lower()) if t] if text is not None else []
+                best_lang, best_score = None, -1
+                for lang, marks in markers.items():
+                    score = sum(1 for t in toks if t in marks)
+                    if score > best_score:
+                        best_lang, best_score = lang, score
+                ids.append(row_id)
+                preds.append(best_lang if best_score > 0 else "und")
+            yield pd.DataFrame({id_col: ids, "pred_lang": preds})
+
+    par = df.sparkSession.sparkContext.defaultParallelism
+    return (
+        df.select(F.col(id_col), F.col(text_col))
+        .repartition(par)
+        .mapInPandas(lang_batches, f"{id_col} {id_ddl}, pred_lang string")
+    )
 
 
 def token_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

@@ -147,9 +147,12 @@ def q17_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q18_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """16-bit SimHash — per-bit token-hash majority vote, zero shuffle."""
+    """16-bit SimHash — per-bit token-hash majority vote. Vectorized Arrow
+    path (one md5 per token; the expression oracle pays 16x)."""
+    from plumberapp_spark.llm.dedup import simhash_table
+
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select("doc_id", simhash(F.col("text"), bits=16).alias("simhash"))
+    return simhash_table(docs, "text", "doc_id", bits=16)
 
 
 @register(

@@ -1,0 +1,53 @@
+"""Vectorized (Arrow mapInPandas) simhash and language-ID must match the
+interpreted expression forms they replaced on the hot path — same md5
+prefix hashing, same majority vote, same argmax tie-break."""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from plumberapp_spark.llm.dedup import simhash_table  # noqa: E402
+from plumberapp_spark.llm.textqa import language_id  # noqa: E402
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_simhash_vectorized_matches_expression(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    fast = {r[0]: r[1] for r in simhash_table(docs, "text", "doc_id", vectorized=True).collect()}
+    slow = {r[0]: r[1] for r in simhash_table(docs, "text", "doc_id", vectorized=False).collect()}
+    assert fast == slow
+
+
+def test_simhash_edge_rows(spark):
+    df = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "   "), (4, "one"), (5, "a b a b a")],
+        "doc_id bigint, text string",
+    )
+    fast = {r[0]: r[1] for r in simhash_table(df, "text", "doc_id", vectorized=True).collect()}
+    slow = {r[0]: r[1] for r in simhash_table(df, "text", "doc_id", vectorized=False).collect()}
+    assert fast == slow
+
+
+def test_language_id_vectorized_matches_expression(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    fast = {r[0]: r[1] for r in language_id(docs, vectorized=True).collect()}
+    slow = {r[0]: r[1] for r in language_id(docs, vectorized=False).collect()}
+    assert fast == slow
+
+
+def test_language_id_tie_break(spark):
+    # 'la' is a marker for both es and fr; one hit each -> strictly-greater
+    # argmax over name-sorted languages keeps the earliest (es). 'der die
+    # und' -> de. no markers -> und.
+    df = spark.createDataFrame(
+        [(1, "la"), (2, "der die und"), (3, "zzz qqq"), (4, None)],
+        "doc_id bigint, text string",
+    )
+    fast = {r[0]: r[1] for r in language_id(df, vectorized=True).collect()}
+    slow = {r[0]: r[1] for r in language_id(df, vectorized=False).collect()}
+    assert fast == slow
+    assert fast[1] == "es" and fast[2] == "de" and fast[3] == "und" and fast[4] == "und"
