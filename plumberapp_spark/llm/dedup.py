@@ -319,6 +319,7 @@ def ngram_jaccard_pairs(
     ngram: int = 3,
     threshold: float = 0.5,
     max_shingle_freq: int | None = None,
+    vectorized: bool = True,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs via an inverted-index self-join:
     explode distinct shingles -> join on shingle -> |A∩B| / (|A|+|B|-|A∩B|).
@@ -326,12 +327,48 @@ def ngram_jaccard_pairs(
     ``max_shingle_freq`` drops shingles appearing in more than that many
     docs (boilerplate) — the standard trick that keeps the inverted index
     from exploding quadratically on hot shingles at corpus scale.
+
+    ``vectorized=True`` (default) builds the exploded inverted index in
+    one Arrow ``mapInPandas`` pass (plain Python string slicing) instead
+    of the interpreted ``transform(sequence, concat_ws(slice))`` chain,
+    which measured 3.6s per pass at sf0.1 — and the self-join re-executes
+    its input lineage on BOTH sides, doubling that. Same rows by
+    construction; the expression form stays as the oracle definition.
     """
-    toks = tokenize(F.col(text_col))
-    shingled = df.select(
-        F.col(id_col), F.array_distinct(word_ngrams(toks, ngram)).alias("_sh")
-    ).withColumn("_n", F.size("_sh"))
-    inv = shingled.select(F.col(id_col), F.col("_n"), F.explode("_sh").alias("shingle"))
+    if vectorized:
+        import pandas as pd
+
+        id_ddl = df.schema[id_col].dataType.simpleString()
+        ws = re.compile(r"\s+")
+
+        def shingle_rows(batches):
+            for pdf in batches:
+                ids, ns, shs = [], [], []
+                for row_id, text in zip(pdf[id_col], pdf[text_col]):
+                    toks = [t for t in ws.split(text) if t] if text is not None else []
+                    cnt = len(toks) - (ngram - 1)
+                    if cnt < 1:
+                        continue  # empty shingle array: explode drops the row
+                    uniq = {" ".join(toks[i : i + ngram]) for i in range(cnt)}
+                    n = len(uniq)
+                    for s in uniq:
+                        ids.append(row_id)
+                        ns.append(n)
+                        shs.append(s)
+                yield pd.DataFrame({id_col: ids, "_n": pd.array(ns, dtype="int32"), "shingle": shs})
+
+        par = df.sparkSession.sparkContext.defaultParallelism
+        inv = (
+            df.select(F.col(id_col), F.col(text_col))
+            .repartition(par)
+            .mapInPandas(shingle_rows, f"{id_col} {id_ddl}, _n int, shingle string")
+        )
+    else:
+        toks = tokenize(F.col(text_col))
+        shingled = df.select(
+            F.col(id_col), F.array_distinct(word_ngrams(toks, ngram)).alias("_sh")
+        ).withColumn("_n", F.size("_sh"))
+        inv = shingled.select(F.col(id_col), F.col("_n"), F.explode("_sh").alias("shingle"))
     if max_shingle_freq is not None:
         hot = Window.partitionBy("shingle")
         inv = inv.withColumn("_df", F.count("*").over(hot)).filter(

@@ -51,3 +51,16 @@ def test_language_id_tie_break(spark):
     slow = {r[0]: r[1] for r in language_id(df, vectorized=False).collect()}
     assert fast == slow
     assert fast[1] == "es" and fast[2] == "de" and fast[3] == "und" and fast[4] == "und"
+
+
+def test_ngram_jaccard_vectorized_matches_expression(spark):
+    from plumberapp_spark.llm.dedup import ngram_jaccard_pairs
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    fast = sorted(
+        map(tuple, ngram_jaccard_pairs(docs, "text", "doc_id", threshold=0.0, vectorized=True).collect())
+    )
+    slow = sorted(
+        map(tuple, ngram_jaccard_pairs(docs, "text", "doc_id", threshold=0.0, vectorized=False).collect())
+    )
+    assert fast == slow
