@@ -100,7 +100,13 @@ def run_query(spark, name: str, sf_dir: str) -> float:
     df = REGISTRY[name].fn(spark, sf_dir)
     t0 = time.perf_counter()
     df.write.format("noop").mode("overwrite").save()
-    return time.perf_counter() - t0
+    dt = time.perf_counter() - t0
+    # Bench hygiene: a 56-query session accumulates cached blocks from any
+    # query that persists internally; a leaked cache measured 3.3x
+    # slowdowns on later queries in round 1. Clearing is post-measurement,
+    # so it never hides a query's own first-run cost.
+    spark.catalog.clearCache()
+    return dt
 
 
 def duckdb_baseline(sf_dir: str, names: list[str]) -> dict[str, float]:

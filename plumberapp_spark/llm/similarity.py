@@ -224,7 +224,7 @@ def top_pairs_cosine_blocked(
 
     out_schema = "id_a bigint, id_b bigint, cos_sim double"
 
-    def cell_topk(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def cell_topk(key, pdf):
         i, j = int(key[0]), int(key[1])
         ids = pdf["_id"].to_numpy(dtype=np.int64)
         blk = pdf["_blk"].to_numpy()

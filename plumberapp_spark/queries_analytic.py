@@ -487,6 +487,11 @@ def q49_topo_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
         if frontier.isEmpty():
             break
         out = out.unionAll(frontier)
+    # The persist only serves the loop's isEmpty() actions; release it so
+    # repeated invocations (bench passes, correctness runs) don't
+    # accumulate cached blocks — the final evaluation recomputes the
+    # 20-row edge table per join round, which is free.
+    edges.unpersist()
     return out
 
 
