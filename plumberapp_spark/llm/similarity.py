@@ -267,6 +267,41 @@ def top_pairs_cosine_blocked(
     return pairs.orderBy(F.col("cos_sim").desc(), "id_a", "id_b").limit(k)
 
 
+def ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    exact_max_candidates: int = 10_000_000,
+    **ivf_kwargs,
+) -> DataFrame:
+    """The ANN front door: routes to exact brute force only while the
+    |corpus| x |queries| candidate count stays under
+    ``exact_max_candidates``; above it, the IVF index (:func:`ivf_topk`).
+
+    :func:`brute_force_topk` is a cartesian product BY DESIGN (it is the
+    exactness oracle) and must never be the default serving path at
+    corpus scale — this router is the guard. The two counts it takes are
+    driver-side scalars; at 100 TB the corpus count alone exceeds any
+    sane threshold and the decision short-circuits to IVF.
+    """
+    n_c = corpus.count()
+    n_q = queries.count()
+    if n_c * n_q <= exact_max_candidates:
+        return brute_force_topk(corpus, queries, k, id_col, vec_col, query_id_col)
+    return ivf_topk(
+        corpus,
+        queries,
+        k,
+        id_col=id_col,
+        vec_col=vec_col,
+        query_id_col=query_id_col,
+        **ivf_kwargs,
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -72,3 +72,25 @@ def test_lsh_bucketing_vectorized_matches_expression_form(spark):
     fast = sorted(map(tuple, lsh_bucketed_topk(emb, q, k=5, dim=64, num_planes=4, vectorized=True).collect()))
     slow = sorted(map(tuple, lsh_bucketed_topk(emb, q, k=5, dim=64, num_planes=4, vectorized=False).collect()))
     assert fast == slow
+
+
+def test_ann_router_exact_under_threshold(spark):
+    from plumberapp_spark.llm.similarity import ann_topk
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    routed = sorted(map(tuple, ann_topk(emb, queries, k=3).collect()))
+    exact = sorted(map(tuple, brute_force_topk(emb, queries, k=3).collect()))
+    assert routed == exact
+
+
+def test_ann_router_ivf_above_threshold(spark):
+    from plumberapp_spark.llm.similarity import ann_topk
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    routed = sorted(
+        map(tuple, ann_topk(emb, queries, k=3, exact_max_candidates=10).collect())
+    )
+    ivf = sorted(map(tuple, ivf_topk(emb, queries, k=3).collect()))
+    assert routed == ivf
