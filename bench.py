@@ -116,7 +116,11 @@ def duckdb_baseline(sf_dir: str, names: list[str]) -> dict[str, float]:
 
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        p = f"{sf_dir}/{t}.parquet"
+        # driver testdata are single files; tools/gen_scaled.py output are
+        # Spark parquet directories — glob those for DuckDB
+        src = f"read_parquet('{p}/*.parquet')" if os.path.isdir(p) else f"read_parquet('{p}')"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM {src}")
     out: dict[str, float] = {}
     for name in names:
         sql = REGISTRY[name].oracle

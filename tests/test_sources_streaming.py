@@ -132,3 +132,82 @@ def test_repeat_stream_and_stateful_monitor(spark):
         q2.stop()
     rows = spark.sql("SELECT * FROM rate_mon").collect()
     assert len(rows) >= 1 and rows[0]["total"] > 0
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """The late-data contract: with a 30s watermark and 1-minute tumbling
+    windows in append mode, an event arriving after its window's watermark
+    has passed is DROPPED — the finalized window count excludes it and
+    numRowsDroppedByWatermark records it.
+
+    Three micro-batches via maxFilesPerTrigger=1. Empirically (verified
+    here, pinned by this test) the stateful operator applies the
+    watermark with ONE BATCH OF LAG relative to the progress-reported
+    value — a row late vs batch N-1's watermark still merges in batch N.
+    Batch 2 is a filler that lets the operator-level watermark catch up,
+    so batch 3's late row is genuinely dropped."""
+    import os
+    import time as _t
+
+    src = tmp_path / "late_src"
+    src.mkdir()
+    base = "2026-01-01 10:00:"
+
+    def write_file(name, rows, mtime):
+        df = spark.createDataFrame(rows, "ts string, event_type string, value double").select(
+            F.to_timestamp("ts").alias("ts"), "event_type", "value"
+        )
+        tmp_out = str(tmp_path / ("stage_" + name))
+        df.coalesce(1).write.mode("overwrite").parquet(tmp_out)
+        part = next(p for p in os.listdir(tmp_out) if p.endswith(".parquet"))
+        dst = src / name
+        os.rename(os.path.join(tmp_out, part), dst)
+        os.utime(dst, (mtime, mtime))
+
+    t0 = _t.time() - 1000
+    # batch 1: two events in the 10:00 window, then one at 10:05 that
+    # advances the watermark to 10:04:30 — far past the 10:00 window
+    write_file(
+        "b1.parquet",
+        [(base + "05", "a", 1.0), (base + "10", "a", 1.0), ("2026-01-01 10:05:00", "a", 1.0)],
+        t0,
+    )
+    # batch 2: filler; operator-level watermark catches up to 10:04:30+
+    write_file("b2.parquet", [("2026-01-01 10:05:05", "a", 1.0)], t0 + 100)
+    # batch 3: one on-time event (10:05 window) + one LATE for 10:00
+    write_file(
+        "b3.parquet",
+        [("2026-01-01 10:05:10", "a", 1.0), (base + "20", "a", 99.0)],
+        t0 + 200,
+    )
+
+    schema = "ts timestamp, event_type string, value double"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .format("parquet")
+        .load(str(src))
+        .withWatermark("ts", "30 seconds")
+        .groupBy(F.window("ts", "1 minute").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("late_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    dropped = sum(
+        p["stateOperators"][0].get("numRowsDroppedByWatermark", 0)
+        for p in q.recentProgress
+        if p["stateOperators"]
+    )
+    counts = {
+        r["w"]["start"].strftime("%H:%M"): r["n"]
+        for r in spark.table("late_test").collect()
+    }
+    # the 10:00 window finalized with 2 events; the late third one dropped
+    assert counts.get("10:00") == 2, counts
+    assert dropped == 1
