@@ -81,9 +81,21 @@ def main() -> int:
             print(f"ok?   {name}: rows={len(srows)} (no oracle — rows-only check) [{spark_s:.1f}s]")
             continue
         try:
-            res = con.execute(qd.oracle)
-            ocols = [d[0] for d in res.description]
-            orows = res.fetchall()
+            rel = con.sql(qd.oracle)
+            ocols = list(rel.columns)
+            # r1 lesson (q45): the driver converts DuckDB results through
+            # pandas, where HUGEINT becomes float64 and hashes differently
+            # from Spark's bigint even when every value is equal. fetchall()
+            # hides that (HUGEINT -> python int), so flag the type here.
+            wide = [
+                f"{c}:{t}"
+                for c, t in zip(rel.columns, rel.types)
+                if "HUGEINT" in str(t).upper()
+            ]
+            if wide:
+                print(f"WARN  {name}: oracle emits HUGEINT columns {wide} — "
+                      "CAST(... AS BIGINT) or the driver's pandas hash will mismatch")
+            orows = rel.fetchall()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: duckdb error: {e}")
             failures += 1
