@@ -120,6 +120,29 @@ def stateful_rate_monitor(events: DataFrame, key_col: str = "event_type") -> Dat
     )
 
 
+def streaming_exact_dedup(
+    events: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Exact dedup at INGESTION time — the streaming face of the batch
+    ``exact_dedup`` family (llm/dedup.py): keep the first arrival of each
+    key, dropping re-deliveries that arrive within the watermark horizon.
+
+    ``dropDuplicatesWithinWatermark`` keys the state store on ``key_cols``
+    and expires entries once the watermark passes their event time, so
+    state is bounded by (keys arriving within one watermark window), not
+    by stream length — the property that makes it runnable forever at
+    ingest scale, where a plain ``dropDuplicates`` on a stream would
+    accumulate state for every key ever seen. Batch DataFrames take the
+    plain ``dropDuplicates`` path (same bounded-input semantics).
+    """
+    if not events.isStreaming:
+        return events.dropDuplicates(key_cols)
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(key_cols)
+
+
 def run_stream_to_memory(stream_df: DataFrame, query_name: str, timeout_s: float = 10.0):
     """Drive a streaming DataFrame into an in-memory sink until idle or
     timeout; returns the collected rows (test/bench harness)."""

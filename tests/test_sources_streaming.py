@@ -211,3 +211,65 @@ def test_watermark_drops_late_data(spark, tmp_path):
     # the 10:00 window finalized with 2 events; the late third one dropped
     assert counts.get("10:00") == 2, counts
     assert dropped == 1
+
+
+def test_streaming_exact_dedup(spark, tmp_path):
+    """Re-deliveries of the same key across micro-batches are dropped
+    while the watermark keeps their state alive; batch path degenerates
+    to dropDuplicates."""
+    import os
+    import time as _t
+
+    from plumberapp_spark.streaming.stream_ops import streaming_exact_dedup
+
+    src = tmp_path / "dedup_src"
+    src.mkdir()
+
+    def write_file(name, rows, mtime):
+        df = spark.createDataFrame(rows, "ts string, doc_id bigint, text string").select(
+            F.to_timestamp("ts").alias("ts"), "doc_id", "text"
+        )
+        stage = str(tmp_path / ("stage_" + name))
+        df.coalesce(1).write.mode("overwrite").parquet(stage)
+        part = next(p for p in os.listdir(stage) if p.endswith(".parquet"))
+        dst = src / name
+        os.rename(os.path.join(stage, part), dst)
+        os.utime(dst, (mtime, mtime))
+
+    t0 = _t.time() - 1000
+    write_file(
+        "b1.parquet",
+        [("2026-01-01 10:00:00", 1, "a"), ("2026-01-01 10:00:01", 2, "b")],
+        t0,
+    )
+    # batch 2: doc 1 re-delivered one second later -> must be dropped
+    write_file(
+        "b2.parquet",
+        [("2026-01-01 10:00:02", 1, "a"), ("2026-01-01 10:00:03", 3, "c")],
+        t0 + 100,
+    )
+
+    schema = "ts timestamp, doc_id bigint, text string"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .format("parquet")
+        .load(str(src))
+    )
+    out = streaming_exact_dedup(stream, ["doc_id"], ts_col="ts", watermark="10 minutes")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(r["doc_id"] for r in spark.table("dedup_stream").collect())
+    assert got == [1, 2, 3]
+
+    # batch path: same helper, plain dropDuplicates
+    batch = spark.read.schema(schema).parquet(str(src))
+    assert sorted(
+        r["doc_id"] for r in streaming_exact_dedup(batch, ["doc_id"]).collect()
+    ) == [1, 2, 3]
