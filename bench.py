@@ -96,16 +96,28 @@ PRIMARY_INPUT = {
 RATE_TABLES = ("lineitem", "orders", "events", "documents", "embeddings", "customer")
 
 
-def run_query(spark, name: str, sf_dir: str) -> float:
-    df = REGISTRY[name].fn(spark, sf_dir)
-    t0 = time.perf_counter()
-    df.write.format("noop").mode("overwrite").save()
-    dt = time.perf_counter() - t0
-    # Bench hygiene: a 56-query session accumulates cached blocks from any
-    # query that persists internally; a leaked cache measured 3.3x
-    # slowdowns on later queries in round 1. Clearing is post-measurement,
-    # so it never hides a query's own first-run cost.
-    spark.catalog.clearCache()
+def run_query(spark, name: str, sf_dir: str) -> float | None:
+    """One timed noop-write of a query; None (never an exception) on
+    failure — one broken query costs one row of the report, not the whole
+    artifact (the round-2 bench died whole because q52's plan-time error
+    propagated out of this loop)."""
+    try:
+        df = REGISTRY[name].fn(spark, sf_dir)
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        dt = time.perf_counter() - t0
+    except Exception as exc:  # noqa: BLE001 — record and continue
+        print(f"bench: {name} failed: {type(exc).__name__}: {exc}", file=sys.stderr)
+        return None
+    finally:
+        # Bench hygiene: a 56-query session accumulates cached blocks from
+        # any query that persists internally; a leaked cache measured 3.3x
+        # slowdowns on later queries in round 1. Clearing is
+        # post-measurement, so it never hides a query's own first-run cost.
+        try:
+            spark.catalog.clearCache()
+        except Exception:
+            pass
     return dt
 
 
@@ -120,7 +132,11 @@ def duckdb_baseline(sf_dir: str, names: list[str]) -> dict[str, float]:
         # driver testdata are single files; tools/gen_scaled.py output are
         # Spark parquet directories — glob those for DuckDB
         src = f"read_parquet('{p}/*.parquet')" if os.path.isdir(p) else f"read_parquet('{p}')"
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM {src}")
+        try:
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM {src}")
+        except Exception:
+            # missing/unreadable table: its oracles fail individually below
+            continue
     out: dict[str, float] = {}
     for name in names:
         sql = REGISTRY[name].oracle
@@ -149,9 +165,12 @@ def main() -> None:
 
     # Warmup: absorb session/JIT startup (not part of the measurement),
     # and capture source-table cardinalities for the rate report.
-    input_rows = {
-        t: spark.read.parquet(f"{sf_dir}/{t}.parquet").count() for t in RATE_TABLES
-    }
+    input_rows = {}
+    for t in RATE_TABLES:
+        try:
+            input_rows[t] = spark.read.parquet(f"{sf_dir}/{t}.parquet").count()
+        except Exception as exc:  # noqa: BLE001
+            print(f"bench: cannot count {t}: {exc}", file=sys.stderr)
 
     # Reference protocol (pa/gen_util.py:253-506): measure steady state.
     # Pass 1 (cold) pays codegen/JIT + page-cache warming and is recorded;
@@ -159,18 +178,25 @@ def main() -> None:
     # post-convergence rate window keeps the converged (not the noisiest)
     # rate, and single warm runs here show GC-bound outliers.
     names = list(REGISTRY)
-    cold: dict[str, float] = {}
-    timings: dict[str, float] = {}
+    cold: dict[str, float | None] = {}
+    timings: dict[str, float | None] = {}
     rates: dict[str, float] = {}
+    failed: list[str] = []
     for name in names:
-        cold[name] = round(run_query(spark, name, sf_dir), 3)
+        dt = run_query(spark, name, sf_dir)
+        cold[name] = round(dt, 3) if dt is not None else None
     for name in names:
-        dt = min(run_query(spark, name, sf_dir) for _ in range(2))
+        warm = [t for t in (run_query(spark, name, sf_dir) for _ in range(2)) if t is not None]
+        if not warm:
+            timings[name] = None
+            failed.append(name)
+            continue
+        dt = min(warm)
         timings[name] = round(dt, 3)
         src = PRIMARY_INPUT.get(name)
-        if src:
+        if src in input_rows:
             rates[name] = round(input_rows[src] / max(dt, 1e-9))
-    total = round(sum(timings.values()), 3)
+    total = round(sum(t for t in timings.values() if t is not None), 3)
 
     result = {
         "metric": "headline_queries_total_wall",
@@ -181,16 +207,22 @@ def main() -> None:
         "rows_per_sec": rates,
         "cold_sec": cold,
         "input_rows": input_rows,
+        "failed": failed,
     }
 
     if os.environ.get("SPARK_GRAFT_BENCH_DUCKDB", "1") != "0":
-        duck = duckdb_baseline(sf_dir, names)
+        try:
+            duck = duckdb_baseline(sf_dir, names)
+        except Exception as exc:  # noqa: BLE001 — baseline is auxiliary
+            print(f"bench: duckdb baseline failed: {exc}", file=sys.stderr)
+            duck = {}
         result["duckdb_sec"] = duck
         result["vs_duckdb"] = {
-            n: round(timings[n] / max(duck[n], 1e-9), 2) for n in duck if n in timings
+            n: round(timings[n] / max(duck[n], 1e-9), 2)
+            for n in duck
+            if timings.get(n) is not None
         }
-        covered = [n for n in names if n in duck]
-        g = [result["vs_duckdb"][n] for n in covered]
+        g = list(result["vs_duckdb"].values())
         result["vs_duckdb_geomean"] = round(
             float(__import__("math").exp(sum(__import__("math").log(x) for x in g) / len(g))), 3
         ) if g else None

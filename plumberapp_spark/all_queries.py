@@ -30,19 +30,22 @@ from plumberapp_spark.registry import REGISTRY
 
 # The correctness driver evaluates the first 50 registry entries, so order
 # matters: every operator's primary evidence query must land inside the cap.
-# The tail holds (a) TPC-H-shape queries whose join/window/agg semantics are
-# already hash-verified by an in-cap sibling on the same tables (q36 vs q11,
-# q39/q40/q41/q42 vs q01/q35/q51) — they stay registered, benched, and
-# oracle-checked by tests/test_queries_oracle.py — and (b) q55, whose
-# per-batch rates depend on micro-batch boundaries (rows-only by design,
-# reason in its docstring). q47/q48 sit inside the cap: their solver
-# outputs now have exact closed-form SQL oracles worth driver verification.
+# Round-3 rotation (VERDICT r2 item 6): the TPC-H-shape family (q36,
+# q39-q42) moves INSIDE the cap so it gets driver-grade verification at
+# least once; five rows that were driver-green in BOTH r1 and r2 and whose
+# operators have in-cap siblings rotate out (q07 take/skip/shard ~ q26/q27
+# stream-op family; q09 repeat ~ q27 concatenate; q13 hash-bucket ~ q12
+# string pipeline; q27/q28 ~ q26 + each other's shared multiset machinery).
+# Everything in the tail stays registered, benched, and oracle-checked by
+# tests/test_queries_oracle.py at sf0.001 every run. q55 is tail by design:
+# per-batch rates depend on micro-batch boundaries (rows-only check,
+# reason in its docstring).
 _TAIL = (
-    "q36_order_priority_window",
-    "q39_shipping_priority",
-    "q40_forecast_revenue",
-    "q41_returned_items",
-    "q42_large_volume_orders",
+    "q07_take_skip_shard",
+    "q09_repeat_echo",
+    "q13_hash_bucket",
+    "q27_concatenate",
+    "q28_choose_from",
     "q55_stateful_rate_monitor",
 )
 for _name in _TAIL:

@@ -2,11 +2,13 @@
 metadata structs, with Arrow-batched decode/feature plumbing.
 
 The Spark-side machinery (schema, partition sizing, ``mapInPandas``
-iterator-of-batches signature) is real and tested; the actual codec calls
-are STUBBED — this container has no PIL/cv2/ffmpeg. Each stub either
-raises ``NotImplementedError`` (real decode) or computes a deterministic
-fake (length/digest-derived), clearly marked, so the pipeline shape is
-exercised end-to-end without pretending to decode JPEGs.
+iterator-of-batches signature) is real and tested. Codec access is
+layered: full pixel decode/resize uses PIL when installed; without it
+(this container) ``decode_image`` falls back to a pure-Python container
+header parse (real dimensions/mode, no pixels), ``extract_features``
+computes deterministic byte-level features, and video sampling raises
+``NotImplementedError`` honestly (no pure-Python fallback is honest for
+video).
 
 Scale notes: binary payloads dominate row size, so these operators
 (1) never shuffle the binary column — features are extracted first, then
@@ -108,23 +110,74 @@ DECODED_SCHEMA = T.StructType(
     ]
 )
 
+# PNG color-type byte -> (channels, PIL-compatible mode string)
+_PNG_COLOR = {0: (1, "L"), 2: (3, "RGB"), 3: (1, "P"), 4: (2, "LA"), 6: (4, "RGBA")}
 
-def decode_image(df: DataFrame, id_col: str, binary_col: str) -> DataFrame:
+
+def parse_image_header(data: bytes) -> tuple[int, int, int, str]:
+    """Pure-Python (stdlib-only) image header parse: (height, width,
+    channels, mode) for PNG / GIF / BMP / JPEG from the container format's
+    own header fields — no codec library, no pixel decode. This is the
+    shape information the reference's decode path consumes
+    (imagenet_input.py:52,78-80); full pixel decode still needs PIL.
+    """
+    import struct
+
+    if data[:8] == b"\x89PNG\r\n\x1a\n":
+        if data[12:16] != b"IHDR":
+            raise ValueError("corrupt PNG: first chunk is not IHDR")
+        w, h = struct.unpack(">II", data[16:24])
+        channels, mode = _PNG_COLOR[data[25]]
+        return h, w, channels, mode
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        w, h = struct.unpack("<HH", data[6:10])
+        return h, w, 1, "P"
+    if data[:2] == b"BM":
+        w, h = struct.unpack("<ii", data[18:26])
+        bpp = struct.unpack("<H", data[28:30])[0]
+        channels = max(1, bpp // 8)
+        mode = {1: "L", 3: "RGB", 4: "RGBA"}.get(channels, "RGB")
+        return abs(h), w, channels, mode
+    if data[:2] == b"\xff\xd8":
+        # scan for a start-of-frame marker (SOF0..SOF15 minus DHT/JPG/DAC)
+        i = 2
+        while i + 9 < len(data):
+            if data[i] != 0xFF:
+                i += 1
+                continue
+            marker = data[i + 1]
+            if marker in (0xD8, 0x01, 0xFF) or 0xD0 <= marker <= 0xD7:
+                i += 2
+                continue
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                h, w = struct.unpack(">HH", data[i + 5 : i + 9])
+                ncomp = data[i + 9]
+                mode = {1: "L", 3: "RGB", 4: "CMYK"}.get(ncomp, "RGB")
+                return h, w, ncomp, mode
+            i += 2 + struct.unpack(">H", data[i + 2 : i + 4])[0]
+        raise ValueError("no JPEG SOF marker found")
+    raise ValueError("unrecognized image format")
+
+
+def decode_image(
+    df: DataFrame, id_col: str, binary_col: str, allow_header_fallback: bool = True
+) -> DataFrame:
     """P5 image decode (decode_jpeg analog, imagenet_input.py:52,78-80).
 
     With PIL installed this is a REAL decode: each Arrow batch opens the
     payload and emits (height, width, channels, mode) — the shape
     information the reference's decode_and_crop consumes. The binary
     column never shuffles (mapInPandas is narrow); rows leave as a few
-    ints. Without PIL (this container) it raises at build time with the
-    honest message — use :func:`extract_features` for the deterministic
-    byte-level stand-in.
+    ints. Without PIL the pure-Python :func:`parse_image_header` reads the
+    same fields from the PNG/GIF/BMP/JPEG container headers (set
+    ``allow_header_fallback=False`` to require the full decoder and get
+    the honest NotImplementedError instead).
     """
     Image = _pil()
-    if Image is None:
+    if Image is None and not allow_header_fallback:
         raise NotImplementedError(
             "image decode requires PIL/cv2 (not in this container); "
-            "use extract_features for the deterministic byte-level path"
+            "use the header fallback or extract_features"
         )
     import io
 
@@ -132,12 +185,17 @@ def decode_image(df: DataFrame, id_col: str, binary_col: str) -> DataFrame:
         for pdf in batches:
             rows = {"doc_id": [], "height": [], "width": [], "channels": [], "mode": []}
             for row_id, payload in zip(pdf[id_col], pdf[binary_col]):
-                with Image.open(io.BytesIO(bytes(payload))) as im:
-                    rows["doc_id"].append(int(row_id))
-                    rows["height"].append(im.height)
-                    rows["width"].append(im.width)
-                    rows["channels"].append(len(im.getbands()))
-                    rows["mode"].append(im.mode)
+                raw = bytes(payload)
+                if Image is not None:
+                    with Image.open(io.BytesIO(raw)) as im:
+                        h, w, ch, mode = im.height, im.width, len(im.getbands()), im.mode
+                else:
+                    h, w, ch, mode = parse_image_header(raw)
+                rows["doc_id"].append(int(row_id))
+                rows["height"].append(h)
+                rows["width"].append(w)
+                rows["channels"].append(ch)
+                rows["mode"].append(mode)
             yield pd.DataFrame(rows)
 
     return df.select(F.col(id_col), F.col(binary_col)).mapInPandas(_decode, DECODED_SCHEMA)

@@ -178,13 +178,20 @@ def lsh_bucketed_topk(
 
 def top_pairs_cosine_blocked(
     df: DataFrame,
-    k: int,
+    k: int | None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     rows_per_block: int = 2048,
+    threshold: float | None = None,
 ) -> DataFrame:
     """Exact top-k closest pairs via a GRID BLOCK SELF-JOIN — the
     vectorized scale path for the inherently-quadratic exact pair search.
+
+    ``threshold`` masks pairs below it inside each cell BEFORE selection,
+    so a selective near-dup threshold bounds each cell's output without a
+    separate pass. ``k=None`` emits every pair >= threshold (the classic
+    near-dup harvest; requires a threshold so the output stays a sparse
+    subset of the n² pair space) and skips the final global order/limit.
 
     Nothing corpus-sized ever transits the driver (the only driver-side
     value is one ``count()`` scalar used to pick the block count B).
@@ -209,6 +216,8 @@ def top_pairs_cosine_blocked(
     import numpy as np
     import pandas as pd
 
+    if k is None and threshold is None:
+        raise ValueError("k=None (emit-all mode) requires a threshold")
     n = df.count()  # scalar only; sizes the grid
     n_blocks = max(1, math.ceil(n / rows_per_block))
     base = df.select(
@@ -245,25 +254,37 @@ def top_pairs_cosine_blocked(
         if i == j:
             # keep each unordered pair exactly once
             sims = np.where(a_ids[:, None] < b_ids[None, :], sims, -np.inf)
-        # value-first selection: find the k-th largest sim and materialize
-        # index/id arrays ONLY for entries at or above it (ties included, so
-        # the id tie-break below stays exact) — never the full n² pair list
+        if threshold is not None:
+            sims = np.where(sims >= threshold, sims, -np.inf)
         flat = sims.ravel()
-        m = min(k, flat.size)
-        kth = -np.partition(-flat, m - 1)[m - 1]
-        sel = np.flatnonzero(flat >= (kth if np.isfinite(kth) else -np.inf))
-        vals = flat[sel]
-        finite = np.isfinite(vals)
-        sel, vals = sel[finite], vals[finite]
+        if k is None:
+            # emit-all mode: every thresholded pair in this cell
+            sel = np.flatnonzero(np.isfinite(flat))
+            vals = flat[sel]
+        else:
+            # value-first selection: find the k-th largest sim, materialize
+            # index/id arrays ONLY for entries at or above it (ties
+            # included, so the id tie-break below stays exact) — never the
+            # full n² pair list
+            m = min(k, flat.size)
+            kth = -np.partition(-flat, m - 1)[m - 1]
+            sel = np.flatnonzero(flat >= (kth if np.isfinite(kth) else -np.inf))
+            vals = flat[sel]
+            finite = np.isfinite(vals)
+            sel, vals = sel[finite], vals[finite]
         r, c = np.unravel_index(sel, sims.shape)
         id_a = np.minimum(a_ids[r], b_ids[c])
         id_b = np.maximum(a_ids[r], b_ids[c])
+        if k is None:
+            return pd.DataFrame({"id_a": id_a, "id_b": id_b, "cos_sim": vals})
         # local top-k in the GLOBAL order (-sim, id_a, id_b): truncation at k
         # is then consistent with the final orderBy even across ties
         top = np.lexsort((id_b, id_a, -vals))[:k]
         return pd.DataFrame({"id_a": id_a[top], "id_b": id_b[top], "cos_sim": vals[top]})
 
     pairs = repl.groupBy("_pi", "_pj").applyInPandas(cell_topk, out_schema)
+    if k is None:
+        return pairs
     return pairs.orderBy(F.col("cos_sim").desc(), "id_a", "id_b").limit(k)
 
 
@@ -312,6 +333,7 @@ def ivf_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     vectorized: bool = True,
+    max_broadcast_queries: int = 100_000,
 ) -> DataFrame:
     """IVF (inverted-file) ANN: partition the corpus into ``n_centroids``
     cells, search only each query's ``nprobe`` nearest cells, exact cosine
@@ -345,7 +367,15 @@ def ivf_topk(
     """
     if vectorized:
         return _ivf_topk_vectorized(
-            corpus, queries, k, n_centroids, nprobe, id_col, vec_col, query_id_col
+            corpus,
+            queries,
+            k,
+            n_centroids,
+            nprobe,
+            id_col,
+            vec_col,
+            query_id_col,
+            max_broadcast_queries,
         )
     cents = (
         corpus.select(F.col(id_col).alias("_c_id"), F.col(vec_col).alias("_c_vec"))
@@ -405,6 +435,7 @@ def _ivf_topk_vectorized(
     id_col: str,
     vec_col: str,
     query_id_col: str,
+    max_broadcast_queries: int = 100_000,
 ) -> DataFrame:
     """Block-matmul IVF (see :func:`ivf_topk`). Determinism contract is
     identical to the expression form: cosines rounded to 6 decimals
@@ -433,7 +464,17 @@ def _ivf_topk_vectorized(
     c_mat = np.array([list(cent_rows[i][1]) for i in order], dtype=np.float64)
     c_norm = np.sqrt((c_mat * c_mat).sum(axis=1))
 
-    q_rows = queries.select(F.col(id_col), F.col(vec_col)).collect()
+    # Enforced contract (not just assumed): queries are the SMALL side —
+    # they are collected and broadcast. limit(n+1) keeps the probe itself
+    # bounded; exceeding it is a caller error (route the big side as the
+    # corpus, or use brute_force_topk with the corpus broadcast instead).
+    max_q = max_broadcast_queries
+    q_rows = queries.select(F.col(id_col), F.col(vec_col)).limit(max_q + 1).collect()
+    if len(q_rows) > max_q:
+        raise ValueError(
+            f"ivf_topk: query side exceeds the broadcastable contract "
+            f"(> {max_q} rows); swap sides or pre-partition the queries"
+        )
     q_ids = np.array([r[0] for r in q_rows])
     q_mat = np.array([list(r[1]) for r in q_rows], dtype=np.float64)
     q_norm = np.sqrt((q_mat * q_mat).sum(axis=1))
@@ -514,18 +555,37 @@ def near_dup_pairs_cosine(
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    k: int | None = None,
+    vectorized: bool = True,
+    rows_per_block: int = 2048,
 ) -> DataFrame:
-    """Exact embedding near-dup pairs (a < b, cosine >= threshold).
+    """Exact embedding near-dup pairs (a < b, cosine >= threshold); with
+    ``k`` set, only the global top-k pairs per the (-cos, id_a, id_b)
+    order.
 
-    O(n²) reference semantics — correct at oracle scale; the production
-    path routes candidates through :func:`lsh_bucketed_topk` buckets first.
+    ``vectorized=True`` (default) routes through the grid block self-join
+    (:func:`top_pairs_cosine_blocked`): no full-corpus broadcast, one
+    numpy matmul per grid cell, the threshold applied inside the cell so
+    only surviving pairs (or the local top-k) ever leave the task. This
+    replaced the round-2 hot-path anti-pattern — broadcast crossJoin +
+    interpreted ``aggregate``/``zip_with`` cosine over all n²/2 pairs —
+    which was the suite's slowest query (9.1 s at sf0.1, 20x its oracle)
+    and whose broadcast side grows with the corpus.
 
-    Per-vector norms are precomputed once behind a repartition barrier
-    (n sqrt-of-dots instead of 2·n² inside the pair loop), and the
-    streamed side is spread across defaultParallelism tasks so the
-    quadratic stage is parallel even when the input is one parquet row
-    group.
+    ``vectorized=False`` is that O(n²) expression form, kept as the
+    relational reference definition (mirrors the SQL oracle clause for
+    clause; parity pinned in tests/test_pair_search_grid.py).
     """
+    if vectorized:
+        pairs = top_pairs_cosine_blocked(
+            df,
+            k=k,
+            id_col=id_col,
+            vec_col=vec_col,
+            rows_per_block=rows_per_block,
+            threshold=threshold,
+        )
+        return pairs
     par = df.sparkSession.sparkContext.defaultParallelism
     normed = df.select(
         F.col(id_col), F.col(vec_col).alias("_v"), l2_norm(F.col(vec_col)).alias("_n")
@@ -539,7 +599,10 @@ def near_dup_pairs_cosine(
     pairs = a.crossJoin(F.broadcast(b)).filter(F.col("id_a") < F.col("id_b"))
     denom = F.col("_na") * F.col("_nb")
     cos = F.when(denom > 0, dot(F.col("_va"), F.col("_vb")) / denom).otherwise(F.lit(0.0))
-    return (
+    out = (
         pairs.select("id_a", "id_b", F.round(cos, 6).alias("cos_sim"))
         .filter(F.col("cos_sim") >= threshold)
     )
+    if k is not None:
+        out = out.orderBy(F.col("cos_sim").desc(), "id_a", "id_b").limit(k)
+    return out

@@ -223,10 +223,15 @@ def q20_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q21_embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup: top-50 closest pairs (exact O(n²)
-    reference semantics; the LSH-bucketed path is the scale variant)."""
-    pairs = near_dup_pairs_cosine(load_table(spark, sf_dir, "embeddings"), threshold=-1.0)
-    return pairs.orderBy(F.col("cos_sim").desc(), "id_a", "id_b").limit(50)
+    """Embedding-cosine near-dup: top-50 closest pairs. Exact O(n²)
+    SEMANTICS, grid-cell EXECUTION — near_dup_pairs_cosine routes through
+    the block self-join (numpy matmul per cell, threshold+top-k applied
+    in-cell), so no full-corpus broadcast and no interpreted per-pair
+    lambdas; the expression form remains the oracle definition
+    (vectorized=False, parity pinned in tests)."""
+    return near_dup_pairs_cosine(
+        load_table(spark, sf_dir, "embeddings"), threshold=-1.0, k=50
+    )
 
 
 # --------------------------------------------------------------------------

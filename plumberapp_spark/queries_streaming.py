@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from plumberapp_spark.registry import register
-from plumberapp_spark.session import ensure_read_confs
+from plumberapp_spark.session import ensure_read_confs, ts_as_timestamp
 
 
 @register(
@@ -37,11 +37,12 @@ def q52_streaming_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Day windows align to the epoch, so ``window('1 day').start ==
     date_trunc('day', ts)`` and the bounded replay matches the batch
-    GROUP BY oracle exactly. ``ts`` arrives as int64 nanoseconds (the
-    session reads TIMESTAMP(NANOS) via nanosAsLong) and is converted
-    with timestamp_micros(ns div 1000) — exact for micro-aligned data.
-    At scale this same plan runs unbounded with a watermark; state is
-    one row per (event_type, day) — bounded and tiny."""
+    GROUP BY oracle exactly. ``ts`` handling is schema-driven
+    (session.ts_as_timestamp): native TIMESTAMP/TIMESTAMP_NTZ passes
+    through; epoch-nanos-as-long (nanosAsLong fixtures) converts with
+    exact integer division. At scale this same plan runs unbounded with
+    a watermark; state is one row per (event_type, day) — bounded and
+    tiny."""
     ensure_read_confs(spark)
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     # FileStreamSource requires a directory base path; a glob keeps the
@@ -51,9 +52,7 @@ def q52_streaming_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .format("parquet")
         .load(f"{sf_dir}/events.*")
     )
-    # Integer division: epoch-ns (~1.7e18) exceeds double's 2^53 exact
-    # range, so float `/ 1000` can be off by 1 µs at window boundaries.
-    ts = F.timestamp_micros(F.expr("ts div 1000"))
+    ts = ts_as_timestamp(schema["ts"].dataType, "ts")
     agg = (
         stream.select("event_type", ts.alias("_ts"), "value")
         .groupBy("event_type", F.window("_ts", "1 day").alias("_w"))

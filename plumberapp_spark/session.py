@@ -61,9 +61,12 @@ def get_spark(app_name: str = "plumberapp_spark", shuffle_partitions: int | None
             "spark.sql.warehouse.dir",
             os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/spark_graft_warehouse"),
         )
-        # events.parquet carries TIMESTAMP(NANOS) which Spark rejects by
-        # default; read as long (ns since epoch) — order-preserving, and
-        # convertible via timestamp_micros(ns div 1000).
+        # Belt-and-suspenders for TIMESTAMP(NANOS) parquet (which stock
+        # Spark rejects at scan time): read ns as long. The driver testdata
+        # currently carries TIMESTAMP(MICROS) — read natively as
+        # TIMESTAMP_NTZ — but scaled copies / older fixtures may still be
+        # nanos; either way ts_as_timestamp() normalizes from the actual
+        # schema, never from an assumption about the file.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
     spark = builder.getOrCreate()
@@ -72,18 +75,50 @@ def get_spark(app_name: str = "plumberapp_spark", shuffle_partitions: int | None
 
 
 def ensure_read_confs(spark: SparkSession) -> SparkSession:
-    """Make an externally-provided (vanilla) session able to read the
-    driver's parquet: ``events.parquet`` carries TIMESTAMP(NANOS), which
-    stock Spark rejects at scan time (PARQUET_TYPE_ILLEGAL).
-
-    ``nanosAsLong`` is a runtime SQL conf, so it can be set on any live
-    session — required because harnesses (the correctness driver, a user's
-    own notebook) build their own SparkSession and never call
-    :func:`get_spark`. Reading ns-as-long is order-preserving and exactly
-    convertible via ``timestamp_micros(ns div 1000)``.
+    """Make an externally-provided (vanilla) session able to read any
+    variant of the driver's parquet. ``nanosAsLong`` is a runtime SQL
+    conf, so it can be set on any live session — required because
+    harnesses (the correctness driver, a user's own notebook) build their
+    own SparkSession and never call :func:`get_spark`. It only changes
+    behavior for TIMESTAMP(NANOS) files (which stock Spark otherwise
+    rejects with PARQUET_TYPE_ILLEGAL); TIMESTAMP(MICROS) — what the
+    driver testdata carries today — reads natively as TIMESTAMP_NTZ with
+    or without it.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return spark
+
+
+def ts_as_timestamp(dtype, col="ts"):
+    """Column expression converting a physical ``ts`` column to a proper
+    timestamp, derived from the ACTUAL schema — the engine's analog of the
+    reference's element_spec discipline (pa/graphdef_util.py:755-774):
+    dtype is a runtime value, never an assumption baked into a query.
+
+    * TimestampType / TimestampNTZType  -> passthrough
+    * integral (epoch-nanos via nanosAsLong) -> timestamp_micros(ns div
+      1000). Integer division on purpose: epoch-ns (~1.7e18) exceeds
+      double's 2^53 exact range, so float ``/ 1000`` can be off by 1 µs
+      at window boundaries.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    c = F.col(col) if isinstance(col, str) else col
+    if isinstance(dtype, (T.TimestampType, T.TimestampNTZType)):
+        return c
+    if isinstance(dtype, (T.LongType, T.IntegerType)):
+        if not isinstance(col, str):
+            raise TypeError("integral ts conversion needs a column name")
+        return F.timestamp_micros(F.expr(f"{col} div 1000"))
+    raise TypeError(f"unsupported ts dtype: {dtype}")
+
+
+def events_with_timestamp(spark: SparkSession, sf_dir: str):
+    """The ``events`` table with ``ts`` normalized to a timestamp
+    regardless of the file's physical type (nanos-long, micros, NTZ)."""
+    df = load_table(spark, sf_dir, "events")
+    return df.withColumn("ts", ts_as_timestamp(df.schema["ts"].dataType, "ts"))
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str):

@@ -84,6 +84,21 @@ def test_ann_router_exact_under_threshold(spark):
     assert routed == exact
 
 
+def test_ivf_query_broadcast_contract_enforced(spark):
+    # The vectorized path collects the query side — a documented
+    # small-side contract that is now ENFORCED: exceeding
+    # max_broadcast_queries raises instead of silently materializing an
+    # unbounded query set on the driver.
+    import pytest
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)  # 10 rows
+    with pytest.raises(ValueError, match="broadcastable contract"):
+        ivf_topk(emb, queries, k=3, max_broadcast_queries=5).collect()
+    # at-the-limit query sets still work
+    assert len(ivf_topk(emb, queries, k=3, max_broadcast_queries=10).collect()) > 0
+
+
 def test_ann_router_ivf_above_threshold(spark):
     from plumberapp_spark.llm.similarity import ann_topk
 

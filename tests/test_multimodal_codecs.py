@@ -1,12 +1,16 @@
 """Optional-codec path for multimodal operators: REAL PIL decode/resize
 when the library is present (skip-markered — absent in this container),
-and the honest NotImplementedError fallback when it is not. The Spark-side
+the pure-Python header-parse decode fallback always (unskipped: real
+dimension decode without PIL), and the honest NotImplementedError where
+no fallback is honest (video, strict pixel decode). The Spark-side
 plumbing (schema, mapInPandas batch shape, narrow no-shuffle plan) is
 exercised either way via extract_features (q25)."""
 
 from __future__ import annotations
 
+import struct
 import sys
+import zlib
 from pathlib import Path
 
 import pytest
@@ -16,6 +20,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 from plumberapp_spark.llm.multimodal import (  # noqa: E402
     _pil,
     decode_image,
+    parse_image_header,
     resize_images,
     sample_frames,
 )
@@ -23,18 +28,54 @@ from plumberapp_spark.llm.multimodal import (  # noqa: E402
 HAS_PIL = _pil() is not None
 
 
+def _png_bytes(w: int, h: int, rgb=(30, 10, 200)) -> bytes:
+    """Minimal stdlib-only RGB PNG encoder (valid IHDR/IDAT/IEND) so the
+    decode tests run in containers without PIL."""
+
+    def chunk(tag: bytes, payload: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(payload))
+            + tag
+            + payload
+            + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # 8-bit RGB
+    raw = b"".join(b"\x00" + bytes(rgb) * w for _ in range(h))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
 def _image_df(spark):
-    from io import BytesIO
-
-    from PIL import Image
-
-    rows = []
-    for i, (w, h) in enumerate([(8, 6), (5, 5), (12, 3)]):
-        im = Image.new("RGB", (w, h), color=(i * 40 % 256, 10, 200))
-        buf = BytesIO()
-        im.save(buf, format="PNG")
-        rows.append((i, buf.getvalue()))
+    rows = [
+        (i, _png_bytes(w, h, rgb=(i * 40 % 256, 10, 200)))
+        for i, (w, h) in enumerate([(8, 6), (5, 5), (12, 3)])
+    ]
     return spark.createDataFrame(rows, "doc_id bigint, payload binary")
+
+
+def test_decode_image_header_fallback(spark):
+    # Runs in ANY container: dimensions/channels/mode decode from the
+    # container header (pure Python); with PIL installed the same call is
+    # a full decode and must agree on these fields.
+    out = {r["doc_id"]: r for r in decode_image(_image_df(spark), "doc_id", "payload").collect()}
+    assert (out[0]["width"], out[0]["height"], out[0]["channels"], out[0]["mode"]) == (8, 6, 3, "RGB")
+    assert (out[2]["width"], out[2]["height"]) == (12, 3)
+
+
+def test_parse_image_header_formats():
+    assert parse_image_header(_png_bytes(8, 6)) == (6, 8, 3, "RGB")
+    gif = b"GIF89a" + struct.pack("<HH", 11, 7) + b"\x00" * 20
+    assert parse_image_header(gif) == (7, 11, 1, "P")
+    # minimal JPEG: SOI + SOF0 (h=5, w=9, 3 components)
+    jpeg = b"\xff\xd8" + b"\xff\xc0" + struct.pack(">H", 17) + b"\x08" + struct.pack(">HH", 5, 9) + b"\x03" + b"\x00" * 10
+    assert parse_image_header(jpeg) == (5, 9, 3, "RGB")
+    with pytest.raises(ValueError, match="unrecognized"):
+        parse_image_header(b"notanimage")
 
 
 @pytest.mark.skipif(not HAS_PIL, reason="PIL not installed in this container")
@@ -60,10 +101,10 @@ def test_resize_images_central_crop(spark):
 
 
 @pytest.mark.skipif(HAS_PIL, reason="fallback only without PIL")
-def test_decode_raises_honestly_without_pil(spark):
+def test_strict_decode_and_resize_raise_honestly_without_pil(spark):
     df = spark.createDataFrame([(1, b"notanimage")], "doc_id bigint, payload binary")
     with pytest.raises(NotImplementedError, match="PIL"):
-        decode_image(df, "doc_id", "payload")
+        decode_image(df, "doc_id", "payload", allow_header_fallback=False)
     with pytest.raises(NotImplementedError, match="PIL"):
         resize_images(df, "doc_id", "payload", 4, 4)
 

@@ -35,12 +35,41 @@ def test_multi_cell_grid_matches_single_cell(spark):
 def test_grid_matches_expression_form(spark):
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
     naive = _pairs(
-        near_dup_pairs_cosine(emb, threshold=-1.0)
+        near_dup_pairs_cosine(emb, threshold=-1.0, vectorized=False)
         .orderBy(F.col("cos_sim").desc(), "id_a", "id_b")
         .limit(25)
     )
     grid = _pairs(top_pairs_cosine_blocked(emb, k=25, rows_per_block=64))
     assert naive == grid
+
+
+def test_near_dup_thresholded_grid_matches_expression(spark):
+    # The real near-dup harvest: emit ALL pairs >= threshold. Grid path
+    # (k=None, threshold in-cell) must equal the O(n²) expression form.
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    thr = 0.3
+    naive = _pairs(near_dup_pairs_cosine(emb, threshold=thr, vectorized=False))
+    grid = _pairs(near_dup_pairs_cosine(emb, threshold=thr, rows_per_block=64))
+    assert naive == grid and len(grid) > 0
+
+
+def test_near_dup_topk_matches_expression(spark):
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    naive = _pairs(near_dup_pairs_cosine(emb, threshold=-1.0, k=30, vectorized=False))
+    grid = _pairs(near_dup_pairs_cosine(emb, threshold=-1.0, k=30, rows_per_block=64))
+    assert naive == grid and len(grid) == 30
+
+
+def test_near_dup_grid_plan_has_no_corpus_broadcast(spark):
+    # q21's round-2 anti-pattern (broadcast crossJoin of the full corpus)
+    # must be gone: the grid plan has no BroadcastExchange at all.
+    from tests.test_explain_plans import formatted_plan
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    plan = formatted_plan(near_dup_pairs_cosine(emb, threshold=-1.0, k=50))
+    assert "FlatMapGroupsInPandas" in plan
+    assert "BroadcastExchange" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
 
 
 def test_no_corpus_collect_in_lineage(spark):

@@ -84,9 +84,9 @@ def test_dot_sink(spark):
 
 
 def test_windowed_counts_batch_path(spark):
-    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").withColumn(
-        "ts", F.timestamp_micros((F.col("ts") / 1000).cast("bigint"))
-    )
+    from plumberapp_spark.session import events_with_timestamp
+
+    ev = events_with_timestamp(spark, SF_DIR)
     out = windowed_event_counts(ev, window="1 hour")
     rows = out.collect()
     assert len(rows) > 0 and all(r["n"] > 0 for r in rows)
