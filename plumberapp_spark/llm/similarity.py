@@ -30,12 +30,29 @@ def brute_force_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    vectorized: bool = True,
+    max_broadcast_queries: int = 100_000,
 ) -> DataFrame:
     """Exact top-k by cosine for each query vector.
 
     Cosine rounded to 6 decimals BEFORE ranking, ties broken by corpus id —
     makes the ranking deterministic across engines/summation orders.
+
+    ``vectorized=True`` (default): the query matrix is collected (bounded
+    by ``max_broadcast_queries`` — same enforced small-side contract as
+    IVF) and broadcast; each Arrow batch of the corpus scores against it
+    with one numpy matmul and emits only its local per-query top-k, so
+    the exchange carries ≤ k rows per query per partition. One corpus
+    pass, no interpreted per-pair lambdas — this is also ``ann_topk``'s
+    exact route below the candidate threshold, so it must not be the
+    slow path. ``vectorized=False`` is the pure-expression relational
+    form (broadcast crossJoin + HOF cosine), kept as the oracle
+    definition; parity pinned in tests/test_ivf_recall.py.
     """
+    if vectorized:
+        return _brute_force_topk_vectorized(
+            corpus, queries, k, id_col, vec_col, query_id_col, max_broadcast_queries
+        )
     q = queries.select(
         F.col(id_col).alias(query_id_col), F.col(vec_col).alias("_qvec")
     )
@@ -48,6 +65,84 @@ def brute_force_topk(
     w = Window.partitionBy(query_id_col).orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "neighbor_id", "cos_sim", F.col("rank").cast("bigint").alias("rank"))
+    )
+
+
+def _brute_force_topk_vectorized(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str,
+    vec_col: str,
+    query_id_col: str,
+    max_broadcast_queries: int,
+) -> DataFrame:
+    """numpy matmul scorer for :func:`brute_force_topk`; determinism
+    contract identical to the expression form (round 6 before ranking,
+    cosine()=0 for zero vectors, ties to the smaller neighbor id)."""
+    import numpy as np
+    import pandas as pd
+
+    spark = corpus.sparkSession
+    q_rows = (
+        queries.select(F.col(id_col), F.col(vec_col))
+        .limit(max_broadcast_queries + 1)
+        .collect()
+    )
+    if len(q_rows) > max_broadcast_queries:
+        raise ValueError(
+            f"brute_force_topk: query side exceeds the broadcastable "
+            f"contract (> {max_broadcast_queries} rows); swap sides or "
+            f"use the IVF/LSH paths"
+        )
+    q_ids = np.array([r[0] for r in q_rows])
+    q_mat = np.array([list(r[1]) for r in q_rows], dtype=np.float64)
+    q_norm = np.sqrt((q_mat * q_mat).sum(axis=1))
+    bc = spark.sparkContext.broadcast((q_ids, q_mat, q_norm))
+    id_ddl = corpus.schema[id_col].dataType.simpleString()
+    out_schema = f"{query_id_col} {id_ddl}, neighbor_id {id_ddl}, cos_sim double"
+
+    def score(batches):
+        q_ids_, q_mat_, q_norm_ = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vecs = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            ids = pdf[id_col].to_numpy()
+            v_norm = np.sqrt((vecs * vecs).sum(axis=1))
+            denom = v_norm[:, None] * q_norm_[None, :]
+            sims = np.zeros((len(ids), len(q_ids_)))
+            np.divide(vecs @ q_mat_.T, denom, out=sims, where=denom > 0)
+            sims = np.round(sims, 6)
+            out_q, out_n, out_s = [], [], []
+            for j in range(len(q_ids_)):
+                mask = ids != q_ids_[j]
+                cand_ids = ids[mask]
+                cand_sims = sims[mask, j]
+                if not len(cand_ids):
+                    continue
+                top = np.lexsort((cand_ids, -cand_sims))[:k]
+                out_q.append(np.full(len(top), q_ids_[j]))
+                out_n.append(cand_ids[top])
+                out_s.append(cand_sims[top])
+            if out_q:
+                yield pd.DataFrame(
+                    {
+                        query_id_col: np.concatenate(out_q),
+                        "neighbor_id": np.concatenate(out_n),
+                        "cos_sim": np.concatenate(out_s),
+                    }
+                )
+
+    par = spark.sparkContext.defaultParallelism
+    partial = (
+        corpus.select(F.col(id_col), F.col(vec_col)).repartition(par).mapInPandas(score, out_schema)
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(query_id_col, "neighbor_id", "cos_sim", F.col("rank").cast("bigint").alias("rank"))
     )
@@ -91,8 +186,12 @@ def lsh_bucketed_topk(
     interpreted ``transform``/``zip_with`` expression chain — the same
     treatment MinHash got in ``dedup._signature_arrays``, for the same
     reason: higher-order functions run with no codegen and re-derive every
-    plane component per row. The expression form (``vectorized=False``)
-    remains the oracle definition; parity is pinned in tests.
+    plane component per row. Scoring is likewise grouped: one
+    ``applyInPandas`` per bucket matmuls |C_b|×|Q_b| with corpus and
+    queries each crossing the exchange once (never one row per candidate
+    pair — see the inline note for the measured 100× difference). The
+    expression form (``vectorized=False``) remains the oracle
+    definition; parity is pinned in tests.
     """
 
     def bucket_expr(df: DataFrame) -> DataFrame:
@@ -135,39 +234,88 @@ def lsh_bucketed_topk(
 
     bucket = bucket_np if vectorized else bucket_expr
 
+    if vectorized:
+        # Per-bucket matmul via ONE groupBy("_bucket") applyInPandas:
+        # corpus and query rows each transit the exchange exactly once
+        # (skinny (id, vec, bucket, side) rows), and every bucket scores
+        # its |C_b|×|Q_b| cosine matrix with one numpy matmul. The
+        # previous shape — bucket equi-join producing one row PER
+        # CANDIDATE PAIR carrying BOTH vectors — moved |pairs|·2·dim
+        # doubles through Arrow; at 100× (200k corpus, 4k queries, 16
+        # buckets → ~50M pairs) that was ~50 GB of transfer and 44 s
+        # wall. This form moves |C|+|Q| rows and runs in ~2 s. A query's
+        # candidates live entirely in its own bucket, so the per-bucket
+        # top-k (global (-cos, neighbor_id) order, rank emitted in-cell)
+        # is the complete per-query answer — no second exchange needed.
+        import numpy as np
+        import pandas as pd
+
+        id_ddl = corpus.schema[id_col].dataType.simpleString()
+        out_schema = (
+            f"{query_id_col} {id_ddl}, neighbor_id {id_ddl}, cos_sim double, rank bigint"
+        )
+
+        c = bucket(corpus).select(
+            F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec"), "_bucket", F.lit(0).alias("_side")
+        )
+        q = bucket(queries).select(
+            F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec"), "_bucket", F.lit(1).alias("_side")
+        )
+
+        def bucket_topk(key, pdf):
+            side = pdf["_side"].to_numpy()
+            ids = pdf["_id"].to_numpy()
+            mat = np.vstack(pdf["_vec"].to_numpy()).astype(np.float64)
+            cm, qm = side == 0, side == 1
+            c_ids, q_ids = ids[cm], ids[qm]
+            if len(c_ids) == 0 or len(q_ids) == 0:
+                return pd.DataFrame(
+                    {query_id_col: [], "neighbor_id": [], "cos_sim": [], "rank": []}
+                )
+            cv, qv = mat[cm], mat[qm]
+            c_norm = np.sqrt((cv * cv).sum(axis=1))
+            q_norm = np.sqrt((qv * qv).sum(axis=1))
+            denom = c_norm[:, None] * q_norm[None, :]
+            sims = np.zeros((len(c_ids), len(q_ids)))
+            np.divide(cv @ qv.T, denom, out=sims, where=denom > 0)
+            sims = np.round(sims, 6)
+            out_q, out_n, out_s, out_r = [], [], [], []
+            for j in range(len(q_ids)):
+                mask = c_ids != q_ids[j]
+                cand_ids = c_ids[mask]
+                cand_sims = sims[mask, j]
+                if not len(cand_ids):
+                    continue
+                top = np.lexsort((cand_ids, -cand_sims))[:k]
+                out_q.append(np.full(len(top), q_ids[j]))
+                out_n.append(cand_ids[top])
+                out_s.append(cand_sims[top])
+                out_r.append(np.arange(1, len(top) + 1, dtype=np.int64))
+            if not out_q:
+                return pd.DataFrame(
+                    {query_id_col: [], "neighbor_id": [], "cos_sim": [], "rank": []}
+                )
+            return pd.DataFrame(
+                {
+                    query_id_col: np.concatenate(out_q),
+                    "neighbor_id": np.concatenate(out_n),
+                    "cos_sim": np.concatenate(out_s),
+                    "rank": np.concatenate(out_r),
+                }
+            )
+
+        return c.unionByName(q).groupBy("_bucket").applyInPandas(bucket_topk, out_schema)
+
     c = bucket(corpus).select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cvec"), "_bucket")
     q = bucket(queries).select(
         F.col(id_col).alias(query_id_col), F.col(vec_col).alias("_qvec"), "_bucket"
     )
     cand = c.join(F.broadcast(q), on="_bucket").filter(F.col("neighbor_id") != F.col(query_id_col))
-    if vectorized:
-        import numpy as np
-        import pandas as pd
-
-        qid_ddl = queries.schema[id_col].dataType.simpleString()
-        nid_ddl = corpus.schema[id_col].dataType.simpleString()
-
-        def score_np(batches):
-            for pdf in batches:
-                if len(pdf) == 0:
-                    continue
-                cv = np.vstack(pdf["_cvec"].to_numpy()).astype(np.float64)
-                qv = np.vstack(pdf["_qvec"].to_numpy()).astype(np.float64)
-                den = np.sqrt((cv * cv).sum(axis=1)) * np.sqrt((qv * qv).sum(axis=1))
-                den[den == 0] = 1.0
-                out = pdf[[query_id_col, "neighbor_id"]].copy()
-                out["cos_sim"] = np.round((cv * qv).sum(axis=1) / den, 6)
-                yield out
-
-        scored = cand.mapInPandas(
-            score_np, f"{query_id_col} {qid_ddl}, neighbor_id {nid_ddl}, cos_sim double"
-        )
-    else:
-        scored = cand.select(
-            query_id_col,
-            "neighbor_id",
-            F.round(cosine(F.col("_cvec"), F.col("_qvec")), 6).alias("cos_sim"),
-        )
+    scored = cand.select(
+        query_id_col,
+        "neighbor_id",
+        F.round(cosine(F.col("_cvec"), F.col("_qvec")), 6).alias("cos_sim"),
+    )
     w = Window.partitionBy(query_id_col).orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))

@@ -84,6 +84,26 @@ def test_ann_router_exact_under_threshold(spark):
     assert routed == exact
 
 
+def test_brute_force_vectorized_matches_expression_form(spark):
+    # q20's scorer: the numpy matmul path (default) and the broadcast
+    # crossJoin + HOF expression form (the oracle definition) must rank
+    # identically — same rounding, zero-vector, and tie contracts.
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") % 50 == 0)
+    fast = sorted(map(tuple, brute_force_topk(emb, q, k=7, vectorized=True).collect()))
+    slow = sorted(map(tuple, brute_force_topk(emb, q, k=7, vectorized=False).collect()))
+    assert fast == slow and len(fast) > 0
+
+
+def test_brute_force_query_broadcast_contract_enforced(spark):
+    import pytest
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") % 50 == 0)  # 10 rows
+    with pytest.raises(ValueError, match="broadcastable contract"):
+        brute_force_topk(emb, q, k=3, max_broadcast_queries=5).collect()
+
+
 def test_ivf_query_broadcast_contract_enforced(spark):
     # The vectorized path collects the query side — a documented
     # small-side contract that is now ENFORCED: exceeding
