@@ -115,16 +115,19 @@ def shuffle(df: DataFrame, seed: int, idx: str = ROW_IDX) -> DataFrame:
     verified as a multiset; SURVEY §7.2 keys randomness per row so reruns
     are stable). Reference: ``imagenet_input.py:198-202``.
 
-    At scale this is a full shuffle exchange keyed by ``rand(seed)``; we
-    sort by the keyed hash so the permutation is a pure function of
-    (seed, row identity), not of partitioning.
+    ONE hash exchange on the keyed hash + an in-partition sort — the
+    placement of every row is still a pure function of (seed, row
+    identity), but there is no global range sort and therefore no extra
+    boundary-sampling pass over the input. tf.data's shuffle gives the
+    same contract: a reproducible permutation, not a total order.
     """
     if idx in df.columns:
         key = F.abs(F.hash(F.col(idx).cast("string"), F.lit(seed)))
-        return df.orderBy(key, F.col(idx))
+        return df.repartition(key).sortWithinPartitions(key, F.col(idx))
     # no index column: key the permutation on the full row content
     row_key = F.concat_ws("\x1f", *[F.col(c).cast("string") for c in df.columns])
-    return df.orderBy(F.abs(F.hash(row_key, F.lit(seed))), row_key)
+    key = F.abs(F.hash(row_key, F.lit(seed)))
+    return df.repartition(key).sortWithinPartitions(key, row_key)
 
 
 def repeat(df: DataFrame, count: int, epoch_col: str = "_epoch") -> DataFrame:

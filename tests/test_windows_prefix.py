@@ -1,0 +1,79 @@
+"""Distributed two-phase prefix sum (operators/windows.py) vs the naive
+single-task-per-key window: identical ranks and running totals at any
+bucket count, including n_buckets=1 (the naive fallback) and bucket
+counts larger than the per-key row count."""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from plumberapp_spark.operators.windows import ranked_running_total  # noqa: E402
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _naive(df):
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), "o_orderkey"
+    )
+    return df.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.row_number().over(w).cast("long").alias("rank"),
+        F.round(
+            F.sum("o_totalprice").over(w.rowsBetween(Window.unboundedPreceding, 0)), 2
+        ).alias("running_total"),
+    )
+
+
+def _bucketed(df, n_buckets):
+    out = ranked_running_total(
+        df,
+        part_col="o_orderpriority",
+        order_col="o_totalprice",
+        id_col="o_orderkey",
+        n_buckets=n_buckets,
+    )
+    return out.select(
+        "o_orderkey",
+        "o_orderpriority",
+        "rank",
+        F.round("running_total", 2).alias("running_total"),
+    )
+
+
+def _rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def test_prefix_sum_matches_naive_window(spark):
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    naive = _rows(_naive(orders))
+    for n_buckets in (1, 4, 32):
+        assert _rows(_bucketed(orders, n_buckets)) == naive, n_buckets
+
+
+def test_prefix_sum_handles_heavy_order_col_ties(spark):
+    # All rows of a key sharing one order value collapse into ONE bucket;
+    # ranks must still be the id tie-break sequence.
+    rows = [(i, "P", 100.0) for i in range(50)] + [(100 + i, "P", 50.0) for i in range(50)]
+    df = spark.createDataFrame(
+        rows, "o_orderkey long, o_orderpriority string, o_totalprice double"
+    )
+    assert _rows(_bucketed(df, 8)) == _rows(_naive(df))
+
+
+def test_prefix_sum_more_buckets_than_rows(spark):
+    rows = [(1, "A", 3.0), (2, "A", 2.0), (3, "B", 1.0)]
+    df = spark.createDataFrame(
+        rows, "o_orderkey long, o_orderpriority string, o_totalprice double"
+    )
+    assert _rows(_bucketed(df, 16)) == _rows(_naive(df))
