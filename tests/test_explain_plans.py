@@ -104,3 +104,49 @@ def test_hot_path_stays_jvm_side(spark, name):
     assert "ArrowEvalPython" not in plan
     if "AdaptiveSparkPlan" not in plan:
         assert "codegen id" in plan
+
+
+def test_prefix_sum_window_is_bucketed(spark):
+    """q36: the full-table window must partition by (key, _bkt) — a
+    window over the bare 5-value priority key is one task per key and
+    was measured 84x slower at 100x data (SCALE.md §9). The only bare
+    single-key windowspec allowed is the per-bucket offset rollup, whose
+    input is the keys x buckets aggregate (bounded), recognizable by its
+    (-1) exclusive-prefix frame."""
+    import re
+
+    plan = formatted_plan(build(spark, "q36_order_priority_window"))
+    assert re.search(
+        r"row_number\(\) windowspecdefinition\(o_orderpriority#\d+, _bkt#\d+", plan
+    ), "main rank window lost its bucket column"
+    bare = [
+        m
+        for m in re.finditer(r"windowspecdefinition\(o_orderpriority#\d+, (?!_bkt)", plan)
+    ]
+    for m in bare:
+        frame = plan[m.start() : m.start() + 220]
+        assert "unboundedpreceding$(), -1" in frame, (
+            "full-table window partitioned by the bare low-cardinality key: "
+            + frame
+        )
+
+
+def test_shuffle_has_no_global_sort(spark):
+    """q26: the seeded permutation is a hash exchange + in-partition sort
+    — no RangePartitioning (which adds a boundary-sampling pass and
+    skew-prone ranges) and no global Sort anywhere in the plan."""
+    import re
+
+    plan = formatted_plan(build(spark, "q26_shuffle_multiset"))
+    assert "rangepartitioning" not in plan.lower()
+    assert not re.findall(r"Arguments: \[[^\]]*\], true, 0", plan), "global sort present"
+
+
+def test_q35_exchange_carries_pruned_columns(spark):
+    """q35: the lineitem side of the fact⋈fact exchange reads exactly the
+    3 referenced columns (pruning measured 6.3 s -> 4.1 s at 100x)."""
+    plan = formatted_plan(build(spark, "q35_revenue_by_nation"))
+    assert (
+        "ReadSchema: struct<l_orderkey:bigint,l_extendedprice:double,l_discount:double>"
+        in plan
+    )
