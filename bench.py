@@ -91,6 +91,7 @@ PRIMARY_INPUT = {
     "q54_ivf_topk": "embeddings",
     "q55_stateful_rate_monitor": "events",
     "q56_lsh_bucketed_topk": "embeddings",
+    "q57_streaming_exact_dedup": "events",
 }
 
 RATE_TABLES = ("lineitem", "orders", "events", "documents", "embeddings", "customer")

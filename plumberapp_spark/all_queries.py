@@ -31,11 +31,13 @@ from plumberapp_spark.registry import REGISTRY
 # The correctness driver evaluates the first 50 registry entries, so order
 # matters: every operator's primary evidence query must land inside the cap.
 # Round-3 rotation (VERDICT r2 item 6): the TPC-H-shape family (q36,
-# q39-q42) moves INSIDE the cap so it gets driver-grade verification at
-# least once; five rows that were driver-green in BOTH r1 and r2 and whose
-# operators have in-cap siblings rotate out (q07 take/skip/shard ~ q26/q27
-# stream-op family; q09 repeat ~ q27 concatenate; q13 hash-bucket ~ q12
-# string pipeline; q27/q28 ~ q26 + each other's shared multiset machinery).
+# q39-q42) and the new streaming-dedup query (q57) move INSIDE the cap so
+# they get driver-grade verification; rows that were driver-green in BOTH
+# r1 and r2 and whose operators have in-cap siblings rotate out (q07
+# take/skip/shard ~ q26/q27 stream-op family; q09 repeat ~ q27
+# concatenate; q10 unbatch ~ q08 batch family; q13 hash-bucket ~ q12
+# string pipeline; q27/q28 ~ q26 + each other's shared multiset
+# machinery).
 # Everything in the tail stays registered, benched, and oracle-checked by
 # tests/test_queries_oracle.py at sf0.001 every run. q55 is tail by design:
 # per-batch rates depend on micro-batch boundaries (rows-only check,
@@ -43,6 +45,7 @@ from plumberapp_spark.registry import REGISTRY
 _TAIL = (
     "q07_take_skip_shard",
     "q09_repeat_echo",
+    "q10_unbatch_roundtrip",
     "q13_hash_bucket",
     "q27_concatenate",
     "q28_choose_from",

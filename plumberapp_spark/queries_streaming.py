@@ -79,6 +79,54 @@ def q52_streaming_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(sink)
 
 
+@register(
+    "q57_streaming_exact_dedup",
+    oracle="""
+    SELECT DISTINCT user_id, event_type FROM events
+    """,
+)
+def q57_streaming_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup under the driver contract: a parquet file
+    stream deduplicated on (user_id, event_type) with the stateful
+    streaming dropDuplicates operator, drained with availableNow — the
+    driver-checkable face of streaming/stream_ops.streaming_exact_dedup
+    (its watermark-bounded mode and late-data contract are pinned in
+    tests/test_sources_streaming.py).
+
+    Projected to the dedup keys BEFORE the operator so the bounded
+    replay is deterministic regardless of micro-batch order (which row
+    of a key survives is a runtime property; the key set is not) —
+    giving the stateful operator an exact relational oracle:
+    SELECT DISTINCT. State is one entry per distinct key pair —
+    |event_types| x |users|, bounded and tiny relative to the stream.
+    """
+    ensure_read_confs(spark)
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(schema).format("parquet").load(f"{sf_dir}/events.*")
+    )
+    from plumberapp_spark.streaming.stream_ops import streaming_exact_dedup
+
+    deduped = streaming_exact_dedup(
+        stream.select("user_id", "event_type"),
+        ["user_id", "event_type"],
+        watermark=None,
+    )
+    sink = "q57_sink_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    for q in spark.streams.active:
+        if q.name == sink:
+            q.stop()
+    query = (
+        deduped.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(sink)
+
+
 @register("q55_stateful_rate_monitor", oracle=None)
 def q55_stateful_rate_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A12's convergence detector as a CUSTOM STATEFUL streaming operator

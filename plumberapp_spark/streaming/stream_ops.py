@@ -124,7 +124,7 @@ def streaming_exact_dedup(
     events: DataFrame,
     key_cols: list[str],
     ts_col: str = "ts",
-    watermark: str = "10 minutes",
+    watermark: str | None = "10 minutes",
 ) -> DataFrame:
     """Exact dedup at INGESTION time — the streaming face of the batch
     ``exact_dedup`` family (llm/dedup.py): keep the first arrival of each
@@ -134,11 +134,14 @@ def streaming_exact_dedup(
     and expires entries once the watermark passes their event time, so
     state is bounded by (keys arriving within one watermark window), not
     by stream length — the property that makes it runnable forever at
-    ingest scale, where a plain ``dropDuplicates`` on a stream would
-    accumulate state for every key ever seen. Batch DataFrames take the
-    plain ``dropDuplicates`` path (same bounded-input semantics).
+    ingest scale. ``watermark=None`` selects plain streaming
+    ``dropDuplicates``: state grows with distinct keys ever seen —
+    correct and appropriate ONLY for bounded replays (the q57 oracle
+    query) or key spaces known to be small; at unbounded ingest scale
+    always pass a watermark. Batch DataFrames take the plain
+    ``dropDuplicates`` path (same bounded-input semantics).
     """
-    if not events.isStreaming:
+    if not events.isStreaming or watermark is None:
         return events.dropDuplicates(key_cols)
     return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(key_cols)
 
