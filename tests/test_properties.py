@@ -167,3 +167,56 @@ def test_with_row_idx_dense_deterministic_and_unpersisted(spark):
     assert a == b
     assert [i for _, i in a] == list(range(5000))  # dense, ordered by k
     assert spark.sparkContext._jsc.getPersistentRDDs().size() == persisted_before
+
+
+# --------------------------------------------------------------------------
+# Distributed prefix sum (operators/windows.py) — law: for ANY rows and any
+# bucket count, bucketed rank/running-total == the naive per-key window
+# --------------------------------------------------------------------------
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=40),  # id (made unique below)
+            st.sampled_from(["A", "B", "C"]),
+            st.sampled_from([1.0, 2.0, 5.0, 5.0, 100.0]),  # heavy ties
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    n_buckets=st.sampled_from([1, 2, 7]),
+)
+@settings(**SPARK_SETTINGS)
+def test_prefix_sum_window_law(spark, rows, n_buckets):
+    from pyspark.sql import Window
+
+    from plumberapp_spark.operators.windows import ranked_running_total
+
+    uniq = [(i, k, v) for i, (_, k, v) in enumerate(rows)]
+    df = spark.createDataFrame(uniq, "id long, key string, val double")
+    got = sorted(
+        map(
+            tuple,
+            ranked_running_total(
+                df, part_col="key", order_col="val", id_col="id", n_buckets=n_buckets
+            )
+            .select("id", "key", "rank", F.round("running_total", 6).alias("rt"))
+            .collect(),
+        )
+    )
+    w = Window.partitionBy("key").orderBy(F.col("val").desc(), "id")
+    want = sorted(
+        map(
+            tuple,
+            df.select(
+                "id",
+                "key",
+                F.row_number().over(w).cast("long").alias("rank"),
+                F.round(
+                    F.sum("val").over(w.rowsBetween(Window.unboundedPreceding, 0)), 6
+                ).alias("rt"),
+            ).collect(),
+        )
+    )
+    assert got == want
