@@ -203,12 +203,45 @@ def cache(df: DataFrame, storage_level: StorageLevel = StorageLevel.MEMORY_AND_D
     return df.persist(storage_level)
 
 
-def prefetch(df: DataFrame, buffer_size: int) -> DataFrame:
+def prefetch(
+    df: DataFrame,
+    buffer_size: int,
+    materialize_async: bool = False,
+    storage_level: StorageLevel = StorageLevel.MEMORY_AND_DISK,
+) -> DataFrame:
     """O7 ``prefetch(n)`` — producer/consumer decoupling buffer.
 
-    No Spark analog: stages pipeline internally and exchanges buffer
-    (SURVEY §7.5). Kept as a modeled no-op so plans and the LP cost model
-    line up with the reference (``pa/pipeline_optimizer.py:1102-1127``);
-    the plan IR records the buffer size for the optimizer.
+    Default (``materialize_async=False``): a modeled no-op — Spark's
+    stage pipelining and exchange buffers already decouple
+    producer/consumer inside a job (SURVEY §7.5), and the plan IR
+    records the buffer size so the LP cost model lines up with the
+    reference (``pa/pipeline_optimizer.py:1102-1127``).
+
+    ``materialize_async=True`` is the real cross-JOB analog of
+    tf.data's prefetch: persist the frame and kick its materialization
+    off on a background thread (``InheritableThread`` so the job group
+    propagates), so by the time the consumer's NEXT action runs, blocks
+    are already cached — producer I/O overlaps whatever the driver does
+    in between, exactly the overlap the reference buys with its
+    background producer threads. The caller owns the lifetime
+    (``unpersist()``), same as ``cache``; the returned frame is usable
+    immediately whether or not the warm job has finished (Spark
+    computes-and-caches any block the warm job hasn't reached yet).
     """
-    return df
+    if not materialize_async:
+        return df
+    cached = df.persist(storage_level)
+
+    from pyspark import InheritableThread
+
+    def _warm() -> None:
+        try:
+            cached.write.format("noop").mode("overwrite").save()
+        except Exception:
+            # a failed warm pass must never take down the driver; the
+            # consumer's own action will surface any real error
+            pass
+
+    t = InheritableThread(target=_warm, daemon=True)
+    t.start()
+    return cached

@@ -273,3 +273,37 @@ def test_streaming_exact_dedup(spark, tmp_path):
     assert sorted(
         r["doc_id"] for r in streaming_exact_dedup(batch, ["doc_id"]).collect()
     ) == [1, 2, 3]
+
+
+def test_prefetch_async_materializes_in_background(spark):
+    """O7 real mode: prefetch(materialize_async=True) persists the frame
+    and warms it on a background thread — cached blocks appear WITHOUT
+    any foreground action, and the data stays correct."""
+    import time as _t
+
+    from plumberapp_spark.operators.stream import prefetch
+
+    df = spark.read.parquet(f"{SF_DIR}/events.parquet").select("event_id", "value")
+    out = prefetch(df, buffer_size=4, materialize_async=True)
+    try:
+        deadline = _t.time() + 30
+        sc = spark.sparkContext
+        info = []
+        while _t.time() < deadline:
+            # observable contract: cached partitions appear with no
+            # foreground action on `out`
+            info = [r for r in sc._jsc.sc().getRDDStorageInfo() if r.numCachedPartitions() > 0]
+            if info:
+                break
+            _t.sleep(0.3)
+        assert info, "no cached partitions appeared from the background warm"
+        assert out.count() == df.count()
+    finally:
+        out.unpersist()
+
+
+def test_prefetch_default_is_passthrough(spark):
+    from plumberapp_spark.operators.stream import prefetch
+
+    df = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    assert prefetch(df, buffer_size=2) is df
