@@ -207,6 +207,75 @@ def sample_frames(df: DataFrame, binary_col: str, every_n: int) -> DataFrame:
     raise NotImplementedError("video frame sampling requires ffmpeg (not in this container)")
 
 
+AUDIO_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_channels", T.LongType()),
+        T.StructField("sample_rate", T.LongType()),
+        T.StructField("bits_per_sample", T.LongType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("duration_s", T.DoubleType()),
+    ]
+)
+
+
+def parse_audio_header(data: bytes) -> tuple[int, int, int, int, float]:
+    """Pure-Python (stdlib-only) audio header parse for PCM WAV/RIFF:
+    (n_channels, sample_rate, bits_per_sample, n_frames, duration_s)
+    read from the fmt/data chunks — no codec library, no sample decode.
+    Compressed formats (mp3/ogg/flac) raise: decoding them honestly
+    needs a codec library, same policy as video."""
+    import struct
+
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("unrecognized audio format (PCM WAV/RIFF only)")
+    pos, n = 12, len(data)
+    fmt = None
+    data_len = None
+    while pos + 8 <= n:
+        tag = data[pos : pos + 4]
+        (size,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+        body = data[pos + 8 : pos + 8 + size]
+        if tag == b"fmt ":
+            audio_fmt, channels, rate = struct.unpack("<HHI", body[:8])
+            bits = struct.unpack("<H", body[14:16])[0]
+            if audio_fmt != 1:
+                raise ValueError("compressed WAV (non-PCM) needs a codec library")
+            fmt = (channels, rate, bits)
+        elif tag == b"data":
+            data_len = size
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data_len is None:
+        raise ValueError("corrupt WAV: missing fmt or data chunk")
+    channels, rate, bits = fmt
+    frame_bytes = max(1, channels * (bits // 8))
+    n_frames = data_len // frame_bytes
+    return channels, rate, bits, n_frames, round(n_frames / rate, 6) if rate else 0.0
+
+
+def decode_audio(df: DataFrame, id_col: str, binary_col: str) -> DataFrame:
+    """Audio analog of :func:`decode_image`: Arrow-batched header decode
+    emitting (channels, sample_rate, bits, frames, duration) per payload
+    — the metadata a sampling/feature stage consumes. PCM WAV parses for
+    real (stdlib struct); compressed formats raise per-payload with the
+    honest codec-missing message. The binary column never shuffles."""
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in ("doc_id", "n_channels", "sample_rate", "bits_per_sample", "n_frames", "duration_s")}
+            for row_id, payload in zip(pdf[id_col], pdf[binary_col]):
+                ch, rate, bits, frames, dur = parse_audio_header(bytes(payload))
+                rows["doc_id"].append(int(row_id))
+                rows["n_channels"].append(ch)
+                rows["sample_rate"].append(rate)
+                rows["bits_per_sample"].append(bits)
+                rows["n_frames"].append(frames)
+                rows["duration_s"].append(dur)
+            yield pd.DataFrame(rows)
+
+    return df.select(F.col(id_col), F.col(binary_col)).mapInPandas(_decode, AUDIO_SCHEMA)
+
+
 def resize_images(
     df: DataFrame, id_col: str, binary_col: str, height: int, width: int
 ) -> DataFrame:

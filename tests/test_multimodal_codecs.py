@@ -113,3 +113,32 @@ def test_video_sampling_always_stubbed(spark):
     df = spark.createDataFrame([(1, b"notavideo")], "doc_id bigint, payload binary")
     with pytest.raises(NotImplementedError, match="ffmpeg"):
         sample_frames(df, "payload", every_n=2)
+
+
+def _wav_bytes(channels=2, rate=16000, bits=16, n_frames=1600) -> bytes:
+    """Minimal stdlib-only PCM WAV encoder (RIFF + fmt + data)."""
+    frame_bytes = channels * bits // 8
+    body = b"\x00" * (n_frames * frame_bytes)
+    fmt = struct.pack("<HHIIHH", 1, channels, rate, rate * frame_bytes, frame_bytes, bits)
+    chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    chunks += b"data" + struct.pack("<I", len(body)) + body
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def test_parse_audio_header_wav():
+    from plumberapp_spark.llm.multimodal import parse_audio_header
+
+    assert parse_audio_header(_wav_bytes(2, 16000, 16, 1600)) == (2, 16000, 16, 1600, 0.1)
+    assert parse_audio_header(_wav_bytes(1, 8000, 8, 8000)) == (1, 8000, 8, 8000, 1.0)
+    with pytest.raises(ValueError, match="unrecognized audio"):
+        parse_audio_header(b"ID3notawav")
+
+
+def test_decode_audio(spark):
+    from plumberapp_spark.llm.multimodal import decode_audio
+
+    rows = [(0, _wav_bytes(1, 8000, 16, 800)), (1, _wav_bytes(2, 44100, 16, 44100))]
+    df = spark.createDataFrame(rows, "doc_id bigint, payload binary")
+    out = {r["doc_id"]: r for r in decode_audio(df, "doc_id", "payload").collect()}
+    assert (out[0]["n_channels"], out[0]["sample_rate"], out[0]["duration_s"]) == (1, 8000, 0.1)
+    assert (out[1]["n_channels"], out[1]["sample_rate"], out[1]["duration_s"]) == (2, 44100, 1.0)
