@@ -92,6 +92,7 @@ PRIMARY_INPUT = {
     "q55_stateful_rate_monitor": "events",
     "q56_lsh_bucketed_topk": "embeddings",
     "q57_streaming_exact_dedup": "events",
+    "q58_ngram_jaccard_capped": "documents",
 }
 
 RATE_TABLES = ("lineitem", "orders", "events", "documents", "embeddings", "customer")

@@ -50,6 +50,11 @@ _TAIL = (
     "q27_concatenate",
     "q28_choose_from",
     "q55_stateful_rate_monitor",
+    # q58 carries a full oracle (verified every run by
+    # tests/test_queries_oracle.py and benched); tail placement only
+    # means the 50-entry driver cap keeps its current members — q19
+    # in-cap already covers the uncapped family semantics.
+    "q58_ngram_jaccard_capped",
 )
 for _name in _TAIL:
     if _name in REGISTRY:

@@ -174,9 +174,52 @@ def q18_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q19_ngram_jaccard_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram Jaccard via inverted-index self-join; top-20 most
-    similar pairs (deterministic tie-break)."""
+    similar pairs (deterministic tie-break). No-cap form: on a corpus
+    with heavy exact duplication the candidate set explodes by
+    construction (oracle included — see SCALE.md §9); q58 is the capped
+    100x-safe variant, and dedup-first composition is the other guard."""
     pairs = ngram_jaccard_pairs(
         load_table(spark, sf_dir, "documents"), "text", "doc_id", ngram=3, threshold=0.0
+    )
+    return pairs.orderBy(F.col("jaccard").desc(), "id_a", "id_b").limit(20)
+
+
+@register(
+    "q58_ngram_jaccard_capped",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+         s AS (SELECT doc_id, list_distinct({_ngrams('toks', 3)}) AS sh FROM t),
+         sized AS (SELECT doc_id, sh, len(sh) AS n FROM s),
+         inv0 AS (SELECT doc_id, n, unnest(sh) AS shingle FROM sized),
+         inv AS (SELECT doc_id, n, shingle FROM
+                   (SELECT inv0.*, count(*) OVER (PARTITION BY shingle) AS df FROM inv0)
+                 WHERE df <= 5),
+         pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n AS n_a, b.n AS n_b,
+                          count(*) AS inter
+                   FROM inv a JOIN inv b USING (shingle)
+                   WHERE a.doc_id < b.doc_id
+                   GROUP BY 1, 2, 3, 4)
+    SELECT id_a, id_b, round(inter / (n_a + n_b - inter), 6) AS jaccard
+    FROM pairs
+    ORDER BY jaccard DESC, id_a, id_b LIMIT 20
+    """,
+)
+def q58_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q19's 100x-safe variant: `max_shingle_freq=5` drops shingles in
+    more than 5 docs BEFORE the inverted-index self-join, bounding each
+    shingle's candidate contribution at C(5,2) regardless of corpus
+    duplication (Jaccard denominators keep the uncapped per-doc shingle
+    counts — only the intersection evidence is capped, the standard
+    boilerplate guard). The cap binds on the driver testdata (29 hot
+    shingles dropped at sf0.01), so this oracle verifies the guard's
+    semantics, not a no-op."""
+    pairs = ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"),
+        "text",
+        "doc_id",
+        ngram=3,
+        threshold=0.0,
+        max_shingle_freq=5,
     )
     return pairs.orderBy(F.col("jaccard").desc(), "id_a", "id_b").limit(20)
 
