@@ -304,12 +304,49 @@ def dedup_then_lsh(
     Any candidate-generating operator (LSH, inverted-index Jaccard,
     embedding buckets) should sit downstream of exact dedup.
     """
-    survivors = (
+    survivors = exact_text_survivors(df, text_col, id_col)
+    return minhash_lsh_candidates(survivors, text_col, id_col, num_perm, bands, ngram)
+
+
+def exact_text_survivors(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Exact dedup keeping the min-id survivor per distinct text — the
+    shared head of every dedup-first composition. Constant-width
+    exchange: groups by the 32-byte md5 digest, never the text."""
+    return (
         df.groupBy(F.md5(F.col(text_col)).alias("_digest"))
         .agg(F.min(id_col).alias(id_col), F.first(text_col).alias(text_col))
         .drop("_digest")
     )
-    return minhash_lsh_candidates(survivors, text_col, id_col, num_perm, bands, ngram)
+
+
+def dedup_then_jaccard(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    ngram: int = 3,
+    threshold: float = 0.5,
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """The dedup-first composition for the inverted-index Jaccard path:
+    exact dedup, then :func:`ngram_jaccard_pairs` over survivors only.
+
+    The two guards divide the labor (measured at the 100x duplicate
+    corpus, SCALE.md §9): exact dedup removes DUPLICATION blowup (the
+    uncapped q19 fills the disk there; over survivors the same search
+    completes in seconds and returns the real near-dup pairs), while
+    ``max_shingle_freq`` caps BOILERPLATE shingles that are hot even
+    among distinct texts. A production pipeline wants both, in that
+    order.
+    """
+    survivors = exact_text_survivors(df, text_col, id_col)
+    return ngram_jaccard_pairs(
+        survivors,
+        text_col,
+        id_col,
+        ngram=ngram,
+        threshold=threshold,
+        max_shingle_freq=max_shingle_freq,
+    )
 
 
 def ngram_jaccard_pairs(

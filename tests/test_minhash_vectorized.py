@@ -85,3 +85,32 @@ def test_max_bucket_size_caps_pairs(spark):
     ).collect()
     # 3-id buckets -> C(3,2)=3 pairs, vs C(10,2)=45 uncapped
     assert len(capped) == 3
+
+
+def test_dedup_then_jaccard_matches_jaccard_over_distinct_texts(spark):
+    """Composition law: dedup_then_jaccard == ngram_jaccard_pairs over
+    the min-id survivor of each distinct text — and on an input WITH
+    duplicates it emits no pair of two copies of the same text."""
+    from pyspark.sql import functions as F
+
+    from plumberapp_spark.llm.dedup import (
+        dedup_then_jaccard,
+        exact_text_survivors,
+        ngram_jaccard_pairs,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id", "text")
+    # plant exact duplicates with new ids
+    dup = docs.limit(20).withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    with_dups = docs.unionByName(dup)
+
+    composed = sorted(
+        map(tuple, dedup_then_jaccard(with_dups, "text", "doc_id", threshold=0.2).collect())
+    )
+    survivors = exact_text_survivors(with_dups, "text", "doc_id")
+    direct = sorted(
+        map(tuple, ngram_jaccard_pairs(survivors, "text", "doc_id", threshold=0.2).collect())
+    )
+    assert composed == direct
+    # survivors keep the ORIGINAL min ids, so no planted-dup id appears
+    assert all(a < 1_000_000 and b < 1_000_000 for a, b, _ in composed)
