@@ -60,8 +60,14 @@ def main() -> int:
     wanted = [a for a in args if "/" not in a] or list(REGISTRY)
 
     con = duckdb.connect()
+    import os
+
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        p = f"{sf_dir}/{t}.parquet"
+        # driver testdata are single files; tools/gen_scaled.py output are
+        # Spark parquet directories — glob those for DuckDB
+        src = f"'{p}/*.parquet'" if os.path.isdir(p) else f"'{p}'"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM {src}")
 
     spark = get_spark("check_correctness")
     failures = 0
