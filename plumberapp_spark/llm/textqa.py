@@ -91,11 +91,51 @@ def language_id(
     )
 
 
-def token_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def token_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", vectorized: bool = True
+) -> DataFrame:
     """Token counting: whitespace tokens + a BPE-ish subword estimate
     (ceil(chars/4) per token, the common ~4-chars-per-token heuristic) +
     distinct token count.
+
+    ``vectorized=True`` (default): one Arrow ``mapInPandas`` pass
+    computing all three stats per batch — the expression form evaluates
+    three interpreted higher-order chains per row (tokenize runs once
+    per derived column; HOFs get no codegen and no cross-column CSE,
+    the same cost the MinHash notes in SCALE.md §5 document). Expression
+    form kept as the oracle definition; parity pinned in
+    tests/test_textops_vectorized.py.
     """
+    if vectorized:
+        import re as _re
+
+        import pandas as pd
+
+        ws = _re.compile(r"\s+")
+        id_ddl = df.schema[id_col].dataType.simpleString()
+
+        def stats(batches):
+            for pdf in batches:
+                n_tok, n_dist, n_sub = [], [], []
+                for text in pdf[text_col]:
+                    toks = [t for t in ws.split(text) if t] if text is not None else []
+                    n_tok.append(len(toks))
+                    n_dist.append(len(set(toks)))
+                    n_sub.append(sum((len(t) + 3) // 4 for t in toks))
+                out = pd.DataFrame(
+                    {
+                        id_col: pdf[id_col],
+                        "n_tokens": pd.array(n_tok, dtype="int64"),
+                        "n_distinct_tokens": pd.array(n_dist, dtype="int64"),
+                        "n_subword_est": pd.array(n_sub, dtype="int64"),
+                    }
+                )
+                yield out
+
+        return df.select(F.col(id_col), F.col(text_col)).mapInPandas(
+            stats,
+            f"{id_col} {id_ddl}, n_tokens bigint, n_distinct_tokens bigint, n_subword_est bigint",
+        )
     toks = tokenize(F.col(text_col))
     subword = F.aggregate(
         toks, F.lit(0).cast("bigint"), lambda acc, t: acc + F.ceil(F.length(t) / 4).cast("bigint")

@@ -64,3 +64,12 @@ def test_ngram_jaccard_vectorized_matches_expression(spark):
         map(tuple, ngram_jaccard_pairs(docs, "text", "doc_id", threshold=0.0, vectorized=False).collect())
     )
     assert fast == slow
+
+
+def test_token_stats_vectorized_matches_expression_form(spark):
+    from plumberapp_spark.llm.textqa import token_stats
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id", "text")
+    fast = sorted(map(tuple, token_stats(docs, vectorized=True).collect()))
+    slow = sorted(map(tuple, token_stats(docs, vectorized=False).collect()))
+    assert fast == slow and len(fast) > 0
