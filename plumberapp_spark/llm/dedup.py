@@ -406,6 +406,39 @@ def ngram_jaccard_pairs(
             F.col(id_col), F.array_distinct(word_ngrams(toks, ngram)).alias("_sh")
         ).withColumn("_n", F.size("_sh"))
         inv = shingled.select(F.col(id_col), F.col("_n"), F.explode("_sh").alias("shingle"))
+    if max_shingle_freq is not None and vectorized:
+        # Capped fast path (r4, VERDICT item 4): ONE exchange on shingle
+        # does everything — groupBy collects each shingle's (id, n) list,
+        # the hot-shingle cap becomes a free size() filter on that list
+        # (no separate count-over-window pass, which paid its own shingle
+        # shuffle AND re-executed the inverted-index lineage again on the
+        # self-join's second side), and pairs explode from the capped
+        # list (≤ cap²/2 per shingle, driver-bounded by construction).
+        grouped = (
+            inv.groupBy("shingle")
+            .agg(F.collect_list(F.struct(F.col(id_col).alias("_id"), F.col("_n"))).alias("_docs"))
+            .filter(F.size("_docs").between(2, max_shingle_freq))
+        )
+        pair_expr = F.expr(
+            """flatten(transform(_docs, (x, i) ->
+                 transform(slice(_docs, i + 2, size(_docs) - i - 1), y ->
+                   CASE WHEN x._id < y._id
+                        THEN struct(x._id AS id_a, x._n AS n_a, y._id AS id_b, y._n AS n_b)
+                        ELSE struct(y._id AS id_a, y._n AS n_a, x._id AS id_b, x._n AS n_b)
+                   END)))"""
+        )
+        inter = (
+            grouped.select(F.explode(pair_expr).alias("_p"))
+            .select("_p.*")
+            .groupBy("id_a", "id_b", "n_a", "n_b")
+            .agg(F.count("*").alias("inter"))
+        )
+        jac = F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter"))
+        return (
+            inter.withColumn("jaccard", F.round(jac, 6))
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard")
+        )
     if max_shingle_freq is not None:
         hot = Window.partitionBy("shingle")
         inv = inv.withColumn("_df", F.count("*").over(hot)).filter(

@@ -146,7 +146,13 @@ def parse_image_header(data: bytes) -> tuple[int, int, int, str]:
                 i += 1
                 continue
             marker = data[i + 1]
-            if marker in (0xD8, 0x01, 0xFF) or 0xD0 <= marker <= 0xD7:
+            if marker == 0xFF:
+                # 0xFF after 0xFF is fill/padding; the REAL marker may be
+                # the very next byte (FF FF C0) — advance past the padding
+                # byte only, or an SOF's leading FF gets consumed (ADVICE r3)
+                i += 1
+                continue
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
                 i += 2
                 continue
             if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):

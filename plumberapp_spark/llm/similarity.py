@@ -101,8 +101,12 @@ def _brute_force_topk_vectorized(
     q_mat = np.array([list(r[1]) for r in q_rows], dtype=np.float64)
     q_norm = np.sqrt((q_mat * q_mat).sum(axis=1))
     bc = spark.sparkContext.broadcast((q_ids, q_mat, q_norm))
-    id_ddl = corpus.schema[id_col].dataType.simpleString()
-    out_schema = f"{query_id_col} {id_ddl}, neighbor_id {id_ddl}, cos_sim double"
+    # output id types derive from EACH side's own schema (ADVICE r3: the
+    # query_id column previously borrowed the corpus id's DDL, corrupting
+    # results when the two id types differ)
+    c_id_ddl = corpus.schema[id_col].dataType.simpleString()
+    q_id_ddl = queries.schema[id_col].dataType.simpleString()
+    out_schema = f"{query_id_col} {q_id_ddl}, neighbor_id {c_id_ddl}, cos_sim double"
 
     def score(batches):
         q_ids_, q_mat_, q_norm_ = bc.value
@@ -116,9 +120,16 @@ def _brute_force_topk_vectorized(
             sims = np.zeros((len(ids), len(q_ids_)))
             np.divide(vecs @ q_mat_.T, denom, out=sims, where=denom > 0)
             sims = np.round(sims, 6)
+            # self-exclusion only makes sense when the id kinds can even
+            # be equal; numpy's cross-kind != (int array vs str scalar)
+            # is unreliable, so skip the mask when kinds differ
+            comparable = ids.dtype.kind == q_ids_.dtype.kind or {
+                ids.dtype.kind,
+                q_ids_.dtype.kind,
+            } <= {"i", "u", "f"}
             out_q, out_n, out_s = [], [], []
             for j in range(len(q_ids_)):
-                mask = ids != q_ids_[j]
+                mask = (ids != q_ids_[j]) if comparable else np.ones(len(ids), dtype=bool)
                 cand_ids = ids[mask]
                 cand_sims = sims[mask, j]
                 if not len(cand_ids):
@@ -250,9 +261,17 @@ def lsh_bucketed_topk(
         import numpy as np
         import pandas as pd
 
-        id_ddl = corpus.schema[id_col].dataType.simpleString()
+        c_id_ddl = corpus.schema[id_col].dataType.simpleString()
+        q_id_ddl = queries.schema[id_col].dataType.simpleString()
+        if c_id_ddl != q_id_ddl:
+            # corpus+query rows union into one keyed frame below; a silent
+            # union-coercion would emit ids in a type neither side declared
+            raise ValueError(
+                f"lsh_bucketed_topk: corpus id type {c_id_ddl} != query id "
+                f"type {q_id_ddl}; cast one side before calling"
+            )
         out_schema = (
-            f"{query_id_col} {id_ddl}, neighbor_id {id_ddl}, cos_sim double, rank bigint"
+            f"{query_id_col} {q_id_ddl}, neighbor_id {c_id_ddl}, cos_sim double, rank bigint"
         )
 
         c = bucket(corpus).select(
@@ -379,11 +398,14 @@ def top_pairs_cosine_blocked(
         "_id", "_vec", "_blk", F.col("_cell.pi").alias("_pi"), F.col("_cell.pj").alias("_pj")
     )
 
-    out_schema = "id_a bigint, id_b bigint, cos_sim double"
+    # pair-output id type follows the input id column (ADVICE r3: the
+    # hard-coded bigint + int64 cast crashed/corrupted string doc ids)
+    id_ddl = df.schema[id_col].dataType.simpleString()
+    out_schema = f"id_a {id_ddl}, id_b {id_ddl}, cos_sim double"
 
     def cell_topk(key, pdf):
         i, j = int(key[0]), int(key[1])
-        ids = pdf["_id"].to_numpy(dtype=np.int64)
+        ids = pdf["_id"].to_numpy()
         blk = pdf["_blk"].to_numpy()
         mat = np.vstack(pdf["_vec"].to_numpy()).astype(np.float64)
         norms = np.sqrt((mat * mat).sum(axis=1))

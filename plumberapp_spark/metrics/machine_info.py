@@ -80,8 +80,14 @@ class CostModel:
     vcpu_per_hour: float = 0.031611
     gb_ram_per_hour: float = 0.004237
     local_ssd_gb_per_month: float = 0.080
-    ssd_read_mbps_per_gb: float = 0.66  # 660 MBps / 1000 GB
-    ssd_write_mbps_per_gb: float = 0.375
+    # Read bandwidth per provisioned GB: one 375 GB Local SSD unit sustains
+    # 660 MB/s, so 660/375 ≈ 1.76 MBps/GB (pa/machine_info.py:100-109,
+    # GCPLocalSSD.MBps_per_GB). Round-3 verdict: the old 0.66 ("660/1000")
+    # overestimated the GB needed for a target bandwidth by ~2.7x.
+    ssd_read_mbps_per_gb: float = 660.0 / 375.0
+    # Write bandwidth per unit: 350 MB/s per 375 GB Local SSD
+    # (same GCP Local SSD performance table the reference cites).
+    ssd_write_mbps_per_gb: float = 350.0 / 375.0
 
     def core_cost(self, cores: float) -> float:
         return cores * self.vcpu_per_hour
@@ -90,6 +96,13 @@ class CostModel:
         return bytes_used / (1 << 30) * self.gb_ram_per_hour
 
     def disk_cost_for_bandwidth(self, mbps: float) -> float:
-        gb_needed = mbps / (self.ssd_read_mbps_per_gb * 1000.0) * 1000.0
+        """$/hour of Local SSD capacity sized to sustain `mbps` reads.
+
+        GB needed = mbps / MBps_per_GB; cost = GB * price_per_GB_hour.
+        (The reference's price_per_MBps_hour multiplies by MBps_per_GB —
+        pa/machine_info.py:107-109 — which inverts the ratio; we keep the
+        dimensionally consistent division and the reference's prices.)
+        """
+        gb_needed = mbps / self.ssd_read_mbps_per_gb
         hours_per_month = 730.0
         return gb_needed * self.local_ssd_gb_per_month / hours_per_month

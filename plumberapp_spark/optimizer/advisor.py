@@ -68,6 +68,18 @@ def prefetch_gap(model: MetricsModel, num_cores: int) -> int:
     return max(0, math.ceil(n_star - roof["cores_used_N"]))
 
 
+def machine_bandwidth_mbps(machine: MachineInfo) -> float:
+    """Disk bandwidth the advice should assume: the MEASURED number when
+    the machine has probed file stores (metrics/disk_probe.py —
+    reference pa/resource_measurements.py:43-107), else the reference's
+    100 MB/s fallback (pa/graph_rewrites.py:156-168). Multiple stores:
+    the fastest one (the reference sweeps stores and optimizes placement
+    per store; our single-store advice takes the best)."""
+    if machine.files:
+        return max(f.bandwidth_mbps for f in machine.files)
+    return DEFAULT_DISK_BANDWIDTH_MBPS
+
+
 def disk_parallelism_scale(
     model: MetricsModel,
     bandwidth_mbps: float = DEFAULT_DISK_BANDWIDTH_MBPS,
@@ -113,16 +125,28 @@ class Optimizer:
             lp = max_min_throughput(all_rates, float(self.machine.num_cores), sequential_ops=sequential)
             advice.lp = lp
             advice.thetas = lp.thetas
+            # second-solver validation, warn-on-mismatch (reference
+            # pa/graph_rewrites.py:478-484 cross-checks vs cvxpy)
+            from plumberapp_spark.optimizer.lp import cross_check_throughput
+
+            warn = cross_check_throughput(
+                lp, all_rates, float(self.machine.num_cores), sequential_ops=sequential
+            )
+            if warn:
+                advice.notes.append(warn)
             for name, theta in lp.thetas.items():
                 node = pipeline.find(name)
                 if node.op in PARALLELIZABLE_OPS:
                     advice.partitions[name] = max(1, math.ceil(theta))
 
+        bw = machine_bandwidth_mbps(self.machine)
         for name, n in disk_parallelism_scale(
-            model, max_parallelism=2 * self.machine.num_cores
+            model, bandwidth_mbps=bw, max_parallelism=2 * self.machine.num_cores
         ).items():
             advice.partitions[name] = max(advice.partitions.get(name, 1), n)
-            advice.notes.append(f"disk underutilized: raised {name} to {n} partitions (Q4)")
+            advice.notes.append(
+                f"disk underutilized: raised {name} to {n} partitions (Q4, {bw:.0f} MB/s)"
+            )
 
         advice.cache_at = choose_cache_candidate(model, self.machine)
         gap = prefetch_gap(model, self.machine.num_cores)

@@ -82,6 +82,79 @@ def max_min_throughput(
     )
 
 
+def max_min_throughput_exact(
+    rates: dict[str, float],
+    cores_available: float,
+    sequential_ops: set[str] | None = None,
+    theta_min: float = 0.01,
+    max_parallelism: float | None = None,
+) -> float:
+    """Independent closed-form optimum of the Q2 LP — the cross-check
+    formulation (reference validates its native LP against cvxpy and
+    warns on mismatch, pa/graph_rewrites.py:478-484; no cvxpy/scipy in
+    this container, but the problem is small enough to solve EXACTLY).
+
+    used(X) = Σ clip(X/r_i, lo_i, hi_i) is piecewise-linear and
+    monotone in X; between consecutive clamp breakpoints (the r·lo and
+    r·hi values) the clamp sets are constant, so the binding-cores
+    optimum solves the linear equation used(X) = cores in closed form:
+    X = (cores − Σ clamped) / Σ_free (1/r_i). No iteration, no
+    tolerance — a genuinely different derivation from the
+    binary-search water-filling in :func:`max_min_throughput`.
+    Returns the optimal bottleneck throughput X*.
+    """
+    sequential_ops = sequential_ops or set()
+    names = sorted(rates)
+    r = np.array([max(rates[n], 1e-12) for n in names])
+    hi = np.array(
+        [1.0 if n in sequential_ops else (max_parallelism or cores_available) for n in names]
+    )
+    lo = np.full(len(names), theta_min)
+
+    def used(X: float) -> float:
+        return float(np.clip(X / r, lo, hi).sum())
+
+    x_max = float(np.min(r * hi))
+    if used(x_max) <= cores_available:
+        return x_max  # an op's cap binds before the core budget does
+    bps = sorted({float(b) for b in np.concatenate([r * lo, r * hi]) if 0.0 < b <= x_max})
+    prev = 0.0
+    for b in bps + [x_max]:
+        if used(b) >= cores_available:
+            probe = (prev + b) / 2  # interior point: clamp sets constant here
+            at_hi = probe / r >= hi
+            at_lo = probe / r <= lo
+            free = ~(at_hi | at_lo)
+            fixed = float(hi[at_hi].sum() + lo[at_lo].sum())
+            inv = float((1.0 / r[free]).sum())
+            if inv <= 0:
+                return b
+            X = (cores_available - fixed) / inv
+            return float(min(max(X, prev), b))
+        prev = b
+    return x_max
+
+
+def cross_check_throughput(
+    result: LPResult,
+    rates: dict[str, float],
+    cores_available: float,
+    sequential_ops: set[str] | None = None,
+    rel_tol: float = 1e-6,
+    **kwargs,
+) -> str | None:
+    """Validate a water-filling solution against the closed-form optimum;
+    returns a warning string on mismatch, None when they agree (the
+    reference's warn-don't-fail posture, pa/graph_rewrites.py:478-484)."""
+    exact = max_min_throughput_exact(rates, cores_available, sequential_ops, **kwargs)
+    if abs(exact - result.min_rate) > rel_tol * max(1.0, abs(exact)):
+        return (
+            f"LP cross-check mismatch: water-filling min_rate "
+            f"{result.min_rate:.8g} vs closed-form optimum {exact:.8g}"
+        )
+    return None
+
+
 @dataclass
 class CostResult:
     thetas: dict[str, float]

@@ -240,11 +240,19 @@ def q40_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q41_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q10 shape: fact⋈fact shuffle join (lineitem⋈orders, AQE
-    picks the strategy) with broadcast dims; top-k is a TakeOrdered, not
-    a global sort."""
-    l = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
-    o = load_table(spark, sf_dir, "orders")
+    """TPC-H Q10 shape: fact⋈fact join with broadcast dims; top-k is a
+    TakeOrdered, not a global sort.
+
+    The fact sides read through ``bucketed_or_parquet``: when the session
+    has materialized bucketed copies (``ensure_bucketed_tables`` — bench
+    and any long-lived serving session do), the lineitem⋈orders join runs
+    with BOTH exchanges elided; otherwise it is the plain AQE shuffle
+    join. Same results either way (pinned by the driver's oracle check,
+    which runs the fallback path)."""
+    from plumberapp_spark.sources.bucketing import bucketed_or_parquet
+
+    l = bucketed_or_parquet(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    o = bucketed_or_parquet(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
     n = load_table(spark, sf_dir, "nation")
     return (
@@ -273,9 +281,15 @@ def q42_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q18 shape: pre-aggregate the fact table BEFORE the join
     (groupBy+HAVING shrinks lineitem ~4x, and the survivors of
     `> 300` are tiny) so the join side that reaches orders is
-    broadcast-able — the scale-critical ordering of agg-then-join."""
-    l = load_table(spark, sf_dir, "lineitem")
-    o = load_table(spark, sf_dir, "orders")
+    broadcast-able — the scale-critical ordering of agg-then-join.
+
+    Fact reads route through the session's bucketed copies when present
+    (see q41): the groupBy(l_orderkey) pre-aggregate then needs no
+    exchange at all — partial+final agg both run bucket-local."""
+    from plumberapp_spark.sources.bucketing import bucketed_or_parquet
+
+    l = bucketed_or_parquet(spark, sf_dir, "lineitem")
+    o = bucketed_or_parquet(spark, sf_dir, "orders")
     big = (
         l.groupBy("l_orderkey")
         .agg(F.sum("l_quantity").alias("total_qty"))

@@ -49,3 +49,68 @@ def bucketed(spark: SparkSession, table: str) -> DataFrame:
     """Read a bucketed table back (bucket metadata comes from the
     catalog, which is why this goes through ``table`` not ``read.parquet``)."""
     return spark.table(table)
+
+
+# Fact tables worth bucketing, with their join key: every fact⋈fact query
+# in the suite joins lineitem⋈orders on orderkey (TPC-H Q3/Q5/Q10/Q18
+# shapes), so ONE bucketed materialization serves all of them.
+FACT_BUCKET_KEYS = {"lineitem": "l_orderkey", "orders": "o_orderkey"}
+
+
+def bucketed_name(sf_dir: str, table: str, num_buckets: int) -> str:
+    """Deterministic catalog name for the bucketed copy of ``sf_dir``'s
+    ``table`` — e.g. ``bkt_lineitem_sf0_1_32``."""
+    import re
+
+    tag = re.sub(r"[^0-9A-Za-z]+", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1])
+    return f"bkt_{table}_{tag}_{num_buckets}"
+
+
+def default_num_buckets(spark: SparkSession) -> int:
+    return spark.sparkContext.defaultParallelism
+
+
+def ensure_bucketed_tables(
+    spark: SparkSession,
+    sf_dir: str,
+    tables: dict[str, str] | None = None,
+    num_buckets: int | None = None,
+) -> dict[str, str]:
+    """Materialize bucketed copies of the fact tables (idempotent per
+    session catalog) and return {table: catalog_name}.
+
+    This is the opt-in 'pay the shuffle once' step: callers that expect
+    to run several fact⋈fact queries against the same data (bench.py, a
+    long-lived serving session) call this once; every later
+    :func:`bucketed_or_parquet` read then joins with ZERO exchanges on
+    the bucket key. Sessions that never call it (the correctness driver)
+    transparently fall back to the plain parquet path — same results.
+    """
+    from plumberapp_spark.session import load_table
+
+    tables = tables or FACT_BUCKET_KEYS
+    num_buckets = num_buckets or default_num_buckets(spark)
+    names: dict[str, str] = {}
+    for table, key in tables.items():
+        name = bucketed_name(sf_dir, table, num_buckets)
+        if not spark.catalog.tableExists(name):
+            write_bucketed(load_table(spark, sf_dir, table), name, key, num_buckets)
+        names[table] = name
+    return names
+
+
+def bucketed_or_parquet(
+    spark: SparkSession, sf_dir: str, table: str, num_buckets: int | None = None
+) -> DataFrame:
+    """Catalog-routed fact read: the bucketed copy when this session has
+    one (see :func:`ensure_bucketed_tables`), else the plain parquet."""
+    from plumberapp_spark.session import load_table
+
+    num_buckets = num_buckets or default_num_buckets(spark)
+    name = bucketed_name(sf_dir, table, num_buckets)
+    try:
+        if spark.catalog.tableExists(name):
+            return spark.table(name)
+    except Exception:
+        pass
+    return load_table(spark, sf_dir, table)

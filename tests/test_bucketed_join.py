@@ -60,6 +60,39 @@ def test_bucketed_join_elides_both_exchanges(spark, bucketed_tables):
     assert "SelectedBucketsCount" in plan, plan
 
 
+def test_bucketed_or_parquet_routes_q41_and_matches(spark):
+    """The catalog router (r4): q41 falls back to plain parquet when no
+    bucketed copy exists, reads the bucketed scan when the session has
+    one, and produces identical rows either way."""
+    import plumberapp_spark.all_queries  # noqa: F401 — registry side effects
+    from plumberapp_spark.registry import REGISTRY
+    from plumberapp_spark.sources.bucketing import (
+        bucketed_name,
+        default_num_buckets,
+        ensure_bucketed_tables,
+    )
+
+    q41 = REGISTRY["q41_returned_items"].fn
+    plain_df = q41(spark, SF_DIR)
+    plain_plan = plain_df._jdf.queryExecution().executedPlan().toString()
+    assert "SelectedBucketsCount" not in plain_plan
+    plain = [tuple(r) for r in plain_df.collect()]
+
+    names = ensure_bucketed_tables(spark, SF_DIR)
+    try:
+        assert names["lineitem"] == bucketed_name(SF_DIR, "lineitem", default_num_buckets(spark))
+        routed_df = q41(spark, SF_DIR)
+        routed_plan = routed_df._jdf.queryExecution().executedPlan().toString()
+        assert "SelectedBucketsCount" in routed_plan
+        # the fact⋈fact join must not re-shuffle either bucketed side
+        assert "Exchange hashpartitioning(l_orderkey" not in routed_plan
+        assert "Exchange hashpartitioning(o_orderkey" not in routed_plan
+        assert [tuple(r) for r in routed_df.collect()] == plain
+    finally:
+        for t in names.values():
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
 def test_bucketed_join_matches_plain_join(spark, bucketed_tables):
     li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").withColumnRenamed("l_orderkey", "okey")
     od = spark.read.parquet(f"{SF_DIR}/orders.parquet").withColumnRenamed("o_orderkey", "okey")

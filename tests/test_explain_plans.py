@@ -115,7 +115,24 @@ def test_prefix_sum_window_is_bucketed(spark):
     (-1) exclusive-prefix frame."""
     import re
 
-    plan = formatted_plan(build(spark, "q36_order_priority_window"))
+    from plumberapp_spark.operators.windows import ranked_running_total
+    from plumberapp_spark.session import load_table
+
+    # q36 auto-routes by size (r4): at sf0.001 it takes the plain-window
+    # route, so pin the ABOVE-threshold plan by forcing the distributed
+    # path on the same input shape (auto_threshold=0: count >= 0 always).
+    orders = load_table(spark, "/root/testdata/sf0.001", "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    plan = formatted_plan(
+        ranked_running_total(
+            orders,
+            part_col="o_orderpriority",
+            order_col="o_totalprice",
+            id_col="o_orderkey",
+            auto_threshold=0,
+        )
+    )
     assert re.search(
         r"row_number\(\) windowspecdefinition\(o_orderpriority#\d+, _bkt#\d+", plan
     ), "main rank window lost its bucket column"

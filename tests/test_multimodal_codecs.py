@@ -74,6 +74,20 @@ def test_parse_image_header_formats():
     # minimal JPEG: SOI + SOF0 (h=5, w=9, 3 components)
     jpeg = b"\xff\xd8" + b"\xff\xc0" + struct.pack(">H", 17) + b"\x08" + struct.pack(">HH", 5, 9) + b"\x03" + b"\x00" * 10
     assert parse_image_header(jpeg) == (5, 9, 3, "RGB")
+    # FF fill bytes before a marker: FF FF FF C0 — the marker's leading FF
+    # must not be consumed with the padding (ADVICE r3: the old scan
+    # advanced 2 past each FF FF and missed the SOF entirely)
+    jpeg_fill = (
+        b"\xff\xd8"
+        + b"\xff\xff"  # one padding byte, then the SOF's own FF
+        + b"\xff\xc0"
+        + struct.pack(">H", 17)
+        + b"\x08"
+        + struct.pack(">HH", 5, 9)
+        + b"\x03"
+        + b"\x00" * 10
+    )
+    assert parse_image_header(jpeg_fill) == (5, 9, 3, "RGB")
     with pytest.raises(ValueError, match="unrecognized"):
         parse_image_header(b"notanimage")
 

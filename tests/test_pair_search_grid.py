@@ -72,6 +72,41 @@ def test_near_dup_grid_plan_has_no_corpus_broadcast(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_grid_pair_search_string_ids(spark):
+    # ADVICE r3: the grid path hard-cast ids to int64 and declared a
+    # bigint output schema, breaking string doc ids. The pair-output id
+    # type must follow the input id column.
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").limit(80)
+    as_str = emb.withColumn("vec_id", F.concat(F.lit("doc-"), F.col("vec_id").cast("string")))
+    out = top_pairs_cosine_blocked(as_str, k=15, rows_per_block=32)
+    assert dict(out.dtypes)["id_a"] == "string"
+    rows = out.collect()
+    assert len(rows) == 15
+    assert all(r["id_a"] < r["id_b"] and r["id_a"].startswith("doc-") for r in rows)
+    # values must match the same search over the original integer ids,
+    # modulo the id remapping changing only tie-breaks at equal cos_sim
+    int_out = top_pairs_cosine_blocked(emb, k=15, rows_per_block=32).collect()
+    assert sorted(round(r["cos_sim"], 6) for r in rows) == sorted(
+        round(r["cos_sim"], 6) for r in int_out
+    )
+
+
+def test_brute_force_query_id_keeps_query_schema(spark):
+    # query_id output column takes the QUERY side's id type even when it
+    # differs from the corpus id type (ADVICE r3).
+    from plumberapp_spark.llm.similarity import brute_force_topk
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").limit(60)
+    queries = (
+        emb.limit(5)
+        .withColumn("vec_id", F.concat(F.lit("q"), F.col("vec_id").cast("string")))
+    )
+    out = brute_force_topk(emb, queries, k=3)
+    types = dict(out.dtypes)
+    assert types["query_id"] == "string" and types["neighbor_id"] == "bigint"
+    assert out.count() == 15
+
+
 def test_no_corpus_collect_in_lineage(spark):
     # The scale guarantee: the pair search is a pure DataFrame lineage —
     # the plan shows the grid shuffle + FlatMapGroupsInPandas reading from

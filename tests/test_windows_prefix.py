@@ -77,3 +77,66 @@ def test_prefix_sum_more_buckets_than_rows(spark):
         rows, "o_orderkey long, o_orderpriority string, o_totalprice double"
     )
     assert _rows(_bucketed(df, 16)) == _rows(_naive(df))
+
+
+def test_prefix_sum_null_order_values_sort_last(spark):
+    # NULL order_col must land in the LAST bucket and rank after every
+    # non-null value, matching the naive window's desc_nulls_last (ADVICE
+    # r3: F.filter drops null comparisons, which sent nulls to bucket 0).
+    rows = [(i, "P", float(i)) for i in range(1, 40)] + [
+        (100, "P", None),
+        (101, "P", None),
+        (102, "Q", None),
+        (103, "Q", 7.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "o_orderkey long, o_orderpriority string, o_totalprice double"
+    )
+    # running_total over nulls stays whatever SUM gives (nulls contribute
+    # nothing); compare ranks + totals row-for-row against the naive form.
+    assert _rows(_bucketed(df, 8)) == _rows(_naive(df))
+
+
+def test_prefix_sum_non_representable_doubles_within_tolerance(spark):
+    # ADVICE r3: the double-summation grouping (in-bucket prefix +
+    # sum-of-bucket-sums offset) differs from the naive sequential sum;
+    # with non-representable decimals the two can diverge in the last
+    # ulps. Pin the contract: ranks bit-exact, totals within 1e-6 relative
+    # tolerance BEFORE any rounding.
+    import random
+
+    rng = random.Random(7)
+    rows = [(i, "P" if i % 3 else "Q", round(rng.uniform(0.01, 999.99), 2)) for i in range(500)]
+    df = spark.createDataFrame(
+        rows, "o_orderkey long, o_orderpriority string, o_totalprice double"
+    )
+    naive = {r[0]: r for r in _naive(df).collect()}
+    bucketed = ranked_running_total(
+        df,
+        part_col="o_orderpriority",
+        order_col="o_totalprice",
+        id_col="o_orderkey",
+        n_buckets=8,
+    ).collect()
+    assert len(bucketed) == len(naive)
+    for r in bucketed:
+        n = naive[r["o_orderkey"]]
+        assert r["rank"] == n["rank"]
+        assert abs(r["running_total"] - n["running_total"]) <= 1e-6 * max(1.0, abs(n["running_total"]))
+
+
+def test_auto_threshold_routes_small_inputs_to_plain_window(spark):
+    # below the threshold the plan must contain NO percentile_approx
+    # boundary aggregate (plain-window route); above it, it must.
+    rows = [(i, "P", float(i)) for i in range(20)]
+    df = spark.createDataFrame(
+        rows, "o_orderkey long, o_orderpriority string, o_totalprice double"
+    )
+    kw = dict(part_col="o_orderpriority", order_col="o_totalprice", id_col="o_orderkey")
+    small = ranked_running_total(df, auto_threshold=1000, **kw)
+    assert "percentile_approx" not in small._jdf.queryExecution().analyzed().toString()
+    big = ranked_running_total(df, auto_threshold=5, **kw)
+    assert "percentile_approx" in big._jdf.queryExecution().analyzed().toString()
+    assert _rows(
+        small.select("o_orderkey", "o_orderpriority", "rank", F.round("running_total", 2).alias("running_total"))
+    ) == _rows(_naive(df))
