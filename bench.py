@@ -197,7 +197,20 @@ def main() -> None:
     timings: dict[str, float | None] = {}
     rates: dict[str, float] = {}
     failed: list[str] = []
+    # True cold pass (reference pa/gen_util.py:548-555): drop the OS page
+    # cache per query so cold_sec measures device reads, not memory. Off
+    # by default — it needs root, perturbs everything else on the machine,
+    # and roughly doubles the cold pass — but the artifact records which
+    # mode produced the numbers either way.
+    drop_caches = os.environ.get("SPARK_GRAFT_BENCH_DROP_CACHES", "0") == "1"
+    caches_dropped = False
+    if drop_caches:
+        from plumberapp_spark.metrics.disk_probe import drop_page_caches
+
+        caches_dropped = drop_page_caches()
     for name in names:
+        if caches_dropped:
+            drop_page_caches()
         dt = run_query(spark, name, sf_dir)
         cold[name] = round(dt, 3) if dt is not None else None
     for name in names:
@@ -226,6 +239,7 @@ def main() -> None:
         "sf": sf,
         "rows_per_sec": rates,
         "cold_sec": cold,
+        "cold_mode": "dropped_page_caches" if caches_dropped else "warm_page_cache",
         "input_rows": input_rows,
         "failed": failed,
     }

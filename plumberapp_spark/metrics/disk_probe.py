@@ -29,6 +29,21 @@ from plumberapp_spark.metrics.machine_info import (
 )
 
 
+def drop_page_caches() -> bool:
+    """Drop the OS page cache (sync + ``echo 3 > /proc/sys/vm/drop_caches``)
+    — the reference's cold-cache measurement protocol before each measured
+    run (pa/gen_util.py:548-555). Needs root; returns False (no-op) when
+    not permitted, so callers can record whether their 'cold' numbers are
+    truly cold or warm-page-cache (bench.py's historical caveat)."""
+    try:
+        os.sync()
+        with open("/proc/sys/vm/drop_caches", "w") as f:
+            f.write("3\n")
+        return True
+    except (OSError, PermissionError):
+        return False
+
+
 @dataclass(frozen=True)
 class DiskProbeResult:
     path: str

@@ -73,10 +73,19 @@ def with_row_idx(
             else []
         )
     if bounds:
-        barr = F.array(*[F.lit(float(b)) for b in bounds])
-        bucket = F.aggregate(
-            barr, F.lit(0), lambda acc, b: acc + F.when(lead > b, 1).otherwise(0)
-        )
+        # bucket = #boundaries strictly below the key, as a CHAINED-WHEN
+        # sum over the literal boundary vector — deliberately NOT a
+        # higher-order function: an F.aggregate lambda capturing the
+        # outer key column, combined with this function's shared-lineage
+        # self-join (local ⋈ offsets both read `bucketed`), trips a
+        # Spark 4.1 analyzer bug (INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND on
+        # the captured attribute) in some same-session sequences —
+        # pinned by tests/test_properties.py::
+        # test_with_row_idx_back_to_back_frames. The chained form is
+        # also whole-stage-codegen-able, which lambdas never are.
+        bucket = F.lit(0)
+        for b in bounds:
+            bucket = bucket + F.when(lead > F.lit(float(b)), 1).otherwise(0)
     else:
         bucket = F.lit(0)
     bucketed = df.withColumn("__bucket", bucket)
@@ -98,15 +107,18 @@ def shared_row_idx_bounds(
     num_partitions: int | None = None,
 ) -> list[list[float]]:
     """Boundary vectors for several :func:`with_row_idx` calls in ONE
-    driver job (r3 verdict: q06's zip ran one approxQuantile job per
-    side — two sequential scans' worth of job latency for what is one
-    pass).
+    driver job: the sides' leading keys are unioned as separate nullable
+    columns (each row carries exactly one non-null key; approxQuantile
+    ignores nulls), so a single multi-column approxQuantile computes
+    every side's boundaries together. Returns one sorted-deduped bounds
+    list per side, to pass as ``with_row_idx(..., bounds=...)``.
 
-    The sides' leading keys are unioned as separate nullable columns
-    (each row carries exactly one non-null key; approxQuantile ignores
-    nulls), so a single multi-column approxQuantile computes every
-    side's boundaries together. Returns one sorted-deduped bounds list
-    per side, to pass as ``with_row_idx(..., bounds=...)``.
+    Measured caveat (sf0.1, 5-rep A/B in one session): for two small
+    parquet sides this is NOT faster than two per-side jobs (~1.6 s vs
+    ~1.45 s steady state) — the null-padded union scan costs more than
+    the saved job round-trip. It wins when the sides share one expensive
+    cached lineage or when driver-job latency dominates (many sides,
+    high-latency scheduler), which is why it stays available.
     """
     spark = sides[0][0].sparkSession
     n = num_partitions or spark.sparkContext.defaultParallelism

@@ -189,16 +189,17 @@ def q05_vocab_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q06_zip_by_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J1 Dataset.zip — positional pairing of two streams, truncating to the
     shorter (iterator_utils.py:55). Dense index via the two-pass
-    range-partition row index (no single-task global window); BOTH sides'
-    bucket boundaries come from one shared approxQuantile job
-    (shared_row_idx_bounds) instead of one driver job per side."""
-    from plumberapp_spark.operators.stream import shared_row_idx_bounds
+    range-partition row index (no single-task global window).
 
-    o = load_table(spark, sf_dir, "orders").select("o_orderkey")
-    e = load_table(spark, sf_dir, "events").select("event_id", "event_type")
-    bounds_o, bounds_e = shared_row_idx_bounds([(o, "o_orderkey"), (e, "event_id")])
-    orders = with_row_idx(o, ["o_orderkey"], bounds=bounds_o)
-    events = with_row_idx(e, ["event_id"], bounds=bounds_e)
+    Boundary jobs are per side: the shared-single-job variant
+    (shared_row_idx_bounds) was measured at sf0.1 and is NOT faster here
+    — the null-padded union scan costs what the saved job latency buys
+    back (5-rep A/B: shared ~1.6 s vs per-side ~1.45 s steady-state) —
+    so the simpler form stays."""
+    orders = with_row_idx(load_table(spark, sf_dir, "orders").select("o_orderkey"), ["o_orderkey"])
+    events = with_row_idx(
+        load_table(spark, sf_dir, "events").select("event_id", "event_type"), ["event_id"]
+    )
     return zip_by_index(orders, events).select("_row_idx", "o_orderkey", "event_id", "event_type")
 
 

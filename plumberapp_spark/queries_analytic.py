@@ -252,15 +252,22 @@ def q41_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     from plumberapp_spark.sources.bucketing import bucketed_or_parquet
 
     l = bucketed_or_parquet(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
-    o = bucketed_or_parquet(spark, sf_dir, "orders")
-    c = load_table(spark, sf_dir, "customer")
-    n = load_table(spark, sf_dir, "nation")
+    o = bucketed_or_parquet(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    # pre-aggregate lineitem to order grain BEFORE the join (revenue is
+    # additive): on the bucketed copy this groupBy is exchange-free, and
+    # the join + downstream shuffle then carry one row per order instead
+    # of one per lineitem — the q42 agg-before-join ordering applied here
+    l_agg = l.groupBy("l_orderkey").agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("_rev")
+    )
     return (
-        l.join(o, l.l_orderkey == o.o_orderkey)
+        l_agg.join(o, l_agg.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .agg(F.round(F.sum("_rev"), 2).alias("revenue"))
         .orderBy(F.col("revenue").desc(), "c_custkey")
         .limit(20)
         .select("c_custkey", "c_name", "revenue", "n_name")

@@ -331,10 +331,23 @@ def q36_order_priority_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     result (rank bit-exact, running total equal after the 2-decimal
     round)."""
     from plumberapp_spark.operators.windows import ranked_running_total
+    from plumberapp_spark.session import table_bytes
 
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderpriority", "o_totalprice"
     )
+    # auto-route (r3 verdict item 8): the prefix-sum machinery costs
+    # ~0.8 s fixed at sf0.1 (150k orders) where the plain 5-task window
+    # is instant; above ~2M rows the plain window is the measured 84x
+    # scale-killer, so the distributed form takes over. Primary signal is
+    # the FILE SIZE (zero driver jobs; 64 MB of orders parquet ≈ 2M+
+    # rows); unstat-able paths fall back to the count-based route inside
+    # ranked_running_total.
+    size = table_bytes(sf_dir, "orders")
+    if size is None:
+        route = {"auto_threshold": 2_000_000}
+    else:
+        route = {"n_buckets": 1 if size < (64 << 20) else None}
     out = ranked_running_total(
         orders,
         part_col="o_orderpriority",
@@ -342,11 +355,7 @@ def q36_order_priority_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         id_col="o_orderkey",
         rank_name="price_rank",
         total_name="_rt",
-        # auto-route (r3 verdict item 8): the prefix-sum machinery costs
-        # ~0.8 s fixed at sf0.1 (150k orders) where the plain 5-task
-        # window is instant; above 2M rows the plain window is the
-        # measured 84x scale-killer, so the distributed form takes over.
-        auto_threshold=2_000_000,
+        **route,
     )
     return out.select(
         "o_orderkey",

@@ -121,6 +121,24 @@ def events_with_timestamp(spark: SparkSession, sf_dir: str):
     return df.withColumn("ts", ts_as_timestamp(df.schema["ts"].dataType, "ts"))
 
 
+def table_bytes(sf_dir: str, name: str) -> int | None:
+    """On-disk size of a driver table (single parquet file or a Spark
+    parquet directory); None when the path isn't locally stat-able
+    (remote URIs) — callers fall back to a count-based decision. Used
+    for zero-job plan routing (e.g. q36's window-vs-prefix-sum choice)."""
+    import glob
+
+    p = f"{sf_dir}/{name}.parquet"
+    try:
+        if os.path.isfile(p):
+            return os.path.getsize(p)
+        if os.path.isdir(p):
+            return sum(os.path.getsize(f) for f in glob.glob(f"{p}/*.parquet"))
+    except OSError:
+        pass
+    return None
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str):
     """Read one of the driver-provided parquet tables (any session)."""
     ensure_read_confs(spark)

@@ -146,6 +146,28 @@ def test_disk_probe_measures_and_feeds_advice(spark):
     assert ample and all(n <= 64 for n in ample.values())
 
 
+def test_drop_page_caches_never_raises_when_denied(monkeypatch):
+    """Cold-cache protocol (reference pa/gen_util.py:548-555): returns
+    False (no-op, no exception) when /proc/sys/vm/drop_caches is not
+    writable — callers use the bool to label cold numbers honestly.
+    (The True path is not exercised here: actually dropping the machine's
+    page cache from a unit test would perturb any concurrently running
+    benchmark.)"""
+    import builtins
+
+    from plumberapp_spark.metrics.disk_probe import drop_page_caches
+
+    real_open = builtins.open
+
+    def deny(path, *a, **k):
+        if "drop_caches" in str(path):
+            raise PermissionError(path)
+        return real_open(path, *a, **k)
+
+    monkeypatch.setattr(builtins, "open", deny)
+    assert drop_page_caches() is False
+
+
 # -- LP / cost / fit -------------------------------------------------------
 
 

@@ -195,6 +195,41 @@ def test_with_row_idx_dense_deterministic_and_unpersisted(spark):
     assert spark.sparkContext._jsc.getPersistentRDDs().size() == persisted_before
 
 
+def test_with_row_idx_back_to_back_frames(spark):
+    """Regression: running with_row_idx on one frame, then on a SECOND
+    differently-sourced frame in the same session, crashed with Spark's
+    INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND while the bucket expression was a
+    higher-order-function lambda capturing the key column (the fix
+    chains literal WHENs instead — no lambda, codegen-able)."""
+    from plumberapp_spark.operators.stream import with_row_idx
+
+    a = spark.range(0, 3000).select((F.col("id") * 7919 % 3000).alias("k"))
+    b = spark.range(0, 2000).select((F.col("id") * 104729 % 2000).alias("v"))
+    ra = sorted((r["k"], r["_row_idx"]) for r in with_row_idx(a, ["k"], num_partitions=8).collect())
+    rb = sorted((r["v"], r["_row_idx"]) for r in with_row_idx(b, ["v"], num_partitions=8).collect())
+    assert [i for _, i in ra] == list(range(3000))
+    assert [i for _, i in rb] == list(range(2000))
+
+
+def test_shared_row_idx_bounds_matches_per_side(spark):
+    """shared_row_idx_bounds (one multi-column approxQuantile job for
+    several with_row_idx sides) yields the same dense index assignments
+    as per-side boundary jobs — bucket boundaries only have to be
+    order-consistent, so ANY correct boundary vector produces the
+    identical final index."""
+    from plumberapp_spark.operators.stream import shared_row_idx_bounds, with_row_idx
+
+    a = spark.range(0, 3000).select((F.col("id") * 7919 % 3000).alias("k"))
+    b = spark.range(0, 2000).select((F.col("id") * 104729 % 2000).alias("v"))
+    ba, bb = shared_row_idx_bounds([(a, "k"), (b, "v")], num_partitions=8)
+    assert ba and bb
+    shared_a = sorted((r["k"], r["_row_idx"]) for r in with_row_idx(a, ["k"], bounds=ba).collect())
+    plain_a = sorted((r["k"], r["_row_idx"]) for r in with_row_idx(a, ["k"], num_partitions=8).collect())
+    assert shared_a == plain_a
+    shared_b = sorted((r["v"], r["_row_idx"]) for r in with_row_idx(b, ["v"], bounds=bb).collect())
+    assert [i for _, i in shared_b] == list(range(2000))
+
+
 # --------------------------------------------------------------------------
 # Distributed prefix sum (operators/windows.py) — law: for ANY rows and any
 # bucket count, bucketed rank/running-total == the naive per-key window
