@@ -214,7 +214,12 @@ def main() -> None:
         dt = run_query(spark, name, sf_dir)
         cold[name] = round(dt, 3) if dt is not None else None
     for name in names:
-        warm = [t for t in (run_query(spark, name, sf_dir) for _ in range(2)) if t is not None]
+        # best-of-3: at the 0.2-1 s per-query scale, single runs wobble
+        # 2-3x with GC/JIT noise (two otherwise-identical r4 suite runs
+        # disagreed 0.40 s vs 1.43 s on q53); three samples of the min
+        # statistic cut that variance enough for round-over-round deltas
+        # to mean something
+        warm = [t for t in (run_query(spark, name, sf_dir) for _ in range(3)) if t is not None]
         if not warm:
             timings[name] = None
             failed.append(name)
