@@ -174,22 +174,53 @@ def q38_padded_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q39_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q3 shape: selective dims broadcast into the fact scan so the
-    only shuffle is the final small groupBy; filters land in parquet
-    PushedFilters (both date predicates prune row groups at scale)."""
+    """TPC-H Q3 shape: filters land in parquet PushedFilters (both date
+    predicates prune row groups at scale); join strategy is left to AQE.
+
+    NO forced broadcast hints here (r4 fix): the filtered orders side
+    GROWS with the scale factor — at the 100× sweep a forced
+    ``F.broadcast(o)`` shipped ~12M rows to every task and took 87 s;
+    without the hint AQE broadcasts exactly while the runtime size is
+    under threshold and switches to a shuffle join beyond it. Hints are
+    reserved for fixed-cardinality dims (nation/region). The fact sides
+    read through the bucketed router (see q41), so with materialized
+    copies the l⋈o join is exchange-free either way."""
+    from plumberapp_spark.sources.bucketing import bucketed_or_parquet
+
     cutoff = F.lit("1998-06-01").cast("timestamp")
-    c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
-    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
-    l = load_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    # customer contributes NO output columns here — it is purely a filter
+    # on orders, so it joins as a LEFT SEMI on the single key column
+    # (≈16 bytes/row to broadcast instead of the whole customer row)
+    c_keys = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    o = (
+        bucketed_or_parquet(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") < cutoff)
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    )
+    l = (
+        bucketed_or_parquet(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") > cutoff)
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    # pre-aggregate the filtered lineitems to order grain first (revenue
+    # is additive; the final group key is order grain anyway), so the
+    # joins carry one row per order; exchange-free on the bucketed copy
+    l_agg = l.groupBy("l_orderkey").agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("_rev")
+    )
+    o_building = o.join(c_keys, o.o_custkey == c_keys.c_custkey, "left_semi")
     return (
-        l.join(F.broadcast(o), l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        l_agg.join(o_building, l_agg.l_orderkey == o_building.o_orderkey)
         .groupBy(
             "l_orderkey",
             F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
             "o_orderpriority",
         )
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .agg(F.round(F.sum("_rev"), 2).alias("revenue"))
         .orderBy(F.col("revenue").desc(), "l_orderkey")
         .limit(10)
         .select("l_orderkey", "revenue", "orderdate", "o_orderpriority")
@@ -251,7 +282,11 @@ def q41_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     which runs the fallback path)."""
     from plumberapp_spark.sources.bucketing import bucketed_or_parquet
 
-    l = bucketed_or_parquet(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    l = (
+        bucketed_or_parquet(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
     o = bucketed_or_parquet(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_nationkey")
     n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
@@ -262,15 +297,25 @@ def q41_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     l_agg = l.groupBy("l_orderkey").agg(
         F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("_rev")
     )
-    return (
+    # aggregate on the NUMERIC key, decorate after the limit: customer
+    # name / nation are functionally dependent on custkey, so grouping by
+    # o_custkey alone is equivalent to the oracle's (custkey, name,
+    # nation) grouping — and the 15M-row aggregation shuffle then carries
+    # 16 bytes/row instead of name strings, with no customer join on the
+    # fat side at all. The top-20 selection orders by the ROUNDED revenue
+    # (matching the oracle's ORDER BY exactly, ties included); only those
+    # 20 rows ever meet the customer and nation tables.
+    per_cust = (
         l_agg.join(o, l_agg.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
-        .groupBy("c_custkey", "c_name", "n_name")
+        .groupBy("o_custkey")
         .agg(F.round(F.sum("_rev"), 2).alias("revenue"))
-        .orderBy(F.col("revenue").desc(), "c_custkey")
-        .limit(20)
+    )
+    top = per_cust.orderBy(F.col("revenue").desc(), "o_custkey").limit(20)
+    return (
+        c.join(F.broadcast(top), c.c_custkey == top.o_custkey)
+        .join(F.broadcast(n), F.col("c_nationkey") == n.n_nationkey)
         .select("c_custkey", "c_name", "revenue", "n_name")
+        .orderBy(F.col("revenue").desc(), "c_custkey")
     )
 
 

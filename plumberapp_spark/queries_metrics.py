@@ -297,15 +297,26 @@ def q35_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem = bucketed_or_parquet(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_extendedprice", "l_discount"
     )
+    # pre-aggregate lineitem to ORDER grain before any join (revenue and
+    # the lineitem count are both additive): every downstream join and
+    # shuffle then carries one row per order (~1/4 the rows at TPC-H
+    # ratios) instead of one per lineitem. On the bucketed copy the
+    # groupBy is exchange-free. customer grows with SF — AQE decides its
+    # strategy at runtime; nation (25 rows) and region (5 rows) are
+    # fixed-size, hints safe.
+    l_agg = lineitem.groupBy("l_orderkey").agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("_rev"),
+        F.count("*").alias("_cnt"),
+    )
     return (
-        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        l_agg.join(orders, l_agg.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
         .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("n_name")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
-            F.count("*").alias("n_lineitems"),
+            F.round(F.sum("_rev"), 2).alias("revenue"),
+            F.sum("_cnt").cast("bigint").alias("n_lineitems"),
         )
     )
 
