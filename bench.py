@@ -93,6 +93,10 @@ PRIMARY_INPUT = {
     "q56_lsh_bucketed_topk": "embeddings",
     "q57_streaming_exact_dedup": "events",
     "q58_ngram_jaccard_capped": "documents",
+    "q59_simhash_hamming_pairs": "documents",
+    "q60_repetition_stats": "documents",
+    "q61_stratified_sample": "documents",
+    "q62_quality_filter": "documents",
 }
 
 RATE_TABLES = ("lineitem", "orders", "events", "documents", "embeddings", "customer")

@@ -53,6 +53,14 @@ _TAIL = (
     "q34_deterministic_sample",
     "q53_embedding_pairs_blocked",
     "q55_stateful_rate_monitor",
+    # Round-4 additions q59-q62 (new, never driver-checked) displace four
+    # more twice-green rows with in-cap family siblings: q19 (uncapped
+    # Jaccard ~ q58 capped + q17 LSH), q21 (cosine pair search ~ q20/q56,
+    # same blocked-matmul path), q32/q33 (metrics-window family ~ q29/q52).
+    "q19_ngram_jaccard_top_pairs",
+    "q21_embedding_near_dup_pairs",
+    "q32_convergence_lag",
+    "q33_plateau_detection",
 )
 for _name in _TAIL:
     if _name in REGISTRY:

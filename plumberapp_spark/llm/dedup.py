@@ -125,6 +125,99 @@ def simhash_table(
     )
 
 
+def simhash_hamming_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 16,
+    max_hamming: int = 2,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """EXACT Hamming-distance near-dup pairs over the SimHash key, without
+    a quadratic self-join: pigeonhole banding. Split the ``bits``-bit key
+    into ``max_hamming + 1`` contiguous bit-bands — any pair within
+    Hamming distance d differs in at most d bands, so it matches EXACTLY
+    on at least one band. Grouping on (band_idx, band_bits) therefore
+    yields a complete candidate set (no recall loss, unlike MinHash LSH);
+    the final ``bit_count(a XOR b) <= d`` filter removes false positives.
+
+    Returns ``(id_a, id_b, hamming)`` with ``id_a < id_b``, one row per
+    qualifying pair.
+
+    Scale posture (100 TB): the only exchange is the band-key groupBy —
+    candidate pairs are generated row-locally inside each bucket
+    (bucket-then-pair, same shape as :func:`minhash_lsh_candidates`, and
+    the signature lineage runs once, not twice as a self-join would).
+    Exact duplicates share a SimHash and therefore a bucket, so compose
+    behind :func:`exact_text_survivors` on duplicate-heavy corpora (the
+    same composition law SCALE.md §9 measures for LSH); ``max_bucket_size``
+    is the explicit recall-for-boundedness cap for boilerplate buckets.
+    """
+    if max_hamming < 0:
+        raise ValueError(f"max_hamming must be >= 0, got {max_hamming}")
+    n_bands = max_hamming + 1
+    if n_bands > bits:
+        raise ValueError(f"max_hamming + 1 ({n_bands}) exceeds bits ({bits})")
+    sig = simhash_table(df, text_col, id_col, bits=bits)
+
+    # contiguous band widths, near-equal (e.g. 16 bits / 3 bands -> 6,5,5)
+    base, extra = divmod(bits, n_bands)
+    widths = [base + (1 if b < extra else 0) for b in range(n_bands)]
+    offsets, off = [], 0
+    for w in widths:
+        offsets.append(off)
+        off += w
+
+    # band key packed as one bigint: (band_bits * n_bands + band_idx) is
+    # unique per (band, value) and keeps the exchange key fixed-width
+    band_keys = [
+        (
+            F.shiftright(F.col("simhash"), offsets[b]).bitwiseAND(F.lit((1 << widths[b]) - 1))
+            * F.lit(n_bands)
+            + F.lit(b)
+        ).cast("bigint")
+        for b in range(n_bands)
+    ]
+    stacked = sig.select(
+        F.col(id_col), F.col("simhash"), F.explode(F.array(*band_keys)).alias("_band_key")
+    )
+    buckets = (
+        stacked.groupBy("_band_key")
+        .agg(
+            F.sort_array(
+                F.collect_set(F.struct(F.col(id_col).alias("i"), F.col("simhash").alias("s")))
+            ).alias("members")
+        )
+        .filter(F.size("members") > 1)
+    )
+    if max_bucket_size is not None:
+        buckets = buckets.withColumn("members", F.slice("members", 1, max_bucket_size))
+    # row-local pair generation inside each bucket; exact Hamming filter
+    pair = F.explode(
+        F.flatten(
+            F.transform(
+                F.col("members"),
+                lambda x, i: F.filter(
+                    F.transform(
+                        F.slice(F.col("members"), i + F.lit(2), F.size(F.col("members"))),
+                        lambda y: F.struct(
+                            x["i"].alias("id_a"),
+                            y["i"].alias("id_b"),
+                            F.bit_count(x["s"].bitwiseXOR(y["s"])).alias("hamming"),
+                        ),
+                    ),
+                    lambda p: p["hamming"] <= F.lit(max_hamming),
+                ),
+            )
+        )
+    )
+    return (
+        buckets.select(pair.alias("p"))
+        .select("p.id_a", "p.id_b", F.col("p.hamming").cast("int").alias("hamming"))
+        .distinct()
+    )
+
+
 def minhash_signature(df: DataFrame, text_col: str, id_col: str, num_perm: int, ngram: int = 3) -> DataFrame:
     """MinHash signature: ``num_perm`` seeded min-hashes over word
     ``ngram``-shingles, as ``mh_0..mh_{k-1}`` columns.

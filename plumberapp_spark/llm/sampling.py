@@ -1,0 +1,53 @@
+"""Deterministic sampling operators for training-data curation.
+
+Stratified sampling ("k docs per language / source / quality band") is
+the standard way a 100 TB corpus gets squeezed into a balanced training
+mix. The sample here is a pure function of the data — rows are ranked
+inside each stratum by a cross-engine content hash (md5), so the same
+corpus yields the same sample on any cluster, any partitioning, any
+engine (the DuckDB oracle reproduces it row-for-row).
+
+Scale posture: the per-stratum rank is the distributed bucketed rank
+from ``operators/windows.ranked_running_total`` (rank-only mode) — a
+plain ``Window.partitionBy(stratum)`` is one task per stratum, the exact
+low-cardinality wall q36 measured at 84× cost at 100× data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from plumberapp_spark.functions.hashing import md5_long
+from plumberapp_spark.operators.windows import ranked_running_total
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    id_col: str,
+    k: int,
+    n_buckets: int | None = None,
+) -> DataFrame:
+    """Deterministic k-per-stratum sample: rank rows inside each stratum
+    by ``md5(id)`` descending (a seedable uniform order independent of
+    storage layout) and keep ``sample_rank <= k``.
+
+    ``n_buckets=1`` routes to a plain window (right below ~2M rows per
+    the q36 measurement); ``None`` uses the cluster default parallelism
+    for the bucketed distributed rank.
+
+    Oracle: ``row_number() OVER (PARTITION BY strata ORDER BY
+    ('0x'||substr(md5(CAST(id AS VARCHAR)),1,14))::BIGINT DESC, id)``.
+    """
+    keyed = df.withColumn("_skey", md5_long(F.col(id_col).cast("string")))
+    ranked = ranked_running_total(
+        keyed,
+        part_col=strata_col,
+        order_col="_skey",
+        id_col=id_col,
+        n_buckets=n_buckets,
+        rank_name="sample_rank",
+        total_name=None,
+    )
+    return ranked.filter(F.col("sample_rank") <= k).drop("_skey")

@@ -16,6 +16,7 @@ from plumberapp_spark.functions.text import (
     quality_features,
     langid_best,
     doc_fingerprint,
+    word_ngrams,
 )
 
 
@@ -156,3 +157,135 @@ def document_fingerprints(df: DataFrame, text_col: str = "text", id_col: str = "
         F.min(id_col).alias("cluster_rep"), F.count("*").alias("cluster_size")
     )
     return fp.join(sizes, on="fingerprint")
+
+def repetition_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram: int = 3,
+    vectorized: bool = True,
+) -> DataFrame:
+    """Gopher-style repetition ratios per document — the standard
+    pre-training quality signals for boilerplate / spam / degenerate
+    text (Rae et al. 2021 §A1.1 "repetition" filters):
+
+    * ``dup_word_frac``   = 1 − distinct_tokens / tokens
+    * ``dup_ngram_frac``  = 1 − distinct_ngrams / ngrams  (word n-grams)
+    * ``top_word_frac``   = most-frequent-token count / tokens
+
+    All row-local (zero shuffle at any scale). ``vectorized=True``
+    (default) computes the three ratios in one Arrow ``mapInPandas``
+    pass with a single Counter per doc; the expression form tokenizes
+    once but pays an O(distinct × tokens) interpreted lambda for the
+    top-word count, and remains the oracle-parity definition
+    (tests pin equality).
+    """
+    if not vectorized:
+        # NULL text counts as the empty document (parity with the Arrow
+        # path) — size(tokenize(NULL)) would be NULL, not 0
+        toks = tokenize(F.coalesce(F.col(text_col), F.lit("")))
+        n = F.size(toks)
+        grams = word_ngrams(toks, ngram)
+        n_g = F.size(grams)
+        top = F.array_max(
+            F.transform(
+                F.array_distinct(toks),
+                lambda d: F.size(F.filter(toks, lambda t: t == d)),
+            )
+        )
+        return df.select(
+            F.col(id_col),
+            n.cast("bigint").alias("n_tokens"),
+            F.round(
+                F.when(n > 0, 1 - F.size(F.array_distinct(toks)) / n).otherwise(0.0), 6
+            ).alias("dup_word_frac"),
+            F.round(
+                F.when(n_g > 0, 1 - F.size(F.array_distinct(grams)) / n_g).otherwise(0.0), 6
+            ).alias("dup_ngram_frac"),
+            F.round(F.when(n > 0, top / n).otherwise(0.0), 6).alias("top_word_frac"),
+        )
+
+    import re as _re
+    from collections import Counter
+
+    import pandas as pd
+
+    ws = _re.compile(r"\s+")
+    id_ddl = df.schema[id_col].dataType.simpleString()
+
+    def rep_batches(batches):
+        for pdf in batches:
+            n_tok, dup_w, dup_g, top_w = [], [], [], []
+            for text in pdf[text_col]:
+                toks = [t for t in ws.split(text) if t] if text is not None else []
+                n = len(toks)
+                n_tok.append(n)
+                if n == 0:
+                    dup_w.append(0.0)
+                    dup_g.append(0.0)
+                    top_w.append(0.0)
+                    continue
+                counts = Counter(toks)
+                dup_w.append(round(1 - len(counts) / n, 6))
+                grams = [" ".join(toks[i : i + ngram]) for i in range(n - ngram + 1)]
+                dup_g.append(round(1 - len(set(grams)) / len(grams), 6) if grams else 0.0)
+                top_w.append(round(max(counts.values()) / n, 6))
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "n_tokens": pd.array(n_tok, dtype="int64"),
+                    "dup_word_frac": pd.array(dup_w, dtype="float64"),
+                    "dup_ngram_frac": pd.array(dup_g, dtype="float64"),
+                    "top_word_frac": pd.array(top_w, dtype="float64"),
+                }
+            )
+
+    return df.select(F.col(id_col), F.col(text_col)).mapInPandas(
+        rep_batches,
+        f"{id_col} {id_ddl}, n_tokens bigint, dup_word_frac double,"
+        " dup_ngram_frac double, top_word_frac double",
+    )
+
+
+def quality_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = 20,
+    max_punct: float = 0.2,
+    stop_lo: float = 0.02,
+    stop_hi: float = 0.6,
+    max_dup_word: float = 0.65,
+) -> DataFrame:
+    """The composed C4/Gopher-style cleanup gate: every rule the cheap
+    text-quality family provides, applied in a fixed order, returning a
+    ``keep`` flag and the FIRST failing rule as ``reason`` ('keep' when
+    all pass). Rules, in order: token count >= min_tokens; punctuation
+    ratio <= max_punct; stopword ratio inside [stop_lo, stop_hi];
+    duplicate-word fraction <= max_dup_word; language identifiable
+    (marker-based langid != 'und').
+
+    One pure projection — the whole composite evaluates row-local with
+    zero shuffle at any corpus size, which is exactly why production
+    pipelines run these gates BEFORE any dedup/embedding stage.
+    """
+    feats = quality_features(F.col(text_col))
+    toks = tokenize(F.col(text_col))
+    n = F.size(toks)
+    dup_word = F.when(n > 0, 1 - F.size(F.array_distinct(toks)) / n).otherwise(0.0)
+    reason = (
+        F.when(feats["n_tokens"] < min_tokens, F.lit("too_short"))
+        .when(feats["punct_ratio"] > max_punct, F.lit("punctuation"))
+        .when(
+            (feats["stopword_ratio"] < stop_lo) | (feats["stopword_ratio"] > stop_hi),
+            F.lit("stopwords"),
+        )
+        .when(dup_word > max_dup_word, F.lit("repetition"))
+        .when(langid_best(F.col(text_col)) == "und", F.lit("language"))
+        .otherwise(F.lit("keep"))
+    )
+    return df.select(
+        F.col(id_col),
+        reason.alias("reason"),
+        (reason == "keep").alias("keep"),
+    )

@@ -36,12 +36,16 @@ def ranked_running_total(
     value_col: str | None = None,
     n_buckets: int | None = None,
     rank_name: str = "rank",
-    total_name: str = "running_total",
+    total_name: str | None = "running_total",
     auto_threshold: int | None = None,
 ) -> DataFrame:
     """rank() + running sum over ``Window.partitionBy(part_col)
     .orderBy(order_col DESC, id_col)`` computed with keys × buckets
     parallelism instead of one task per key.
+
+    ``total_name=None`` skips the running-sum machinery entirely (rank
+    only — half the window work; used by stratified sampling, which
+    needs a distributed per-stratum rank and nothing else).
 
     ``value_col`` defaults to ``order_col`` (q36's running price total).
     Ties on ``order_col`` all land in one bucket (bucket assignment
@@ -65,7 +69,10 @@ def ranked_running_total(
         n_buckets = spark.sparkContext.defaultParallelism
     if n_buckets <= 1:
         w = Window.partitionBy(part_col).orderBy(F.col(order_col).desc(), id_col)
-        return df.withColumn(rank_name, F.row_number().over(w)).withColumn(
+        out = df.withColumn(rank_name, F.row_number().over(w))
+        if total_name is None:
+            return out
+        return out.withColumn(
             total_name,
             F.sum(value_col).over(w.rowsBetween(Window.unboundedPreceding, 0)),
         )
@@ -88,7 +95,29 @@ def ranked_running_total(
     w_local = Window.partitionBy(part_col, "_bkt").orderBy(
         F.col(order_col).desc(), id_col
     )
-    local = bucketed.withColumn("_rn", F.row_number().over(w_local)).withColumn(
+    local = bucketed.withColumn("_rn", F.row_number().over(w_local))
+    if total_name is None:
+        # rank-only: per-bucket COUNTS are all the offset pass needs
+        w_off = (
+            Window.partitionBy(part_col)
+            .orderBy("_bkt")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        offsets = (
+            local.groupBy(part_col, "_bkt")
+            .agg(F.count("*").alias("_n"))
+            .select(
+                part_col,
+                "_bkt",
+                F.coalesce(F.sum("_n").over(w_off), F.lit(0)).alias("_n_off"),
+            )
+        )
+        return (
+            local.join(F.broadcast(offsets), on=[part_col, "_bkt"])
+            .withColumn(rank_name, (F.col("_rn") + F.col("_n_off")).cast("long"))
+            .drop("_bs", "_bkt", "_rn", "_n_off")
+        )
+    local = local.withColumn(
         "_rs", F.sum(value_col).over(w_local.rowsBetween(Window.unboundedPreceding, 0))
     )
 

@@ -23,7 +23,7 @@ from typing import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from plumberapp_spark.session import load_table
+from plumberapp_spark.session import load_table, stats_bounds
 from plumberapp_spark.operators import (
     with_row_idx,
     take,
@@ -196,9 +196,15 @@ def q06_zip_by_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     — the null-padded union scan costs what the saved job latency buys
     back (5-rep A/B: shared ~1.6 s vs per-side ~1.45 s steady-state) —
     so the simpler form stays."""
-    orders = with_row_idx(load_table(spark, sf_dir, "orders").select("o_orderkey"), ["o_orderkey"])
+    orders = with_row_idx(
+        load_table(spark, sf_dir, "orders").select("o_orderkey"),
+        ["o_orderkey"],
+        bounds=stats_bounds(sf_dir, "orders", "o_orderkey"),
+    )
     events = with_row_idx(
-        load_table(spark, sf_dir, "events").select("event_id", "event_type"), ["event_id"]
+        load_table(spark, sf_dir, "events").select("event_id", "event_type"),
+        ["event_id"],
+        bounds=stats_bounds(sf_dir, "events", "event_id"),
     )
     return zip_by_index(orders, events).select("_row_idx", "o_orderkey", "event_id", "event_type")
 
@@ -219,7 +225,7 @@ def q07_take_skip_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "user_id", F.round("value", 2).alias("value")
     )
-    idxed = with_row_idx(ev, ["event_id"])
+    idxed = with_row_idx(ev, ["event_id"], bounds=stats_bounds(sf_dir, "events", "event_id"))
     return shard(skip(take(idxed, 500), 100), 4, 1).select("_row_idx", "event_id", "user_id", "value")
 
 
@@ -241,7 +247,11 @@ def q08_batch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     array-of-struct rows; verified via per-batch aggregates derived FROM the
     assembled batch array (proves content + order)."""
     ev = load_table(spark, sf_dir, "events").select("event_id", "value")
-    batched = batch(with_row_idx(ev, ["event_id"]), 64, drop_remainder=True)
+    batched = batch(
+        with_row_idx(ev, ["event_id"], bounds=stats_bounds(sf_dir, "events", "event_id")),
+        64,
+        drop_remainder=True,
+    )
     vals = F.transform(F.col("batch"), lambda b: b["value"])
     return batched.select(
         "_batch_id",
@@ -264,7 +274,9 @@ def q09_repeat_echo(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O2 repeat(3) + O9 flat_map echoing(2) (dataset_echoing.py:17-23) over
     a take(50) prefix."""
     ev = load_table(spark, sf_dir, "events").select("event_id")
-    prefix = take(with_row_idx(ev, ["event_id"]), 50).drop("_row_idx")
+    prefix = take(
+        with_row_idx(ev, ["event_id"], bounds=stats_bounds(sf_dir, "events", "event_id")), 50
+    ).drop("_row_idx")
     out = echo(repeat(prefix, 3), 2)
     return out.select("event_id", "_epoch", F.col("_echo").cast("bigint").alias("_echo"))
 
@@ -279,7 +291,9 @@ def q10_unbatch_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "user_id", F.round("value", 2).alias("value")
     )
-    batched = batch(with_row_idx(ev, ["event_id"]), 32)
+    batched = batch(
+        with_row_idx(ev, ["event_id"], bounds=stats_bounds(sf_dir, "events", "event_id")), 32
+    )
     return unbatch(batched).select("event_id", "user_id", "value")
 
 
@@ -302,7 +316,7 @@ def q11_group_by_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     iterator_utils.py:231-255): bucket = least(5, n_tokens div 10),
     windows of 8 per bucket."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    idxed = with_row_idx(docs, ["doc_id"])
+    idxed = with_row_idx(docs, ["doc_id"], bounds=stats_bounds(sf_dir, "documents", "doc_id"))
     key = F.least(F.lit(5), F.floor(F.size(tokenize(F.col("text"))) / 10)).cast("bigint")
     win = group_by_window(idxed.select("_row_idx", key.alias("_k")), F.col("_k"), 8)
     return win.select(

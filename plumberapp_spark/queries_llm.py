@@ -521,3 +521,152 @@ def q56_lsh_bucketed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_bucketed_topk(
         emb, emb.filter(F.col("vec_id") % 50 == 0), k=5, dim=64, num_planes=4
     )
+
+
+# --------------------------------------------------------------------------
+# Round 4 additions: SimHash Hamming pair search, repetition quality
+# signals, deterministic stratified sampling, composed cleanup gate
+# --------------------------------------------------------------------------
+
+
+def _simhash_sql(bits: int = 16) -> str:
+    """The q18 simhash bit-majority expression over a CTE named t(doc_id, toks)."""
+    terms = " + ".join(
+        f"(CASE WHEN 2 * len(list_filter(toks, t -> (('0x' || substr(md5(t), 1, 14))::BIGINT & {1 << j}) != 0)) > len(toks) THEN {1 << j} ELSE 0 END)"
+        for j in range(bits)
+    )
+    return f"CAST({terms} AS BIGINT)"
+
+
+@register(
+    "q59_simhash_hamming_pairs",
+    oracle=f"""
+    WITH surv AS (SELECT min(doc_id) AS doc_id, min(text) AS text
+                  FROM documents GROUP BY md5(text)),
+         t AS (SELECT doc_id, {TOKS} AS toks FROM surv),
+         s AS (SELECT doc_id, {_simhash_sql(16)} AS simhash FROM t)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+    FROM s a JOIN s b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
+    """,
+)
+def q59_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup PAIR SEARCH (completes the SimHash family: q18
+    computes the key, this finds the neighbors): exact Hamming<=2 pairs
+    via pigeonhole banding — d+1 bit-bands, any pair within distance d
+    matches >=1 band exactly, so the band-key groupBy generates a
+    COMPLETE candidate set with no quadratic self-join and no recall
+    loss. Composed behind exact dedup (the SCALE.md §9 law: identical
+    texts share a SimHash, so dedup-first removes the C(dups,2) bucket
+    blowup). The oracle is the brute-force quadratic join — banding must
+    reproduce it row-for-row."""
+    from plumberapp_spark.llm.dedup import exact_text_survivors, simhash_hamming_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    surv = exact_text_survivors(docs, "text", "doc_id")
+    return simhash_hamming_pairs(surv, "text", "doc_id", bits=16, max_hamming=2)
+
+
+@register(
+    "q60_repetition_stats",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+         g AS (SELECT doc_id, toks, len(toks) AS n, {_ngrams('toks', 3)} AS g3 FROM t)
+    SELECT doc_id,
+           CAST(n AS BIGINT) AS n_tokens,
+           round(CASE WHEN n > 0 THEN 1 - len(list_distinct(toks)) / CAST(n AS DOUBLE) ELSE 0.0 END, 6) AS dup_word_frac,
+           round(CASE WHEN len(g3) > 0 THEN 1 - len(list_distinct(g3)) / CAST(len(g3) AS DOUBLE) ELSE 0.0 END, 6) AS dup_ngram_frac,
+           round(CASE WHEN n > 0 THEN list_max(list_transform(list_distinct(toks), d -> len(list_filter(toks, t -> t = d)))) / CAST(n AS DOUBLE) ELSE 0.0 END, 6) AS top_word_frac
+    FROM g
+    """,
+)
+def q60_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals (dup-word / dup-3gram /
+    top-word fractions) — one Arrow pass, one Counter per doc; pure
+    projection, zero shuffle at any corpus size."""
+    from plumberapp_spark.llm.textqa import repetition_stats
+
+    return repetition_stats(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "q61_stratified_sample",
+    oracle="""
+    WITH s AS (SELECT lang, doc_id,
+                      ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 14))::BIGINT AS skey
+               FROM documents),
+         r AS (SELECT lang, doc_id,
+                      row_number() OVER (PARTITION BY lang ORDER BY skey DESC, doc_id) AS sample_rank
+               FROM s)
+    SELECT lang, doc_id, CAST(sample_rank AS BIGINT) AS sample_rank
+    FROM r WHERE sample_rank <= 50
+    """,
+)
+def q61_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 50-per-language sample: rank inside each stratum by
+    md5(doc_id) — a storage-layout-independent uniform order any engine
+    reproduces. The rank is the DISTRIBUTED bucketed rank (rank-only mode
+    of the q36 prefix machinery) above the same ~64 MB file-size routing
+    threshold q36 uses; a plain 5-task window below it."""
+    from plumberapp_spark.llm.sampling import stratified_sample
+    from plumberapp_spark.session import table_bytes
+
+    docs = load_table(spark, sf_dir, "documents").select("lang", "doc_id")
+    size = table_bytes(sf_dir, "documents")
+    n_buckets = 1 if size is not None and size < (64 << 20) else None
+    out = stratified_sample(docs, strata_col="lang", id_col="doc_id", k=50, n_buckets=n_buckets)
+    return out.select("lang", "doc_id", F.col("sample_rank").cast("bigint").alias("sample_rank"))
+
+
+def _quality_filter_oracle() -> str:
+    langs = sorted(LANG_MARKERS)
+    score_cols = ",\n                      ".join(
+        f"len(list_filter(ltoks, t -> list_contains([{', '.join(repr(m) for m in LANG_MARKERS[lang])}], t))) AS s_{lang}"
+        for lang in langs
+    )
+    case = f"CASE WHEN greatest({', '.join('s_' + lang for lang in langs)}) = 0 THEN 'und'"
+    for i, lang in enumerate(langs):
+        others = [f"s_{lang} >= s_{o}" for o in langs[i + 1 :]]
+        cond = " AND ".join(others) if others else "TRUE"
+        case += f"\n             WHEN {cond} THEN '{lang}'"
+    case += " END"
+    return f"""
+    WITH t AS (SELECT doc_id, text, {TOKS} AS toks, {TOKS_LOWER} AS ltoks FROM documents),
+         f AS (SELECT doc_id,
+                      len(toks) AS n,
+                      strlen(text) AS n_chars,
+                      strlen(text) - strlen(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS punct,
+                      len(list_filter(toks, t -> list_contains({_STOP_LIST}, lower(t)))) AS stop_hits,
+                      len(list_distinct(toks)) AS nd,
+                      {score_cols}
+               FROM t),
+         g AS (SELECT doc_id, n,
+                      CASE WHEN n_chars > 0 THEN punct / CAST(n_chars AS DOUBLE) ELSE 0.0 END AS punct_ratio,
+                      CASE WHEN n > 0 THEN stop_hits / CAST(n AS DOUBLE) ELSE 0.0 END AS stop_ratio,
+                      CASE WHEN n > 0 THEN 1 - nd / CAST(n AS DOUBLE) ELSE 0.0 END AS dup_word,
+                      {case} AS pred_lang
+               FROM f),
+         r AS (SELECT doc_id,
+                      CASE WHEN n < 20 THEN 'too_short'
+                           WHEN punct_ratio > 0.2 THEN 'punctuation'
+                           WHEN stop_ratio < 0.02 OR stop_ratio > 0.6 THEN 'stopwords'
+                           WHEN dup_word > 0.65 THEN 'repetition'
+                           WHEN pred_lang = 'und' THEN 'language'
+                           ELSE 'keep' END AS reason
+               FROM g)
+    SELECT doc_id, reason, reason = 'keep' AS keep FROM r
+    """
+
+
+@register("q62_quality_filter", oracle=_quality_filter_oracle())
+def q62_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed C4/Gopher-style cleanup gate: length, punctuation,
+    stopword band, repetition, language — applied in fixed order, first
+    failing rule as the drop reason. One row-local projection: the whole
+    composite runs with zero shuffle at any corpus size, which is why
+    these gates run BEFORE any dedup/embedding stage in production
+    pipelines."""
+    from plumberapp_spark.llm.textqa import quality_filter
+
+    return quality_filter(load_table(spark, sf_dir, "documents"))

@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from plumberapp_spark.registry import register
-from plumberapp_spark.session import load_table
+from plumberapp_spark.session import load_table, stats_bounds
 from plumberapp_spark.operators import with_row_idx, shuffle, concatenate, choose_from
 from plumberapp_spark.functions.hashing import stable_bucket
 
@@ -35,7 +35,9 @@ def q26_shuffle_multiset(spark: SparkSession, sf_dir: str) -> DataFrame:
     (SURVEY §7.1: shuffle is verified order-insensitively; the permutation
     itself is keyed on (seed, row id) so reruns are stable)."""
     ev = load_table(spark, sf_dir, "events").select("event_id", "user_id")
-    return shuffle(with_row_idx(ev, ["event_id"]), seed=42).drop("_row_idx")
+    return shuffle(
+        with_row_idx(ev, ["event_id"], bounds=stats_bounds(sf_dir, "events", "event_id")), seed=42
+    ).drop("_row_idx")
 
 
 @register(
@@ -54,8 +56,13 @@ def q27_concatenate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J2 concatenate — append stream b after stream a with re-based
     ``_row_idx`` (imagenet_input.py:191-197 disk+memory partitions)."""
     ev = load_table(spark, sf_dir, "events")
-    a = with_row_idx(ev.filter(F.col("event_type") == "signup").select("event_id"), ["event_id"])
-    b = with_row_idx(ev.filter(F.col("event_type") == "error").select("event_id"), ["event_id"])
+    eb = stats_bounds(sf_dir, "events", "event_id")
+    a = with_row_idx(
+        ev.filter(F.col("event_type") == "signup").select("event_id"), ["event_id"], bounds=eb
+    )
+    b = with_row_idx(
+        ev.filter(F.col("event_type") == "error").select("event_id"), ["event_id"], bounds=eb
+    )
     return concatenate(a, b).select("_row_idx", "event_id")
 
 
@@ -75,8 +82,13 @@ def q28_choose_from(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J3 choose_from_datasets with round-robin chooser — element i of
     stream t lands at i*k + t (simple_rcnn/dataloader.py:514-520)."""
     ev = load_table(spark, sf_dir, "events")
-    a = with_row_idx(ev.filter(F.col("event_type") == "signup").select("event_id"), ["event_id"])
-    b = with_row_idx(ev.filter(F.col("event_type") == "error").select("event_id"), ["event_id"])
+    eb = stats_bounds(sf_dir, "events", "event_id")
+    a = with_row_idx(
+        ev.filter(F.col("event_type") == "signup").select("event_id"), ["event_id"], bounds=eb
+    )
+    b = with_row_idx(
+        ev.filter(F.col("event_type") == "error").select("event_id"), ["event_id"], bounds=eb
+    )
     return choose_from([a, b]).select("_row_idx", "event_id")
 
 

@@ -139,6 +139,99 @@ def table_bytes(sf_dir: str, name: str) -> int | None:
     return None
 
 
+def stats_bounds(
+    sf_dir: str, name: str, col: str, n: int | None = None, max_footers: int = 64
+) -> list[float] | None:
+    """Approximate ``n``-quantile boundary vector for a numeric column,
+    derived ENTIRELY from parquet row-group footer statistics — zero
+    Spark jobs, zero data scan, microseconds on the driver.
+
+    Replaces ``with_row_idx``'s approxQuantile driver job (a full scan
+    of the projected key per call). Correctness does not depend on the
+    quantiles being exact: the row index is invariant to bucket
+    placement (any order-consistent boundary vector yields the same
+    final index — see ``operators/stream.with_row_idx``), so a footer
+    histogram interpolated linearly within each row group is always
+    safe; skewed data only costs bucket balance, never correctness.
+
+    At 100 TB the same trick holds: at most ``max_footers`` file footers
+    are read (evenly sampled), which bounds driver work regardless of
+    table size — Spark's own scan planning reads the same footers.
+    Returns None (caller falls back to approxQuantile) for non-numeric
+    keys, missing statistics, or degenerate min==max ranges.
+    """
+    import glob
+
+    import pyarrow.parquet as pq
+
+    n = n or _cpus()
+    if n <= 1:
+        return None
+    p = f"{sf_dir}/{name}.parquet"
+    if os.path.isfile(p):
+        files = [p]
+    elif os.path.isdir(p):
+        files = sorted(glob.glob(f"{p}/*.parquet"))
+    else:
+        return None
+    if not files:
+        return None
+    if len(files) > max_footers:
+        step = len(files) / max_footers
+        files = [files[int(i * step)] for i in range(max_footers)]
+    spans: list[tuple[float, float, int]] = []  # (min, max, rows) per row group
+    try:
+        for f in files:
+            md = pq.ParquetFile(f).metadata
+            rg0 = md.row_group(0)
+            idx = next(
+                (i for i in range(rg0.num_columns) if rg0.column(i).path_in_schema == col),
+                None,
+            )
+            if idx is None:
+                return None
+            for g in range(md.num_row_groups):
+                c = md.row_group(g).column(idx)
+                st = c.statistics
+                if st is None or not st.has_min_max:
+                    return None
+                mn, mx = st.min, st.max
+                if isinstance(mn, bool) or not isinstance(mn, (int, float)):
+                    return None
+                spans.append((float(mn), float(mx), md.row_group(g).num_rows))
+    except Exception:
+        return None
+    total = sum(r for _, _, r in spans)
+    lo = min(mn for mn, _, _ in spans)
+    hi = max(mx for _, mx, _ in spans)
+    if total == 0 or not (hi > lo):
+        return None
+
+    # CDF assuming uniform density inside each row group's [min, max]
+    def cdf(v: float) -> float:
+        s = 0.0
+        for mn, mx, r in spans:
+            if v >= mx:
+                s += r
+            elif v > mn:
+                s += r * (v - mn) / (mx - mn)
+        return s
+
+    bounds = []
+    for i in range(1, n):
+        t = total * i / n
+        a, b = lo, hi
+        for _ in range(40):  # bisect to ~(hi-lo)/2^40 resolution
+            m = (a + b) / 2
+            if cdf(m) < t:
+                a = m
+            else:
+                b = m
+        bounds.append((a + b) / 2)
+    out = sorted(set(bounds))
+    return out or None
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str):
     """Read one of the driver-provided parquet tables (any session)."""
     ensure_read_confs(spark)

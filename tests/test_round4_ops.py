@@ -1,0 +1,180 @@
+"""Round-4 operator additions: SimHash Hamming pair search (banding
+completeness), repetition stats (vectorized/expression parity), rank-only
+distributed window, stratified sampling (determinism + bounds), quality
+filter (rule order)."""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from plumberapp_spark.llm.dedup import simhash_hamming_pairs, simhash_table  # noqa: E402
+from plumberapp_spark.llm.sampling import stratified_sample  # noqa: E402
+from plumberapp_spark.llm.textqa import quality_filter, repetition_stats  # noqa: E402
+from plumberapp_spark.operators.windows import ranked_running_total  # noqa: E402
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+# ------------------------------------------------------------------
+# SimHash Hamming pairs
+# ------------------------------------------------------------------
+
+
+def _brute_force_pairs(spark, df, max_hamming):
+    sigs = simhash_table(df, "text", "doc_id", bits=16).collect()
+    out = set()
+    for i, a in enumerate(sigs):
+        for b in sigs[i + 1 :]:
+            ham = bin(a["simhash"] ^ b["simhash"]).count("1")
+            if ham <= max_hamming:
+                pair = (min(a["doc_id"], b["doc_id"]), max(a["doc_id"], b["doc_id"]), ham)
+                out.add(pair)
+    return out
+
+
+def test_hamming_banding_is_complete(spark):
+    # pigeonhole banding must reproduce the brute-force pair set exactly
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(120)
+    for d in (0, 1, 2):
+        got = {
+            (r["id_a"], r["id_b"], r["hamming"])
+            for r in simhash_hamming_pairs(docs, max_hamming=d).collect()
+        }
+        want = _brute_force_pairs(spark, docs, d)
+        assert got == want, f"max_hamming={d}: banding missed or invented pairs"
+
+
+def test_hamming_pairs_ordered_and_bounded(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(200)
+    rows = simhash_hamming_pairs(docs, max_hamming=2).collect()
+    assert all(r["id_a"] < r["id_b"] for r in rows)
+    assert all(0 <= r["hamming"] <= 2 for r in rows)
+
+
+def test_hamming_rejects_bad_params(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    import pytest
+
+    with pytest.raises(ValueError):
+        simhash_hamming_pairs(docs, max_hamming=-1)
+    with pytest.raises(ValueError):
+        simhash_hamming_pairs(docs, bits=4, max_hamming=4)
+
+
+# ------------------------------------------------------------------
+# Repetition stats
+# ------------------------------------------------------------------
+
+
+def test_repetition_vectorized_matches_expression(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    fast = {r["doc_id"]: tuple(r)[1:] for r in repetition_stats(docs, vectorized=True).collect()}
+    slow = {r["doc_id"]: tuple(r)[1:] for r in repetition_stats(docs, vectorized=False).collect()}
+    assert fast == slow
+
+
+def test_repetition_edge_rows(spark):
+    df = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "x"), (4, "a a a a"), (5, "a b c d e")],
+        "doc_id bigint, text string",
+    )
+    rows = {r["doc_id"]: r for r in repetition_stats(df, vectorized=True).collect()}
+    assert rows[1]["n_tokens"] == 0 and rows[1]["dup_word_frac"] == 0.0
+    assert rows[3]["dup_ngram_frac"] == 0.0  # shorter than the n-gram width
+    assert rows[4]["dup_word_frac"] == 0.75 and rows[4]["top_word_frac"] == 1.0
+    assert rows[5]["dup_word_frac"] == 0.0 and rows[5]["top_word_frac"] == 0.2
+    slow = {r["doc_id"]: r for r in repetition_stats(df, vectorized=False).collect()}
+    for k in rows:
+        assert tuple(rows[k]) == tuple(slow[k])
+
+
+# ------------------------------------------------------------------
+# Rank-only distributed window
+# ------------------------------------------------------------------
+
+
+def test_rank_only_matches_full_mode(spark):
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    kw = dict(
+        part_col="o_orderpriority",
+        order_col="o_totalprice",
+        id_col="o_orderkey",
+        rank_name="rk",
+        n_buckets=8,
+    )
+    rank_only = {
+        r["o_orderkey"]: r["rk"]
+        for r in ranked_running_total(orders, total_name=None, **kw).collect()
+    }
+    full = {
+        r["o_orderkey"]: r["rk"]
+        for r in ranked_running_total(orders, total_name="_rt", **kw).collect()
+    }
+    assert rank_only == full
+
+
+# ------------------------------------------------------------------
+# Stratified sampling
+# ------------------------------------------------------------------
+
+
+def test_stratified_sample_bounds_and_determinism(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("lang", "doc_id")
+    a = stratified_sample(docs, "lang", "doc_id", k=10, n_buckets=1).collect()
+    by_lang = {}
+    for r in a:
+        by_lang.setdefault(r["lang"], []).append(r["doc_id"])
+    for lang, ids in by_lang.items():
+        assert len(ids) == 10, f"{lang}: expected exactly 10 (stratum is larger than k)"
+    # layout-independent: a different partitioning and the bucketed rank
+    # path must pick the identical sample
+    b = stratified_sample(docs.repartition(7), "lang", "doc_id", k=10, n_buckets=8).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+# ------------------------------------------------------------------
+# Quality filter
+# ------------------------------------------------------------------
+
+
+def test_quality_filter_first_failing_rule_wins(spark):
+    # one doc per failure mode, plus a multi-fail doc that must report the
+    # FIRST rule in order (too_short before repetition)
+    many = " ".join(["the data over with from that this have"] * 5)  # stopword-heavy
+    good = "the quick brown fox jumps over the lazy dog " + " ".join(
+        f"word{i}" for i in range(15)
+    )
+    df = spark.createDataFrame(
+        [
+            (1, "tiny doc"),  # too_short (and no stopwords) -> too_short first
+            (2, " ".join(f"w{i}!!!" for i in range(30))),  # punctuation
+            (3, " ".join(f"uniq{i}" for i in range(30))),  # no stopwords
+            (4, "the " + " ".join(["dup"] * 30)),  # repetition (has stopword 'the')
+            (5, good),  # keep
+        ],
+        "doc_id bigint, text string",
+    )
+    rows = {r["doc_id"]: r for r in quality_filter(df).collect()}
+    assert rows[1]["reason"] == "too_short" and not rows[1]["keep"]
+    assert rows[2]["reason"] == "punctuation"
+    assert rows[3]["reason"] == "stopwords"
+    assert rows[4]["reason"] == "repetition"
+    assert rows[5]["reason"] == "keep" and rows[5]["keep"]
+    assert many  # silence lint for the helper string if unused
+
+
+def test_quality_filter_real_corpus_is_mixed(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    counts = {
+        r["reason"]: r["n"]
+        for r in quality_filter(docs).groupBy("reason").agg(F.count("*").alias("n")).collect()
+    }
+    assert counts.get("keep", 0) > 0, "filter keeps nothing - thresholds wrong"
+    assert sum(v for k, v in counts.items() if k != "keep") > 0, "filter drops nothing"

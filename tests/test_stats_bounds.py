@@ -1,0 +1,53 @@
+"""Footer-statistics boundary vectors (session.stats_bounds).
+
+stats_bounds replaces with_row_idx's approxQuantile driver job with a
+parquet-footer read. The contract it must hold is weak — ANY
+order-consistent boundary vector yields the identical row index — so
+the tests pin (a) the fallback conditions return None, (b) the bounds
+are sorted and inside the key's [min, max], and (c) the resulting
+_row_idx is bit-identical to the approxQuantile path's.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from plumberapp_spark.operators.stream import with_row_idx
+from plumberapp_spark.session import load_table, stats_bounds
+from tests.conftest import SF_DIR
+
+
+def test_bounds_sorted_within_range():
+    b = stats_bounds(SF_DIR, "events", "event_id", n=8)
+    assert b is not None and b == sorted(b)
+    assert all(0.0 <= x <= 99999.0 for x in b)
+    assert len(b) <= 7
+
+
+def test_fallbacks_return_none():
+    assert stats_bounds(SF_DIR, "events", "no_such_column", n=8) is None
+    assert stats_bounds(SF_DIR, "no_such_table", "event_id", n=8) is None
+    # string column: footer min/max exist but are not numeric
+    assert stats_bounds(SF_DIR, "events", "event_type", n=8) is None
+    # n<=1 means a single bucket — nothing to compute
+    assert stats_bounds(SF_DIR, "events", "event_id", n=1) is None
+
+
+def test_row_idx_identical_to_scan_path(spark):
+    ev = load_table(spark, SF_DIR, "events").select("event_id")
+    via_stats = with_row_idx(ev, ["event_id"], bounds=stats_bounds(SF_DIR, "events", "event_id"))
+    via_scan = with_row_idx(ev, ["event_id"])  # approxQuantile job
+    a = {r["event_id"]: r["_row_idx"] for r in via_stats.collect()}
+    b = {r["event_id"]: r["_row_idx"] for r in via_scan.collect()}
+    assert a == b
+
+
+def test_row_idx_correct_on_filtered_subset(spark):
+    # table-level bounds stay order-consistent for any filtered subset
+    ev = load_table(spark, SF_DIR, "events")
+    sub = ev.filter(F.col("event_type") == "signup").select("event_id")
+    got = with_row_idx(sub, ["event_id"], bounds=stats_bounds(SF_DIR, "events", "event_id"))
+    rows = sorted((r["event_id"], r["_row_idx"]) for r in got.collect())
+    expected_ids = sorted(r["event_id"] for r in sub.collect())
+    assert [i for _, i in rows] == list(range(len(expected_ids)))
+    assert [e for e, _ in rows] == expected_ids
