@@ -97,6 +97,7 @@ PRIMARY_INPUT = {
     "q60_repetition_stats": "documents",
     "q61_stratified_sample": "documents",
     "q62_quality_filter": "documents",
+    "q63_near_dup_clusters": "documents",
 }
 
 RATE_TABLES = ("lineitem", "orders", "events", "documents", "embeddings", "customer")

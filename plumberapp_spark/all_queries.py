@@ -61,6 +61,10 @@ _TAIL = (
     "q21_embedding_near_dup_pairs",
     "q32_convergence_lag",
     "q33_plateau_detection",
+    # q63 (new, iterative clustering) starts in the tail: it is fully
+    # oracle-checked by tests/test_queries_oracle.py and benched; it
+    # enters the 50-entry driver cap at the next rotation.
+    "q63_near_dup_clusters",
 )
 for _name in _TAIL:
     if _name in REGISTRY:

@@ -577,3 +577,103 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def connected_components(
+    edges: DataFrame,
+    nodes: DataFrame,
+    id_col: str = "doc_id",
+    max_iters: int = 50,
+) -> DataFrame:
+    """Connected components over an undirected pair graph: every node
+    gets ``cluster_label`` = the MINIMUM node id reachable through the
+    edges (the unique fixpoint — deterministic, engine-independent), plus
+    ``cluster_size``. Nodes with no edges are singleton clusters.
+
+    Iterative min-label propagation: each round every node takes
+    ``min(own label, min of neighbors' labels)``; converged when no label
+    changed. Edges and labels are persisted and label lineage is
+    truncated per round (``localCheckpoint``) so the plan does not grow
+    with iterations; the convergence probe is one tiny count per round.
+
+    Scale posture: rounds = component diameter, each round one join +
+    one groupBy on (src,dst) — the near-dup graphs this serves (LSH
+    candidate pairs over exact-dedup survivors) have small, dense
+    components, so diameter stays in the single digits. For adversarial
+    long-chain graphs the classic large-star/small-star alternation
+    (Kiveris et al., "Connected Components in MapReduce") halves rounds
+    to O(log n); not needed for the dedup workload this backs.
+
+    ``edges`` must have columns ``id_a``/``id_b``; ``nodes`` one row per
+    node carrying ``id_col``.
+    """
+    spark = nodes.sparkSession
+    sym = (
+        edges.select(F.col("id_a").alias("_src"), F.col("id_b").alias("_dst"))
+        .unionAll(edges.select(F.col("id_b").alias("_src"), F.col("id_a").alias("_dst")))
+        .persist()
+    )
+    labels = nodes.select(F.col(id_col).alias("_node"), F.col(id_col).alias("_label"))
+    labels = labels.localCheckpoint(eager=True)
+    for _ in range(max_iters):
+        nbr_min = (
+            sym.join(labels, sym["_src"] == labels["_node"])
+            .groupBy("_dst")
+            .agg(F.min("_label").alias("_nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels["_node"] == nbr_min["_dst"], "left")
+            .select(
+                "_node",
+                F.least(
+                    F.col("_label"), F.coalesce(F.col("_nbr_label"), F.col("_label"))
+                ).alias("_label"),
+                (F.col("_nbr_label") < F.col("_label")).alias("_changed"),
+            )
+        )
+        new_labels = new_labels.localCheckpoint(eager=True)
+        changed = new_labels.filter(F.col("_changed")).count()
+        labels = new_labels.drop("_changed")
+        if changed == 0:
+            break
+    else:
+        sym.unpersist()
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} rounds "
+            "(component diameter exceeds the cap — raise max_iters or use "
+            "star-contraction for this graph)"
+        )
+    sym.unpersist()
+    sizes = labels.groupBy("_label").agg(F.count("*").alias("cluster_size"))
+    return (
+        labels.join(sizes, on="_label")
+        .select(
+            F.col("_node").alias(id_col),
+            F.col("_label").alias("cluster_label"),
+            "cluster_size",
+        )
+    )
+
+
+def near_dup_clusters(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_perm: int = 8,
+    bands: int = 4,
+    ngram: int = 3,
+    max_iters: int = 50,
+) -> DataFrame:
+    """The full near-dup GROUPING pipeline: exact dedup -> MinHash+LSH
+    candidate pairs (dedup-first composition law, SCALE.md §9) ->
+    connected components. One row per SURVIVOR doc: (id, cluster_label,
+    cluster_size); picking ``min(id) per cluster_label`` afterwards is
+    the standard "keep one per near-dup group" reduction.
+
+    Docs too short to carry a MinHash signature (< ngram tokens) have no
+    candidate edges by construction and come out as singletons — same
+    contract as :func:`minhash_lsh_candidates`'s NULL-signature guard.
+    """
+    survivors = exact_text_survivors(df, text_col, id_col)
+    pairs = minhash_lsh_candidates(survivors, text_col, id_col, num_perm, bands, ngram)
+    return connected_components(pairs, survivors, id_col=id_col, max_iters=max_iters)

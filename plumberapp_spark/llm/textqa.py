@@ -256,6 +256,7 @@ def quality_filter(
     stop_lo: float = 0.02,
     stop_hi: float = 0.6,
     max_dup_word: float = 0.65,
+    vectorized: bool = True,
 ) -> DataFrame:
     """The composed C4/Gopher-style cleanup gate: every rule the cheap
     text-quality family provides, applied in a fixed order, returning a
@@ -268,24 +269,87 @@ def quality_filter(
     One pure projection — the whole composite evaluates row-local with
     zero shuffle at any corpus size, which is exactly why production
     pipelines run these gates BEFORE any dedup/embedding stage.
+
+    ``vectorized=True`` (default) evaluates every rule in ONE Arrow
+    ``mapInPandas`` pass with a single tokenization per doc — the
+    expression form pays interpreted higher-order lambdas per rule AND
+    per language (the q23 cost, ~5x here: measured 4.7 s vs 0.5 s at
+    sf0.1) and remains the oracle-parity definition (tests pin equality).
     """
-    feats = quality_features(F.col(text_col))
-    toks = tokenize(F.col(text_col))
-    n = F.size(toks)
-    dup_word = F.when(n > 0, 1 - F.size(F.array_distinct(toks)) / n).otherwise(0.0)
-    reason = (
-        F.when(feats["n_tokens"] < min_tokens, F.lit("too_short"))
-        .when(feats["punct_ratio"] > max_punct, F.lit("punctuation"))
-        .when(
-            (feats["stopword_ratio"] < stop_lo) | (feats["stopword_ratio"] > stop_hi),
-            F.lit("stopwords"),
+    if not vectorized:
+        text = F.coalesce(F.col(text_col), F.lit(""))  # NULL = empty doc
+        feats = quality_features(text)
+        toks = tokenize(text)
+        n = F.size(toks)
+        dup_word = F.when(n > 0, 1 - F.size(F.array_distinct(toks)) / n).otherwise(0.0)
+        reason = (
+            F.when(feats["n_tokens"] < min_tokens, F.lit("too_short"))
+            .when(feats["punct_ratio"] > max_punct, F.lit("punctuation"))
+            .when(
+                (feats["stopword_ratio"] < stop_lo) | (feats["stopword_ratio"] > stop_hi),
+                F.lit("stopwords"),
+            )
+            .when(dup_word > max_dup_word, F.lit("repetition"))
+            .when(langid_best(text) == "und", F.lit("language"))
+            .otherwise(F.lit("keep"))
         )
-        .when(dup_word > max_dup_word, F.lit("repetition"))
-        .when(langid_best(F.col(text_col)) == "und", F.lit("language"))
-        .otherwise(F.lit("keep"))
-    )
-    return df.select(
-        F.col(id_col),
-        reason.alias("reason"),
-        (reason == "keep").alias("keep"),
+        return df.select(
+            F.col(id_col),
+            reason.alias("reason"),
+            (reason == "keep").alias("keep"),
+        )
+
+    import re as _re
+
+    import pandas as pd
+
+    from plumberapp_spark.functions.text import LANG_MARKERS, STOPWORDS
+
+    id_ddl = df.schema[id_col].dataType.simpleString()
+    ws = _re.compile(r"\s+")
+    non_punct = _re.compile(r"[^\w\s]", _re.ASCII)  # Java \w is ASCII
+    stops = frozenset(STOPWORDS)
+    markers = {lang: frozenset(LANG_MARKERS[lang]) for lang in sorted(LANG_MARKERS)}
+
+    def gate_batches(batches):
+        for pdf in batches:
+            reasons = []
+            for text in pdf[text_col]:
+                if text is None:
+                    text = ""
+                toks = [t for t in ws.split(text) if t]
+                n = len(toks)
+                n_chars = len(text)
+                if n < min_tokens:
+                    reasons.append("too_short")
+                    continue
+                punct = len(non_punct.findall(text))
+                punct_ratio = punct / n_chars if n_chars > 0 else 0.0
+                if punct_ratio > max_punct:
+                    reasons.append("punctuation")
+                    continue
+                stop_ratio = sum(1 for t in toks if t.lower() in stops) / n
+                if stop_ratio < stop_lo or stop_ratio > stop_hi:
+                    reasons.append("stopwords")
+                    continue
+                if 1 - len(set(toks)) / n > max_dup_word:
+                    reasons.append("repetition")
+                    continue
+                ltoks = [t for t in ws.split(text.lower()) if t]
+                best = -1
+                for marks in markers.values():  # sorted-lang order, strict >
+                    score = sum(1 for t in ltoks if t in marks)
+                    if score > best:
+                        best = score
+                reasons.append("language" if best == 0 else "keep")
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "reason": reasons,
+                    "keep": pd.array([r == "keep" for r in reasons], dtype="bool"),
+                }
+            )
+
+    return df.select(F.col(id_col), F.col(text_col)).mapInPandas(
+        gate_batches, f"{id_col} {id_ddl}, reason string, keep boolean"
     )

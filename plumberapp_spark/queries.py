@@ -23,7 +23,7 @@ from typing import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from plumberapp_spark.session import load_table, stats_bounds
+from plumberapp_spark.session import load_table, row_idx_bounds
 from plumberapp_spark.operators import (
     with_row_idx,
     take,
@@ -199,12 +199,12 @@ def q06_zip_by_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = with_row_idx(
         load_table(spark, sf_dir, "orders").select("o_orderkey"),
         ["o_orderkey"],
-        bounds=stats_bounds(sf_dir, "orders", "o_orderkey"),
+        bounds=row_idx_bounds(sf_dir, "orders", "o_orderkey"),
     )
     events = with_row_idx(
         load_table(spark, sf_dir, "events").select("event_id", "event_type"),
         ["event_id"],
-        bounds=stats_bounds(sf_dir, "events", "event_id"),
+        bounds=row_idx_bounds(sf_dir, "events", "event_id"),
     )
     return zip_by_index(orders, events).select("_row_idx", "o_orderkey", "event_id", "event_type")
 
@@ -225,7 +225,7 @@ def q07_take_skip_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "user_id", F.round("value", 2).alias("value")
     )
-    idxed = with_row_idx(ev, ["event_id"], bounds=stats_bounds(sf_dir, "events", "event_id"))
+    idxed = with_row_idx(ev, ["event_id"], bounds=row_idx_bounds(sf_dir, "events", "event_id"))
     return shard(skip(take(idxed, 500), 100), 4, 1).select("_row_idx", "event_id", "user_id", "value")
 
 
@@ -248,7 +248,7 @@ def q08_batch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     assembled batch array (proves content + order)."""
     ev = load_table(spark, sf_dir, "events").select("event_id", "value")
     batched = batch(
-        with_row_idx(ev, ["event_id"], bounds=stats_bounds(sf_dir, "events", "event_id")),
+        with_row_idx(ev, ["event_id"], bounds=row_idx_bounds(sf_dir, "events", "event_id")),
         64,
         drop_remainder=True,
     )
@@ -275,7 +275,7 @@ def q09_repeat_echo(spark: SparkSession, sf_dir: str) -> DataFrame:
     a take(50) prefix."""
     ev = load_table(spark, sf_dir, "events").select("event_id")
     prefix = take(
-        with_row_idx(ev, ["event_id"], bounds=stats_bounds(sf_dir, "events", "event_id")), 50
+        with_row_idx(ev, ["event_id"], bounds=row_idx_bounds(sf_dir, "events", "event_id")), 50
     ).drop("_row_idx")
     out = echo(repeat(prefix, 3), 2)
     return out.select("event_id", "_epoch", F.col("_echo").cast("bigint").alias("_echo"))
@@ -292,7 +292,7 @@ def q10_unbatch_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id", F.round("value", 2).alias("value")
     )
     batched = batch(
-        with_row_idx(ev, ["event_id"], bounds=stats_bounds(sf_dir, "events", "event_id")), 32
+        with_row_idx(ev, ["event_id"], bounds=row_idx_bounds(sf_dir, "events", "event_id")), 32
     )
     return unbatch(batched).select("event_id", "user_id", "value")
 
@@ -316,7 +316,7 @@ def q11_group_by_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     iterator_utils.py:231-255): bucket = least(5, n_tokens div 10),
     windows of 8 per bucket."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    idxed = with_row_idx(docs, ["doc_id"], bounds=stats_bounds(sf_dir, "documents", "doc_id"))
+    idxed = with_row_idx(docs, ["doc_id"], bounds=row_idx_bounds(sf_dir, "documents", "doc_id"))
     key = F.least(F.lit(5), F.floor(F.size(tokenize(F.col("text"))) / 10)).cast("bigint")
     win = group_by_window(idxed.select("_row_idx", key.alias("_k")), F.col("_k"), 8)
     return win.select(

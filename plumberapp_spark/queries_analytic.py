@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from plumberapp_spark.registry import register
-from plumberapp_spark.session import load_table, stats_bounds
+from plumberapp_spark.session import load_table, row_idx_bounds
 
 # --------------------------------------------------------------------------
 # Shared derived operator-stats table (same fixture as queries_metrics):
@@ -125,7 +125,7 @@ def q38_padded_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     from plumberapp_spark.operators.stream import with_row_idx
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    indexed = with_row_idx(docs, ["doc_id"], bounds=stats_bounds(sf_dir, "documents", "doc_id"))
+    indexed = with_row_idx(docs, ["doc_id"], bounds=row_idx_bounds(sf_dir, "documents", "doc_id"))
     toks = indexed.select(
         "doc_id",
         "_row_idx",

@@ -544,7 +544,7 @@ def _simhash_sql(bits: int = 16) -> str:
     WITH surv AS (SELECT min(doc_id) AS doc_id, min(text) AS text
                   FROM documents GROUP BY md5(text)),
          t AS (SELECT doc_id, {TOKS} AS toks FROM surv),
-         s AS (SELECT doc_id, {_simhash_sql(16)} AS simhash FROM t)
+         s AS (SELECT doc_id, {_simhash_sql(32)} AS simhash FROM t)
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
            CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
     FROM s a JOIN s b ON a.doc_id < b.doc_id
@@ -559,13 +559,16 @@ def q59_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     COMPLETE candidate set with no quadratic self-join and no recall
     loss. Composed behind exact dedup (the SCALE.md §9 law: identical
     texts share a SimHash, so dedup-first removes the C(dups,2) bucket
-    blowup). The oracle is the brute-force quadratic join — banding must
-    reproduce it row-for-row."""
+    blowup). 32-bit key: 16 bits over this small-vocab corpus is so
+    collision-heavy that Hamming<=2 matches ~10% of ALL pairs (1.2M rows
+    at sf0.1) — width, not banding, controls selectivity. The oracle is
+    the brute-force quadratic join — banding must reproduce it
+    row-for-row."""
     from plumberapp_spark.llm.dedup import exact_text_survivors, simhash_hamming_pairs
 
     docs = load_table(spark, sf_dir, "documents")
     surv = exact_text_survivors(docs, "text", "doc_id")
-    return simhash_hamming_pairs(surv, "text", "doc_id", bits=16, max_hamming=2)
+    return simhash_hamming_pairs(surv, "text", "doc_id", bits=32, max_hamming=2)
 
 
 @register(
@@ -670,3 +673,53 @@ def q62_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     from plumberapp_spark.llm.textqa import quality_filter
 
     return quality_filter(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "q63_near_dup_clusters",
+    oracle=f"""
+    WITH RECURSIVE
+         d AS (SELECT min(doc_id) AS doc_id, min(text) AS text
+               FROM documents GROUP BY md5(text)),
+         t AS (SELECT doc_id, {TOKS} AS toks FROM d),
+         s AS (SELECT doc_id, list_distinct({_ngrams('toks', 3)}) AS sh FROM t),
+         hs AS (SELECT doc_id,
+                list_transform(sh, s -> ('0x' || substr(md5(s), 1, 14))::BIGINT) AS h FROM s),
+         sig AS (SELECT doc_id,
+           {",".join(f'''
+           list_min(list_transform(h, x -> (x * {2 * p + 1} + {p * 0x9E3779B9}) % 2305843009213693951)) AS mh_{p}''' for p in range(8))}
+         FROM hs),
+         band AS (SELECT doc_id,
+           {",".join(f'''
+           md5(concat_ws('_', '{b}', mh_{2 * b}::VARCHAR, mh_{2 * b + 1}::VARCHAR)) AS band_{b}''' for b in range(4))}
+         FROM sig WHERE mh_0 IS NOT NULL),
+         stack AS (SELECT doc_id, unnest([band_0, band_1, band_2, band_3]) AS band_key FROM band),
+         pairs AS (SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+                   FROM stack l JOIN stack r USING (band_key)
+                   WHERE l.doc_id < r.doc_id),
+         edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                   UNION SELECT id_b, id_a FROM pairs),
+         reach(node, lab) AS (
+             SELECT doc_id, doc_id FROM d
+             UNION
+             SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.node),
+         labels AS (SELECT node AS doc_id, min(lab) AS cluster_label
+                    FROM reach GROUP BY node),
+         sizes AS (SELECT cluster_label, count(*) AS cluster_size
+                   FROM labels GROUP BY 1)
+    SELECT l.doc_id, l.cluster_label, s.cluster_size
+    FROM labels l JOIN sizes s USING (cluster_label)
+    """,
+)
+def q63_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup GROUPING end-to-end: exact dedup -> LSH candidate pairs
+    -> connected components (min-reachable-id label, the unique
+    deterministic fixpoint). Iterative min-label propagation with
+    per-round lineage truncation; the oracle computes the same
+    components with a recursive CTE, so the iterative distributed
+    algorithm is value-checked against a declarative definition."""
+    from plumberapp_spark.llm.dedup import near_dup_clusters
+
+    return near_dup_clusters(
+        load_table(spark, sf_dir, "documents"), "text", "doc_id", num_perm=8, bands=4, ngram=3
+    )

@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from plumberapp_spark.registry import register
-from plumberapp_spark.session import load_table, stats_bounds
+from plumberapp_spark.session import load_table, row_idx_bounds
 from plumberapp_spark.operators import with_row_idx, shuffle, concatenate, choose_from
 from plumberapp_spark.functions.hashing import stable_bucket
 
@@ -36,7 +36,7 @@ def q26_shuffle_multiset(spark: SparkSession, sf_dir: str) -> DataFrame:
     itself is keyed on (seed, row id) so reruns are stable)."""
     ev = load_table(spark, sf_dir, "events").select("event_id", "user_id")
     return shuffle(
-        with_row_idx(ev, ["event_id"], bounds=stats_bounds(sf_dir, "events", "event_id")), seed=42
+        with_row_idx(ev, ["event_id"], bounds=row_idx_bounds(sf_dir, "events", "event_id")), seed=42
     ).drop("_row_idx")
 
 
@@ -56,7 +56,7 @@ def q27_concatenate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J2 concatenate — append stream b after stream a with re-based
     ``_row_idx`` (imagenet_input.py:191-197 disk+memory partitions)."""
     ev = load_table(spark, sf_dir, "events")
-    eb = stats_bounds(sf_dir, "events", "event_id")
+    eb = row_idx_bounds(sf_dir, "events", "event_id")
     a = with_row_idx(
         ev.filter(F.col("event_type") == "signup").select("event_id"), ["event_id"], bounds=eb
     )
@@ -82,7 +82,7 @@ def q28_choose_from(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J3 choose_from_datasets with round-robin chooser — element i of
     stream t lands at i*k + t (simple_rcnn/dataloader.py:514-520)."""
     ev = load_table(spark, sf_dir, "events")
-    eb = stats_bounds(sf_dir, "events", "event_id")
+    eb = row_idx_bounds(sf_dir, "events", "event_id")
     a = with_row_idx(
         ev.filter(F.col("event_type") == "signup").select("event_id"), ["event_id"], bounds=eb
     )

@@ -178,3 +178,60 @@ def test_quality_filter_real_corpus_is_mixed(spark):
     }
     assert counts.get("keep", 0) > 0, "filter keeps nothing - thresholds wrong"
     assert sum(v for k, v in counts.items() if k != "keep") > 0, "filter drops nothing"
+
+
+def test_quality_filter_vectorized_matches_expression(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    fast = {r["doc_id"]: (r["reason"], r["keep"]) for r in quality_filter(docs).collect()}
+    slow = {
+        r["doc_id"]: (r["reason"], r["keep"])
+        for r in quality_filter(docs, vectorized=False).collect()
+    }
+    assert fast == slow
+    edge = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "the " * 30), (4, "x! " * 40)],
+        "doc_id bigint, text string",
+    )
+    fast_e = {r["doc_id"]: (r["reason"], r["keep"]) for r in quality_filter(edge).collect()}
+    slow_e = {
+        r["doc_id"]: (r["reason"], r["keep"])
+        for r in quality_filter(edge, vectorized=False).collect()
+    }
+    assert fast_e == slow_e
+
+
+# ------------------------------------------------------------------
+# Connected components
+# ------------------------------------------------------------------
+
+
+def test_connected_components_chain_and_singleton(spark):
+    from plumberapp_spark.llm.dedup import connected_components
+
+    # chain 1-2-3-4, pair 10-11, singleton 20
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "id_a bigint, id_b bigint"
+    )
+    nodes = spark.createDataFrame(
+        [(i,) for i in (1, 2, 3, 4, 10, 11, 20)], "doc_id bigint"
+    )
+    rows = {r["doc_id"]: (r["cluster_label"], r["cluster_size"]) for r in
+            connected_components(edges, nodes).collect()}
+    assert rows == {
+        1: (1, 4), 2: (1, 4), 3: (1, 4), 4: (1, 4),
+        10: (10, 2), 11: (10, 2), 20: (20, 1),
+    }
+
+
+def test_connected_components_nonconvergence_raises(spark):
+    import pytest
+
+    from plumberapp_spark.llm.dedup import connected_components
+
+    # a 6-chain cannot converge in 1 round of min-label propagation
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 6)], "id_a bigint, id_b bigint"
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(1, 7)], "doc_id bigint")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, nodes, max_iters=1)
