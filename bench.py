@@ -109,8 +109,12 @@ def run_query(spark, name: str, sf_dir: str) -> float | None:
     artifact (the round-2 bench died whole because q52's plan-time error
     propagated out of this loop)."""
     try:
-        df = REGISTRY[name].fn(spark, sf_dir)
+        # timed from BUILD start, not just the final action: queries
+        # with eager driver-side work (LP/MILP solves, q63's iterative
+        # label propagation, boundary probes) must be charged for it —
+        # action-only timing under-reported q63 by >10x.
         t0 = time.perf_counter()
+        df = REGISTRY[name].fn(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
         dt = time.perf_counter() - t0
     except Exception as exc:  # noqa: BLE001 — record and continue
@@ -128,9 +132,9 @@ def run_query(spark, name: str, sf_dir: str) -> float | None:
     return dt
 
 
-def duckdb_baseline(sf_dir: str, names: list[str]) -> dict[str, float]:
-    """Warm best-of-2 DuckDB wall time per oracle — same SQL the query is
-    hash-checked against, same parquet, all cores."""
+def duck_connect(sf_dir: str):
+    """DuckDB connection with the driver tables as views — the baseline
+    side of the per-query interleaved comparison."""
     import duckdb
 
     con = duckdb.connect()
@@ -144,25 +148,28 @@ def duckdb_baseline(sf_dir: str, names: list[str]) -> dict[str, float]:
         except Exception:
             # missing/unreadable table: its oracles fail individually below
             continue
-    out: dict[str, float] = {}
-    for name in names:
-        sql = REGISTRY[name].oracle
-        if sql is None:
-            continue
-        try:
-            con.execute(sql).fetchall()  # cold / page-cache pass
-        except Exception:
-            # scaled copies regenerate some columns with different types
-            # (e.g. events.ts TIMESTAMP(NANOS) -> BIGINT); skip the oracle
-            # rather than kill the whole baseline pass
-            continue
-        best = float("inf")
-        for _ in range(2):
-            t0 = time.perf_counter()
-            con.execute(sql).fetchall()
-            best = min(best, time.perf_counter() - t0)
-        out[name] = round(best, 4)
-    return out
+    return con
+
+
+def time_oracle(con, name: str) -> float | None:
+    """Warm best-of-2 DuckDB wall time for one oracle — same SQL the
+    query is hash-checked against, same parquet, all cores."""
+    sql = REGISTRY[name].oracle
+    if sql is None or con is None:
+        return None
+    try:
+        con.execute(sql).fetchall()  # cold / page-cache pass
+    except Exception:
+        # scaled copies regenerate some columns with different types
+        # (e.g. events.ts TIMESTAMP(NANOS) -> BIGINT); skip the oracle
+        # rather than kill the whole baseline pass
+        return None
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        con.execute(sql).fetchall()
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 4)
 
 
 def main() -> None:
@@ -218,6 +225,18 @@ def main() -> None:
             drop_page_caches()
         dt = run_query(spark, name, sf_dir)
         cold[name] = round(dt, 3) if dt is not None else None
+    # The DuckDB baseline is timed PER QUERY, interleaved right after that
+    # query's Spark passes: this host's throughput drifts by 2-5x within a
+    # round (SCALE.md §9), so a single end-of-run baseline pass can compare
+    # a fast-host Spark number against a slow-host DuckDB number (or vice
+    # versa). Adjacent-in-time measurement makes each ratio self-consistent.
+    duck_con = None
+    if os.environ.get("SPARK_GRAFT_BENCH_DUCKDB", "1") != "0":
+        try:
+            duck_con = duck_connect(sf_dir)
+        except Exception as exc:  # noqa: BLE001 — baseline is auxiliary
+            print(f"bench: duckdb baseline unavailable: {exc}", file=sys.stderr)
+    duck: dict[str, float] = {}
     for name in names:
         # best-of-3: at the 0.2-1 s per-query scale, single runs wobble
         # 2-3x with GC/JIT noise (two otherwise-identical r4 suite runs
@@ -234,6 +253,9 @@ def main() -> None:
         src = PRIMARY_INPUT.get(name)
         if src in input_rows:
             rates[name] = round(input_rows[src] / max(dt, 1e-9))
+        d = time_oracle(duck_con, name)
+        if d is not None:
+            duck[name] = d
     total = round(sum(t for t in timings.values() if t is not None), 3)
 
     # The driver captures only the TAIL of stdout; round 3's full-detail
@@ -254,12 +276,7 @@ def main() -> None:
         "failed": failed,
     }
 
-    if os.environ.get("SPARK_GRAFT_BENCH_DUCKDB", "1") != "0":
-        try:
-            duck = duckdb_baseline(sf_dir, names)
-        except Exception as exc:  # noqa: BLE001 — baseline is auxiliary
-            print(f"bench: duckdb baseline failed: {exc}", file=sys.stderr)
-            duck = {}
+    if duck_con is not None:
         detail["duckdb_sec"] = duck
         detail["vs_duckdb"] = {
             n: round(timings[n] / max(duck[n], 1e-9), 2)

@@ -255,10 +255,31 @@ def row_idx_bounds(
     return stats_bounds(sf_dir, name, col, n=n)
 
 
+# (session, dir, table) -> DataFrame. A DataFrame is an immutable logical
+# plan, so handing the same object to every caller is safe; caching skips
+# the per-call footer/schema resolution job (~0.1-0.3 s per read.parquet)
+# exactly as a long-lived serving session would. Values hold the session
+# object so an id() is never reused while its entry lives.
+_TABLE_CACHE: dict = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str):
-    """Read one of the driver-provided parquet tables (any session)."""
+    """Read one of the driver-provided parquet tables (any session).
+    Cached per (session, path): re-reading a path whose FILES were
+    replaced mid-session returns the cached plan — call
+    ``clear_table_cache()`` after rewriting testdata in-process."""
+    key = (id(spark), sf_dir, name)
+    hit = _TABLE_CACHE.get(key)
+    if hit is not None and hit[0] is spark:
+        return hit[1]
     ensure_read_confs(spark)
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    _TABLE_CACHE[key] = (spark, df)
+    return df
+
+
+def clear_table_cache() -> None:
+    _TABLE_CACHE.clear()
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict:

@@ -94,9 +94,25 @@ def ensure_bucketed_tables(
     for table, key in tables.items():
         name = bucketed_name(sf_dir, table, num_buckets)
         if not spark.catalog.tableExists(name):
+            _drop_stale_location(spark, name)
             write_bucketed(load_table(spark, sf_dir, table), name, key, num_buckets)
         names[table] = name
     return names
+
+
+def _drop_stale_location(spark: SparkSession, name: str) -> None:
+    """Remove an orphaned managed-table directory. The session catalog is
+    in-memory, so a table written by a PREVIOUS process is 'not exists'
+    to this one while its warehouse directory persists on disk —
+    saveAsTable then fails with LOCATION_ALREADY_EXISTS (this killed the
+    bucketed path of a whole bench run). Deleting the orphan is safe
+    precisely because no live catalog references it."""
+    import shutil
+    from urllib.parse import urlparse
+
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", "")).path
+    if wh:
+        shutil.rmtree(f"{wh}/{name.lower()}", ignore_errors=True)
 
 
 def bucketed_or_parquet(
