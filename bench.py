@@ -98,6 +98,8 @@ PRIMARY_INPUT = {
     "q61_stratified_sample": "documents",
     "q62_quality_filter": "documents",
     "q63_near_dup_clusters": "documents",
+    "q64_top_ngrams": "documents",
+    "q65_token_budget_packing": "documents",
 }
 
 RATE_TABLES = ("lineitem", "orders", "events", "documents", "embeddings", "customer")

@@ -65,6 +65,8 @@ _TAIL = (
     # oracle-checked by tests/test_queries_oracle.py and benched; it
     # enters the 50-entry driver cap at the next rotation.
     "q63_near_dup_clusters",
+    "q64_top_ngrams",
+    "q65_token_budget_packing",
 )
 for _name in _TAIL:
     if _name in REGISTRY:

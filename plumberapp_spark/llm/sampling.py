@@ -51,3 +51,54 @@ def stratified_sample(
         total_name=None,
     )
     return ranked.filter(F.col("sample_rank") <= k).drop("_skey")
+
+
+def pack_by_token_budget(
+    df: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    budget: int,
+    n_buckets: int | None = None,
+) -> DataFrame:
+    """Deterministic sequence packing: walk the corpus in ``id_col``
+    order and assign each document to the training bin in which its
+    token span STARTS — ``bin_id = floor(exclusive_running_tokens /
+    budget)`` — the standard "chunk the token stream into
+    context-length bins" step in front of LLM training. Documents may
+    straddle a boundary; they are counted into their starting bin
+    (stream chunking, not bin-packing — deterministic and
+    order-preserving, which first-fit-decreasing is not).
+
+    The running token total is the distributed bucketed prefix sum
+    (``operators/windows.ranked_running_total`` over a constant
+    partition key — the exact single-task global window it exists to
+    replace), ordered ascending by negating the id (the machinery
+    ranks descending).
+
+    Output: ``(id, tokens, token_offset, bin_id)`` where
+    ``token_offset`` is the exclusive running total.
+    """
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    keyed = df.select(
+        F.col(id_col),
+        F.col(tokens_col).cast("bigint").alias(tokens_col),
+        (-F.col(id_col)).cast("double").alias("_negid"),
+        F.lit(0).alias("_all"),
+    )
+    ranked = ranked_running_total(
+        keyed,
+        part_col="_all",
+        order_col="_negid",
+        id_col=id_col,
+        value_col=tokens_col,
+        n_buckets=n_buckets,
+        rank_name="_rk",
+        total_name="_ct",
+    )
+    return ranked.select(
+        F.col(id_col),
+        F.col(tokens_col),
+        (F.col("_ct") - F.col(tokens_col)).cast("bigint").alias("token_offset"),
+        F.floor((F.col("_ct") - F.col(tokens_col)) / budget).cast("bigint").alias("bin_id"),
+    )

@@ -353,3 +353,56 @@ def quality_filter(
     return df.select(F.col(id_col), F.col(text_col)).mapInPandas(
         gate_batches, f"{id_col} {id_ddl}, reason string, keep boolean"
     )
+
+
+def top_ngrams(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 2,
+    k: int = 20,
+    vectorized: bool = True,
+) -> DataFrame:
+    """Corpus-wide top-k word n-grams with counts — the vocabulary /
+    BPE-merge-candidate statistic every tokenizer build starts from.
+    Deterministic ties: count desc, then gram asc.
+
+    ``vectorized=True`` (default): one Arrow pass emits PER-BATCH
+    (gram, count) partials from a single Counter — the exchange then
+    carries each batch's distinct grams, not every occurrence, and the
+    final groupBy sums partials (a reduce over vocabulary-sized input).
+    The expression form explodes one row per occurrence through an
+    interpreted n-gram lambda (measured 3.3 s vs 0.3 s at sf0.1, 70 s at
+    100×) and remains the oracle-parity definition.
+    """
+    if not vectorized:
+        grams = df.select(
+            F.explode(word_ngrams(tokenize(F.col(text_col)), n)).alias("ngram")
+        )
+        counts = grams.groupBy("ngram").agg(F.count("*").alias("n_occurrences"))
+        return counts.orderBy(F.col("n_occurrences").desc(), F.col("ngram")).limit(k)
+
+    import re as _re
+    from collections import Counter
+
+    import pandas as pd
+
+    ws = _re.compile(r"\s+")
+
+    def gram_partials(batches):
+        for pdf in batches:
+            counts: Counter = Counter()
+            for text in pdf[text_col]:
+                toks = [t for t in ws.split(text) if t] if text is not None else []
+                for i in range(len(toks) - n + 1):
+                    counts[" ".join(toks[i : i + n])] += 1
+            if counts:
+                yield pd.DataFrame(
+                    {"ngram": list(counts.keys()), "_cnt": list(counts.values())}
+                )
+
+    partials = df.select(F.col(text_col)).mapInPandas(
+        gram_partials, "ngram string, _cnt bigint"
+    )
+    counts = partials.groupBy("ngram").agg(F.sum("_cnt").alias("n_occurrences"))
+    return counts.orderBy(F.col("n_occurrences").desc(), F.col("ngram")).limit(k)

@@ -723,3 +723,62 @@ def q63_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return near_dup_clusters(
         load_table(spark, sf_dir, "documents"), "text", "doc_id", num_perm=8, bands=4, ngram=3
     )
+
+
+@register(
+    "q64_top_ngrams",
+    oracle=f"""
+    WITH t AS (SELECT {TOKS} AS toks FROM documents),
+         g AS (SELECT unnest({_ngrams('toks', 2)}) AS ngram FROM t)
+    SELECT ngram, count(*) AS n_occurrences
+    FROM g GROUP BY 1
+    ORDER BY n_occurrences DESC, ngram LIMIT 20
+    """,
+)
+def q64_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-20 bigrams — the vocabulary/BPE-merge statistic a
+    tokenizer build starts from. explode -> map-side partial agg on the
+    gram -> global top-k; only k rows cross the final exchange."""
+    from plumberapp_spark.llm.textqa import top_ngrams
+
+    return top_ngrams(load_table(spark, sf_dir, "documents"), n=2, k=20)
+
+
+@register(
+    "q65_token_budget_packing",
+    oracle=f"""
+    WITH s AS (SELECT doc_id, CAST(len({TOKS}) AS BIGINT) AS n_tokens FROM documents),
+         c AS (SELECT doc_id, n_tokens,
+                      CAST(sum(n_tokens) OVER (ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+                           AS BIGINT) AS token_offset
+               FROM s)
+    SELECT doc_id, n_tokens, token_offset,
+           CAST(floor(token_offset / 256.0) AS BIGINT) AS bin_id
+    FROM c
+    """,
+)
+def q65_token_budget_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic sequence packing: chunk the doc_id-ordered token
+    stream into 256-token training bins (each doc lands in the bin its
+    span STARTS in). The global running token total is the distributed
+    bucketed prefix sum — the constant partition key here is the
+    EXACT single-task window wall operators/windows.py exists to break;
+    routed by the same 64 MB file-size threshold as q36/q61."""
+    from plumberapp_spark.functions.text import token_count
+    from plumberapp_spark.llm.sampling import pack_by_token_budget
+    from plumberapp_spark.session import table_bytes
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", token_count(F.col("text")).alias("n_toks")
+    )
+    size = table_bytes(sf_dir, "documents")
+    n_buckets = 1 if size is not None and size < (64 << 20) else None
+    return pack_by_token_budget(
+        docs, id_col="doc_id", tokens_col="n_toks", budget=256, n_buckets=n_buckets
+    ).select(
+        "doc_id",
+        F.col("n_toks").alias("n_tokens"),
+        "token_offset",
+        "bin_id",
+    )

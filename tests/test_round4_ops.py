@@ -235,3 +235,60 @@ def test_connected_components_nonconvergence_raises(spark):
     nodes = spark.createDataFrame([(i,) for i in range(1, 7)], "doc_id bigint")
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(edges, nodes, max_iters=1)
+
+
+# ------------------------------------------------------------------
+# Sequence packing + top n-grams
+# ------------------------------------------------------------------
+
+
+def test_pack_by_token_budget_bucketed_matches_plain(spark):
+    from plumberapp_spark.llm.sampling import pack_by_token_budget
+
+    df = spark.createDataFrame(
+        [(i, 10 + (i * 7) % 30) for i in range(200)], "doc_id bigint, n_toks bigint"
+    )
+    plain = {r["doc_id"]: tuple(r)[1:] for r in
+             pack_by_token_budget(df, "doc_id", "n_toks", 64, n_buckets=1).collect()}
+    dist = {r["doc_id"]: tuple(r)[1:] for r in
+            pack_by_token_budget(df.repartition(5), "doc_id", "n_toks", 64, n_buckets=8).collect()}
+    assert plain == dist
+    # bin assignment: doc starts in bin floor(exclusive_offset / budget)
+    offs = 0
+    for i in range(200):
+        toks = 10 + (i * 7) % 30
+        assert plain[i] == (toks, offs, offs // 64)
+        offs += toks
+
+
+def test_pack_by_token_budget_rejects_bad_budget(spark):
+    import pytest
+
+    from plumberapp_spark.llm.sampling import pack_by_token_budget
+
+    df = spark.createDataFrame([(1, 5)], "doc_id bigint, n_toks bigint")
+    with pytest.raises(ValueError):
+        pack_by_token_budget(df, "doc_id", "n_toks", 0)
+
+
+def test_top_ngrams_counts_and_ties(spark):
+    from plumberapp_spark.llm.textqa import top_ngrams
+
+    df = spark.createDataFrame(
+        [(1, "a b a b c"), (2, "a b x"), (3, "zz")],
+        "doc_id bigint, text string",
+    )
+    rows = [(r["ngram"], r["n_occurrences"]) for r in top_ngrams(df, n=2, k=3).collect()]
+    # "a b" appears 3x (twice in doc1: positions 1 and 3? no — 'a b','b a','a b','b c' -> 2x + doc2 1x = 3)
+    assert rows[0] == ("a b", 3)
+    assert rows[1][1] <= 3 and len(rows) == 3
+
+
+def test_top_ngrams_vectorized_matches_expression(spark):
+    from plumberapp_spark.llm.textqa import top_ngrams
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    fast = [(r["ngram"], r["n_occurrences"]) for r in top_ngrams(docs, n=3, k=30).collect()]
+    slow = [(r["ngram"], r["n_occurrences"])
+            for r in top_ngrams(docs, n=3, k=30, vectorized=False).collect()]
+    assert fast == slow
