@@ -167,3 +167,45 @@ def test_q35_exchange_carries_pruned_columns(spark):
         "ReadSchema: struct<l_orderkey:bigint,l_extendedprice:double,l_discount:double>"
         in plan
     )
+
+
+def test_projection_ops_have_zero_exchange(spark):
+    """q60/q62 (repetition stats, quality gate) are pure projections —
+    one Arrow pass, NO exchange at any corpus size. Their whole scale
+    story is this plan property."""
+    for name in ("q60_repetition_stats", "q62_quality_filter"):
+        plan = formatted_plan(build(spark, name))
+        assert "Exchange" not in plan, f"{name} grew a shuffle"
+        assert "ArrowEvalPython" in plan or "MapInPandas" in plan
+
+
+def test_top_ngrams_aggregates_partials(spark):
+    """q64: the exchange input is per-batch (gram, count) PARTIALS from
+    the Python combiner, and Spark adds its own partial_sum below the
+    exchange — occurrences never cross the wire unaggregated."""
+    plan = formatted_plan(build(spark, "q64_top_ngrams"))
+    assert "MapInPandas" in plan
+    assert "partial_sum" in plan
+    # global top-k, not a global sort of the vocabulary
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_hamming_pairs_no_cartesian_no_corpus_broadcast(spark):
+    """q59: candidate generation is the band-key groupBy (bucket-then-
+    pair) — no cartesian product, no broadcast of a corpus-sized side."""
+    plan = formatted_plan(build(spark, "q59_simhash_hamming_pairs"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_stratified_sample_distributed_rank_above_threshold(spark):
+    """The q61 machinery in bucketed mode: no single-partition global
+    window — rank comes from (stratum, bucket) windows + a broadcast
+    offset join."""
+    from plumberapp_spark.llm.sampling import stratified_sample
+    from plumberapp_spark.session import load_table
+
+    docs = load_table(spark, SF_DIR, "documents").select("lang", "doc_id")
+    plan = formatted_plan(stratified_sample(docs, "lang", "doc_id", k=5, n_buckets=8))
+    assert "PartitionBy: [lang#" in plan or "partitionBy" in plan.lower() or "_bkt" in plan
+    assert "BroadcastExchange" in plan  # the per-bucket offsets ride a broadcast
