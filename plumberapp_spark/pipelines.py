@@ -170,10 +170,56 @@ def transformer_pipeline(spark: SparkSession, n: int = 5_000, max_train_len: int
     )
 
 
+def curation_pipeline(
+    spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001", budget: int = 256
+) -> Pipeline:
+    """The pretraining-corpus curation composition on the Pipeline IR —
+    the north-star workload (quality gate → exact dedup → near-dup drop
+    → token-budget packing) expressed as plan stages so the SAME
+    profiler/advisor/rewrite machinery that serves the MLPerf analogs
+    can rank its bottlenecks and place caches.
+
+    Every stage is one of the library's scale-audited operators
+    (SCALE.md §5): the gate and the token counter are zero-shuffle
+    projections, dedup is the digest groupBy, the near-dup drop keeps
+    the min-id side of each LSH candidate pair (anti join), and packing
+    rides the distributed prefix sum.
+    """
+    from plumberapp_spark.functions.text import token_count
+    from plumberapp_spark.llm.dedup import exact_text_survivors, minhash_lsh_candidates
+    from plumberapp_spark.llm.sampling import pack_by_token_budget
+    from plumberapp_spark.llm.textqa import quality_filter
+    from plumberapp_spark.session import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def gate(df: DataFrame) -> DataFrame:
+        kept = quality_filter(df).filter(F.col("keep")).select("doc_id")
+        return df.join(kept, "doc_id", "left_semi")
+
+    def near_dup_drop(df: DataFrame) -> DataFrame:
+        pairs = minhash_lsh_candidates(df, "text", "doc_id", num_perm=8, bands=4, ngram=3)
+        losers = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+        return df.join(losers, "doc_id", "left_anti")
+
+    def pack(df: DataFrame) -> DataFrame:
+        toks = df.select("doc_id", token_count(F.col("text")).alias("n_toks"))
+        return pack_by_token_budget(toks, "doc_id", "n_toks", budget, n_buckets=1)
+
+    return (
+        Pipeline.from_dataframe(docs, desc="documents")
+        .map(gate, desc="quality_gate")
+        .map(lambda df: exact_text_survivors(df, "text", "doc_id"), desc="exact_dedup")
+        .map(near_dup_drop, desc="near_dup_drop")
+        .map(pack, desc=f"pack_{budget}")
+    )
+
+
 ALL_PIPELINES = {
     "resnet": resnet_pipeline,
     "ssd": ssd_pipeline,
     "rcnn": rcnn_pipeline,
     "gnmt": gnmt_pipeline,
     "transformer": transformer_pipeline,
+    "curation": curation_pipeline,
 }

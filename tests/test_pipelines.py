@@ -99,3 +99,19 @@ def test_optimizer_on_gnmt(spark):
     optimized, advice = Optimizer(spark).optimize(p, sample_rows=200)
     assert advice.bottleneck is not None
     assert p.schema(spark) == optimized.schema(spark)
+
+
+def test_curation_pipeline(spark):
+    # quality gate -> exact dedup -> LSH near-dup drop -> token packing,
+    # all on the Pipeline IR; output is the packed training stream
+    p = pipelines.curation_pipeline(spark)
+    df = p.to_df(spark)
+    rows = sorted(df.collect(), key=lambda r: r["doc_id"])
+    assert set(df.columns) == {"doc_id", "n_toks", "token_offset", "bin_id"}
+    assert 0 < len(rows) < 500  # the gate and dedup must each drop something
+    off = 0
+    for r in rows:  # offsets are an exact prefix sum over the kept stream
+        assert r["token_offset"] == off and r["bin_id"] == off // 256
+        off += r["n_toks"]
+    model = PipelineProfiler(spark).profile(p, sample_rows=200)
+    assert model.bottleneck_node() is not None
