@@ -51,3 +51,40 @@ def test_row_idx_correct_on_filtered_subset(spark):
     expected_ids = sorted(r["event_id"] for r in sub.collect())
     assert [i for _, i in rows] == list(range(len(expected_ids)))
     assert [e for e, _ in rows] == expected_ids
+
+
+def test_multi_rowgroup_histogram(tmp_path):
+    # 100 TB shape in miniature: many row groups with disjoint key spans;
+    # the footer histogram should land boundaries near true quantiles
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    p = tmp_path / "t.parquet"
+    keys = list(range(10_000))
+    pq.write_table(pa.table({"k": keys}), p, row_group_size=500)  # 20 row groups
+    assert pq.ParquetFile(p).metadata.num_row_groups == 20
+    from plumberapp_spark.session import stats_bounds
+
+    b = stats_bounds(str(tmp_path), "t", "k", n=8)
+    assert b is not None and len(b) == 7
+    # uniform data: each boundary within one row-group span of ideal
+    for i, x in enumerate(b, start=1):
+        assert abs(x - i * 10_000 / 8) <= 500, (i, x)
+
+
+def test_footer_sampling_caps_driver_work(tmp_path):
+    # directory table with more files than max_footers: still returns
+    # order-consistent bounds (subset histogram), never errors
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "t.parquet"
+    d.mkdir()
+    for i in range(12):
+        pq.write_table(
+            pa.table({"k": list(range(i * 100, (i + 1) * 100))}), d / f"part-{i:02d}.parquet"
+        )
+    from plumberapp_spark.session import stats_bounds
+
+    b = stats_bounds(str(tmp_path), "t", "k", n=4, max_footers=5)
+    assert b is not None and b == sorted(b)
