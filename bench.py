@@ -100,6 +100,7 @@ PRIMARY_INPUT = {
     "q63_near_dup_clusters": "documents",
     "q64_top_ngrams": "documents",
     "q65_token_budget_packing": "documents",
+    "q66_streaming_quality_monitor": "documents",
 }
 
 RATE_TABLES = ("lineitem", "orders", "events", "documents", "embeddings", "customer")

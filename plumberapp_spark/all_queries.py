@@ -67,6 +67,7 @@ _TAIL = (
     "q63_near_dup_clusters",
     "q64_top_ngrams",
     "q65_token_budget_packing",
+    "q66_streaming_quality_monitor",
 )
 for _name in _TAIL:
     if _name in REGISTRY:

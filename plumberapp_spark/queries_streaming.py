@@ -161,3 +161,46 @@ def q55_stateful_rate_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     query.awaitTermination()
     return spark.table(sink)
+
+
+def _q66_oracle() -> str:
+    from plumberapp_spark.queries_llm import _quality_filter_oracle
+
+    return f"""
+    SELECT reason, count(*) AS n_docs
+    FROM ({_quality_filter_oracle()}) g
+    GROUP BY 1
+    """
+
+
+@register("q66_streaming_quality_monitor", oracle=_q66_oracle())
+def q66_streaming_quality_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming corpus-quality monitor: the q62 cleanup gate applied to
+    a live document stream, rolled up to drop-reason counts — the
+    ingest-time dashboard a production pretraining pipeline runs ahead
+    of its batch stages. The gate is the pure-expression form (row-local,
+    streaming-safe); state is one row per reason (≤6 entries, bounded at
+    any corpus size). Replayed bounded with availableNow it equals the
+    batch GROUP BY, so the streaming composition has an exact oracle."""
+    from plumberapp_spark.llm.textqa import quality_filter
+
+    ensure_read_confs(spark)
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    stream = (
+        spark.readStream.schema(schema).format("parquet").load(f"{sf_dir}/documents.*")
+    )
+    gated = quality_filter(stream, vectorized=False)
+    agg = gated.groupBy("reason").agg(F.count("*").alias("n_docs"))
+    sink = "q66_sink_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    for q in spark.streams.active:
+        if q.name == sink:
+            q.stop()
+    query = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(sink)
