@@ -292,3 +292,63 @@ def test_top_ngrams_vectorized_matches_expression(spark):
     slow = [(r["ngram"], r["n_occurrences"])
             for r in top_ngrams(docs, n=3, k=30, vectorized=False).collect()]
     assert fast == slow
+
+
+# ------------------------------------------------------------------
+# Property tests (hypothesis): components fixpoint, packing prefix sum
+# ------------------------------------------------------------------
+
+
+def test_connected_components_random_graphs_match_union_find(spark):
+    import random
+
+    from plumberapp_spark.llm.dedup import connected_components
+
+    rng = random.Random(7)
+    for trial in range(4):
+        n = rng.randint(2, 30)
+        nodes = list(range(n))
+        edges = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(rng.randint(0, 2 * n))
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+        # reference: plain union-find
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        want = {x: min(y for y in nodes if find(y) == find(x)) for x in nodes}
+        edf = spark.createDataFrame(edges or [(0, 0)], "id_a bigint, id_b bigint")
+        if not edges:
+            edf = edf.filter("id_a != id_b")
+        ndf = spark.createDataFrame([(x,) for x in nodes], "doc_id bigint")
+        got = {
+            r["doc_id"]: r["cluster_label"]
+            for r in connected_components(edf, ndf).collect()
+        }
+        assert got == want, f"trial {trial}: n={n} edges={edges}"
+
+
+def test_packing_random_sizes_match_reference(spark):
+    import random
+
+    from plumberapp_spark.llm.sampling import pack_by_token_budget
+
+    rng = random.Random(11)
+    sizes = [(i, rng.randint(0, 50)) for i in range(150)]
+    budget = 37
+    df = spark.createDataFrame(sizes, "doc_id bigint, n_toks bigint")
+    got = {r["doc_id"]: (r["token_offset"], r["bin_id"]) for r in
+           pack_by_token_budget(df, "doc_id", "n_toks", budget, n_buckets=6).collect()}
+    off = 0
+    for i, toks in sizes:
+        assert got[i] == (off, off // budget)
+        off += toks
