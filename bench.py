@@ -101,6 +101,7 @@ PRIMARY_INPUT = {
     "q64_top_ngrams": "documents",
     "q65_token_budget_packing": "documents",
     "q66_streaming_quality_monitor": "documents",
+    "q67_decontamination": "documents",
 }
 
 RATE_TABLES = ("lineitem", "orders", "events", "documents", "embeddings", "customer")

@@ -68,6 +68,7 @@ _TAIL = (
     "q64_top_ngrams",
     "q65_token_budget_packing",
     "q66_streaming_quality_monitor",
+    "q67_decontamination",
 )
 for _name in _TAIL:
     if _name in REGISTRY:

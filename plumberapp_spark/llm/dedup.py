@@ -681,3 +681,86 @@ def near_dup_clusters(
     survivors = exact_text_survivors(df, text_col, id_col)
     pairs = minhash_lsh_candidates(survivors, text_col, id_col, num_perm, bands, ngram)
     return connected_components(pairs, survivors, id_col=id_col, max_iters=max_iters)
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram: int = 5,
+    min_overlap: int = 1,
+    vectorized: bool = True,
+) -> DataFrame:
+    """Benchmark decontamination: for every corpus doc, count the
+    distinct word ``ngram``-shingles it shares with ANY benchmark/eval
+    doc, and flag ``contaminated`` when the count reaches
+    ``min_overlap`` — the standard eval-overlap filter run before
+    training (GPT-3 App. C / PaLM-style n-gram collision check).
+
+    Scale posture: the benchmark side is eval-set sized (MBs at any
+    corpus scale), so its distinct-shingle set broadcasts; the corpus's
+    exploded shingles meet it in a BROADCAST semi join — the corpus is
+    never shuffled, and the only exchange carries the MATCHED
+    (id, shingle) pairs (bounded by corpus×benchmark overlap, tiny for
+    a clean corpus). Zero-overlap docs are restored by a left join
+    against the corpus id column.
+
+    Output: ``(id, n_overlapping_ngrams, contaminated)``.
+
+    ``vectorized=True`` (default) generates each side's distinct
+    (id, shingle) rows in one Arrow pass (tokenize + n-gram + set per
+    doc in Python) instead of the interpreted transform-lambda +
+    explode chain — measured 3.6 s → ~1 s at sf0.1, ~4x at 100×; the
+    expression form remains the oracle-parity definition.
+    """
+
+    def _shingles(df: DataFrame, with_id: bool) -> DataFrame:
+        if not vectorized:
+            grams = F.explode(
+                F.array_distinct(word_ngrams(tokenize(F.col(text_col)), ngram))
+            ).alias("_sh")
+            return df.select(F.col(id_col), grams) if with_id else df.select(grams)
+
+        import pandas as pd
+
+        ws = re.compile(r"\s+")
+        id_ddl = df.schema[id_col].dataType.simpleString()
+
+        def gen(batches):
+            for pdf in batches:
+                ids, shs = [], []
+                for row_id, text in zip(pdf[id_col], pdf[text_col]):
+                    toks = [t for t in ws.split(text) if t] if text is not None else []
+                    seen = {
+                        " ".join(toks[i : i + ngram]) for i in range(len(toks) - ngram + 1)
+                    }
+                    ids.extend([row_id] * len(seen))
+                    shs.extend(seen)
+                yield pd.DataFrame({id_col: ids, "_sh": shs})
+
+        out = df.select(F.col(id_col), F.col(text_col)).mapInPandas(
+            gen, f"{id_col} {id_ddl}, _sh string"
+        )
+        return out if with_id else out.select("_sh")
+
+    bench_shingles = _shingles(benchmark, with_id=False).distinct()
+    corpus_shingles = _shingles(corpus, with_id=True)
+    overlaps = (
+        corpus_shingles.join(F.broadcast(bench_shingles), on="_sh", how="left_semi")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_overlapping_ngrams"))
+    )
+    return (
+        corpus.select(id_col)
+        .join(overlaps, on=id_col, how="left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("n_overlapping_ngrams"), F.lit(0)).cast("bigint").alias(
+                "n_overlapping_ngrams"
+            ),
+            (F.coalesce(F.col("n_overlapping_ngrams"), F.lit(0)) >= min_overlap).alias(
+                "contaminated"
+            ),
+        )
+    )

@@ -782,3 +782,32 @@ def q65_token_budget_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         "token_offset",
         "bin_id",
     )
+
+
+@register(
+    "q67_decontamination",
+    oracle=f"""
+    WITH corp AS (SELECT doc_id, list_distinct({_ngrams('(' + TOKS + ')', 5)}) AS shs
+                  FROM documents),
+         bench AS (SELECT DISTINCT unnest(shs) AS sh FROM corp WHERE doc_id % 100 = 0),
+         flat AS (SELECT doc_id, unnest(shs) AS sh FROM corp),
+         ov AS (SELECT doc_id, count(*) AS n FROM flat JOIN bench USING (sh) GROUP BY 1)
+    SELECT c.doc_id,
+           CAST(coalesce(ov.n, 0) AS BIGINT) AS n_overlapping_ngrams,
+           coalesce(ov.n, 0) >= 1 AS contaminated
+    FROM corp c LEFT JOIN ov USING (doc_id)
+    """,
+)
+def q67_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (the GPT-3/PaLM-style eval-overlap
+    filter): every doc sharing a distinct 5-gram with the held-out
+    benchmark slice (doc_id % 100 = 0 stands in for an eval set) is
+    flagged with its overlap count. The benchmark shingle set broadcasts
+    (eval sets are MBs at any corpus scale), so the corpus meets it in a
+    broadcast semi join and is never shuffled — only matched
+    (id, shingle) pairs reach the overlap aggregation."""
+    from plumberapp_spark.llm.dedup import decontaminate
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 100 == 0)
+    return decontaminate(docs, bench, "text", "doc_id", ngram=5, min_overlap=1)

@@ -209,3 +209,11 @@ def test_stratified_sample_distributed_rank_above_threshold(spark):
     plan = formatted_plan(stratified_sample(docs, "lang", "doc_id", k=5, n_buckets=8))
     assert "PartitionBy: [lang#" in plan or "partitionBy" in plan.lower() or "_bkt" in plan
     assert "BroadcastExchange" in plan  # the per-bucket offsets ride a broadcast
+
+
+def test_decontamination_broadcasts_benchmark_side(spark):
+    """q67: the eval-set shingles ride a broadcast LEFT SEMI — the corpus
+    side is never hash-exchanged for the membership test."""
+    plan = formatted_plan(build(spark, "q67_decontamination"))
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "CartesianProduct" not in plan

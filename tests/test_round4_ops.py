@@ -352,3 +352,17 @@ def test_packing_random_sizes_match_reference(spark):
     for i, toks in sizes:
         assert got[i] == (off, off // budget)
         off += toks
+
+
+def test_decontaminate_vectorized_matches_expression(spark):
+    from plumberapp_spark.llm.dedup import decontaminate
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    fast = {r["doc_id"]: tuple(r)[1:] for r in
+            decontaminate(docs, bench, vectorized=True).collect()}
+    slow = {r["doc_id"]: tuple(r)[1:] for r in
+            decontaminate(docs, bench, vectorized=False).collect()}
+    assert fast == slow
+    # the benchmark slice itself is contaminated by construction
+    assert all(fast[r["doc_id"]][1] for r in bench.select("doc_id").collect())
