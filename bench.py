@@ -102,6 +102,7 @@ PRIMARY_INPUT = {
     "q65_token_budget_packing": "documents",
     "q66_streaming_quality_monitor": "documents",
     "q67_decontamination": "documents",
+    "q68_incremental_dedup": "documents",
 }
 
 RATE_TABLES = ("lineitem", "orders", "events", "documents", "embeddings", "customer")

@@ -69,6 +69,7 @@ _TAIL = (
     "q65_token_budget_packing",
     "q66_streaming_quality_monitor",
     "q67_decontamination",
+    "q68_incremental_dedup",
 )
 for _name in _TAIL:
     if _name in REGISTRY:

@@ -764,3 +764,26 @@ def decontaminate(
             ),
         )
     )
+
+
+def dedup_against(
+    df: DataFrame,
+    reference: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Incremental (cross-corpus) exact dedup: keep only the rows of
+    ``df`` whose text does NOT already appear in ``reference`` — the
+    ingest-time filter a growing corpus runs against everything already
+    ingested, completing the dedup family (batch q14, streaming q57,
+    cross-corpus here).
+
+    Scale posture: an ANTI join on the 32-byte md5 digest — both sides
+    exchange constant-width keys regardless of document size, and AQE
+    broadcasts the reference side when it is small (a daily increment
+    against a fixed eval/blocklist) while a corpus-sized reference stays
+    a shuffled hash join. No full-text ever crosses the wire.
+    """
+    ref_digests = reference.select(F.md5(F.col(text_col)).alias("_digest")).distinct()
+    keyed = df.withColumn("_digest", F.md5(F.col(text_col)))
+    return keyed.join(ref_digests, on="_digest", how="left_anti").drop("_digest")

@@ -811,3 +811,25 @@ def q67_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     bench = docs.filter(F.col("doc_id") % 100 == 0)
     return decontaminate(docs, bench, "text", "doc_id", ngram=5, min_overlap=1)
+
+
+@register(
+    "q68_incremental_dedup",
+    oracle="""
+    SELECT doc_id, lang, source
+    FROM documents
+    WHERE doc_id % 3 != 0
+      AND md5(text) NOT IN (SELECT md5(text) FROM documents WHERE doc_id % 3 = 0)
+    """,
+)
+def q68_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus incremental dedup: the 'new' slice (doc_id % 3 != 0)
+    filtered against everything 'already ingested' (doc_id % 3 = 0) —
+    an ANTI join on the constant-width md5 digest (dedup.dedup_against);
+    no document text crosses the exchange."""
+    from plumberapp_spark.llm.dedup import dedup_against
+
+    docs = load_table(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") % 3 != 0)
+    ingested = docs.filter(F.col("doc_id") % 3 == 0)
+    return dedup_against(new, ingested, "text", "doc_id").select("doc_id", "lang", "source")
