@@ -249,6 +249,13 @@ def main() -> None:
         # statistic cut that variance enough for round-over-round deltas
         # to mean something
         warm = [t for t in (run_query(spark, name, sf_dir) for _ in range(3)) if t is not None]
+        # adaptive re-measurement: a >2x spread within one query's reps is
+        # the signature of a degraded-host phase (documented in SCALE.md —
+        # q53 measured 3.95 s in-suite vs 0.70 s standalone minutes apart);
+        # two extra reps give the min statistic a chance to catch the
+        # healthy phase instead of immortalizing the noise
+        if len(warm) >= 2 and max(warm) > 2 * min(warm):
+            warm += [t for t in (run_query(spark, name, sf_dir) for _ in range(2)) if t is not None]
         if not warm:
             timings[name] = None
             failed.append(name)
