@@ -103,6 +103,9 @@ PRIMARY_INPUT = {
     "q66_streaming_quality_monitor": "documents",
     "q67_decontamination": "documents",
     "q68_incremental_dedup": "documents",
+    "q69_document_chunking": "documents",
+    "q70_quota_sample": "documents",
+    "q71_hash_split": "documents",
 }
 
 RATE_TABLES = ("lineitem", "orders", "events", "documents", "embeddings", "customer")

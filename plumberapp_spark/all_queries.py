@@ -70,6 +70,9 @@ _TAIL = (
     "q66_streaming_quality_monitor",
     "q67_decontamination",
     "q68_incremental_dedup",
+    "q69_document_chunking",
+    "q70_quota_sample",
+    "q71_hash_split",
 )
 for _name in _TAIL:
     if _name in REGISTRY:

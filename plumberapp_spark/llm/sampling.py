@@ -102,3 +102,66 @@ def pack_by_token_budget(
         (F.col("_ct") - F.col(tokens_col)).cast("bigint").alias("token_offset"),
         F.floor((F.col("_ct") - F.col(tokens_col)) / budget).cast("bigint").alias("bin_id"),
     )
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str,
+    weights: dict[str, int] | None = None,
+) -> DataFrame:
+    """Deterministic train/val/test assignment: ``split`` is a pure
+    function of ``md5(id)`` — stable across runs, engines, partitionings
+    and cluster sizes, which is the property that keeps eval sets
+    leak-free when the corpus is re-processed. ``weights`` maps split
+    name to an integer percentage (must sum to 100); default 80/10/10.
+
+    Zero shuffle: one row-local projection at any corpus size.
+    """
+    weights = weights or {"train": 80, "val": 10, "test": 10}
+    if sum(weights.values()) != 100:
+        raise ValueError(f"weights must sum to 100, got {weights}")
+    bucket = md5_long(F.col(id_col).cast("string")) % 100
+    expr = None
+    acc = 0
+    for name, w in weights.items():
+        acc += w
+        cond = bucket < acc
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    return df.withColumn("split", expr)
+
+
+def quota_sample(
+    df: DataFrame,
+    strata_col: str,
+    id_col: str,
+    quotas: dict[str, int],
+    n_buckets: int | None = None,
+) -> DataFrame:
+    """Mixture-weighting sampler: a DIFFERENT deterministic cap per
+    stratum (``quotas[stratum]`` rows, md5-ranked) — the "rebalance the
+    language/source mix" step of corpus assembly, generalizing
+    :func:`stratified_sample`'s single k. Strata absent from ``quotas``
+    are dropped (an explicit mixture is a whitelist).
+
+    Same machinery and scale posture as :func:`stratified_sample`; the
+    quota map rides a broadcast join (mixtures are tiny by definition).
+    """
+    spark = df.sparkSession
+    keyed = df.withColumn("_skey", md5_long(F.col(id_col).cast("string")))
+    ranked = ranked_running_total(
+        keyed,
+        part_col=strata_col,
+        order_col="_skey",
+        id_col=id_col,
+        n_buckets=n_buckets,
+        rank_name="sample_rank",
+        total_name=None,
+    )
+    qdf = spark.createDataFrame(
+        [(k, v) for k, v in quotas.items()], f"{strata_col} string, _quota int"
+    )
+    return (
+        ranked.join(F.broadcast(qdf), on=strata_col)
+        .filter(F.col("sample_rank") <= F.col("_quota"))
+        .drop("_skey", "_quota")
+    )

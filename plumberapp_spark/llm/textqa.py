@@ -406,3 +406,41 @@ def top_ngrams(
     )
     counts = partials.groupBy("ngram").agg(F.sum("_cnt").alias("n_occurrences"))
     return counts.orderBy(F.col("n_occurrences").desc(), F.col("ngram")).limit(k)
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_tokens: int = 64,
+    overlap: int = 0,
+) -> DataFrame:
+    """Split each document into token-window chunks — the
+    context-length preprocessing step between cleaning and tokenization
+    (one training example per chunk). Chunks start every
+    ``max_tokens - overlap`` tokens while the start is inside the doc;
+    the final chunk is short rather than padded. Empty docs produce no
+    chunks.
+
+    Pure row-local explode (zero shuffle): output rows =
+    ceil(tokens / stride) per doc, each carrying
+    ``(id, chunk_id, chunk_text, n_chunk_tokens)``.
+    """
+    if overlap >= max_tokens:
+        raise ValueError(f"overlap ({overlap}) must be < max_tokens ({max_tokens})")
+    stride = max_tokens - overlap
+    toks = tokenize(F.col(text_col))
+    n = F.size(toks)
+    n_starts = F.floor((n - 1) / stride) + 1  # starts: 0, stride, ... < n
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_starts.cast("int") - 1),
+        lambda i: F.struct(
+            i.cast("bigint").alias("chunk_id"),
+            F.array_join(F.slice(toks, i * stride + 1, max_tokens), " ").alias("chunk_text"),
+            F.least(F.lit(max_tokens), n - i * stride).cast("bigint").alias("n_chunk_tokens"),
+        ),
+    )
+    return (
+        df.select(F.col(id_col), F.explode(F.when(n > 0, chunks)).alias("_c"))
+        .select(id_col, "_c.chunk_id", "_c.chunk_text", "_c.n_chunk_tokens")
+    )

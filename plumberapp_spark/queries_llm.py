@@ -833,3 +833,83 @@ def q68_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     new = docs.filter(F.col("doc_id") % 3 != 0)
     ingested = docs.filter(F.col("doc_id") % 3 == 0)
     return dedup_against(new, ingested, "text", "doc_id").select("doc_id", "lang", "source")
+
+
+@register(
+    "q69_document_chunking",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+         g AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0),
+         e AS (SELECT doc_id, toks, n,
+                      unnest(generate_series(0, CAST(floor((n - 1) / 16) AS BIGINT))) AS chunk_id
+               FROM g)
+    SELECT doc_id, chunk_id,
+           array_to_string(toks[chunk_id * 16 + 1 : chunk_id * 16 + 24], ' ') AS chunk_text,
+           CAST(least(24, n - chunk_id * 16) AS BIGINT) AS n_chunk_tokens
+    FROM e
+    """,
+)
+def q69_document_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-length chunking: 24-token windows every 16 tokens
+    (8-token overlap) — one training example per chunk, short tail kept.
+    Pure row-local explode, zero shuffle at any corpus size."""
+    from plumberapp_spark.llm.textqa import chunk_documents
+
+    return chunk_documents(
+        load_table(spark, sf_dir, "documents"), max_tokens=24, overlap=8
+    )
+
+
+@register(
+    "q70_quota_sample",
+    oracle="""
+    WITH s AS (SELECT lang, doc_id,
+                      ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 14))::BIGINT AS skey
+               FROM documents),
+         r AS (SELECT lang, doc_id,
+                      row_number() OVER (PARTITION BY lang ORDER BY skey DESC, doc_id) AS sample_rank
+               FROM s)
+    SELECT lang, doc_id, CAST(sample_rank AS BIGINT) AS sample_rank
+    FROM r
+    WHERE (lang = 'en' AND sample_rank <= 80)
+       OR (lang = 'de' AND sample_rank <= 20)
+       OR (lang = 'fr' AND sample_rank <= 10)
+    """,
+)
+def q70_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture weighting: per-language quotas (en 80 / de 20 / fr 10,
+    everything else dropped) over the same deterministic md5 rank as
+    q61 — the corpus-assembly rebalancing step. Quota map rides a
+    broadcast join; rank is the distributed bucketed machinery above
+    the size threshold."""
+    from plumberapp_spark.llm.sampling import quota_sample
+    from plumberapp_spark.session import table_bytes
+
+    docs = load_table(spark, sf_dir, "documents").select("lang", "doc_id")
+    size = table_bytes(sf_dir, "documents")
+    n_buckets = 1 if size is not None and size < (64 << 20) else None
+    out = quota_sample(
+        docs, "lang", "doc_id", quotas={"en": 80, "de": 20, "fr": 10}, n_buckets=n_buckets
+    )
+    return out.select("lang", "doc_id", F.col("sample_rank").cast("bigint").alias("sample_rank"))
+
+
+@register(
+    "q71_hash_split",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+    FROM (SELECT doc_id,
+                 ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 14))::BIGINT % 100 AS b
+          FROM documents)
+    """,
+)
+def q71_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test assignment — split is a
+    pure function of md5(doc_id), so re-processing the corpus on any
+    cluster/partitioning reproduces the identical eval membership
+    (leak-free by construction). Zero shuffle."""
+    from plumberapp_spark.llm.sampling import hash_split
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return hash_split(docs, "doc_id").select("doc_id", "split")

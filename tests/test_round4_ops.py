@@ -366,3 +366,64 @@ def test_decontaminate_vectorized_matches_expression(spark):
     assert fast == slow
     # the benchmark slice itself is contaminated by construction
     assert all(fast[r["doc_id"]][1] for r in bench.select("doc_id").collect())
+
+
+# ------------------------------------------------------------------
+# Chunking, quota sampling, hash split
+# ------------------------------------------------------------------
+
+
+def test_chunk_documents_edges(spark):
+    from plumberapp_spark.llm.textqa import chunk_documents
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, "a b c"), (3, " ".join(f"t{i}" for i in range(10)))],
+        "doc_id bigint, text string",
+    )
+    rows = chunk_documents(df, max_tokens=4, overlap=1).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert 1 not in by_doc  # empty doc -> no chunks
+    assert [r["chunk_text"] for r in sorted(by_doc[2], key=lambda r: r["chunk_id"])] == ["a b c"]
+    c3 = sorted(by_doc[3], key=lambda r: r["chunk_id"])
+    assert [r["chunk_text"] for r in c3] == [
+        "t0 t1 t2 t3", "t3 t4 t5 t6", "t6 t7 t8 t9", "t9"
+    ]
+    assert [r["n_chunk_tokens"] for r in c3] == [4, 4, 4, 1]
+    import pytest
+
+    with pytest.raises(ValueError):
+        chunk_documents(df, max_tokens=4, overlap=4)
+
+
+def test_hash_split_weights_and_determinism(spark):
+    from plumberapp_spark.llm.sampling import hash_split
+
+    df = spark.range(0, 10_000).withColumnRenamed("id", "doc_id")
+    counts = {
+        r["split"]: r["n"]
+        for r in hash_split(df, "doc_id").groupBy("split").agg(F.count("*").alias("n")).collect()
+    }
+    assert set(counts) == {"train", "val", "test"}
+    assert abs(counts["train"] - 8000) < 400 and abs(counts["val"] - 1000) < 200
+    # repartitioning must not move anyone across splits
+    a = {r["doc_id"]: r["split"] for r in hash_split(df, "doc_id").collect()}
+    b = {r["doc_id"]: r["split"] for r in hash_split(df.repartition(7), "doc_id").collect()}
+    assert a == b
+    import pytest
+
+    with pytest.raises(ValueError):
+        hash_split(df, "doc_id", weights={"train": 50, "val": 10})
+
+
+def test_quota_sample_respects_each_quota(spark):
+    from plumberapp_spark.llm.sampling import quota_sample
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("lang", "doc_id")
+    out = quota_sample(docs, "lang", "doc_id", quotas={"en": 7, "zh": 3}, n_buckets=4)
+    counts = {
+        r["lang"]: r["n"]
+        for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    assert counts == {"en": 7, "zh": 3}  # whitelist semantics: others dropped
