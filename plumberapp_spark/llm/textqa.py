@@ -414,6 +414,7 @@ def chunk_documents(
     id_col: str = "doc_id",
     max_tokens: int = 64,
     overlap: int = 0,
+    vectorized: bool = True,
 ) -> DataFrame:
     """Split each document into token-window chunks — the
     context-length preprocessing step between cleaning and tokenization
@@ -425,10 +426,47 @@ def chunk_documents(
     Pure row-local explode (zero shuffle): output rows =
     ceil(tokens / stride) per doc, each carrying
     ``(id, chunk_id, chunk_text, n_chunk_tokens)``.
+
+    ``vectorized=True`` (default) emits the chunk rows from one Arrow
+    pass (tokenize + slice per doc in Python) — the expression form
+    pays an interpreted transform + array_join per chunk and stays as
+    the oracle-parity definition.
     """
     if overlap >= max_tokens:
         raise ValueError(f"overlap ({overlap}) must be < max_tokens ({max_tokens})")
     stride = max_tokens - overlap
+    if vectorized:
+        import re as _re
+
+        import pandas as pd
+
+        ws = _re.compile(r"\s+")
+        id_ddl = df.schema[id_col].dataType.simpleString()
+
+        def gen(batches):
+            for pdf in batches:
+                ids, cids, texts, ns = [], [], [], []
+                for row_id, text in zip(pdf[id_col], pdf[text_col]):
+                    toks = [t for t in ws.split(text) if t] if text is not None else []
+                    n = len(toks)
+                    for cid, start in enumerate(range(0, n, stride)):
+                        window = toks[start : start + max_tokens]
+                        ids.append(row_id)
+                        cids.append(cid)
+                        texts.append(" ".join(window))
+                        ns.append(len(window))
+                yield pd.DataFrame(
+                    {
+                        id_col: ids,
+                        "chunk_id": pd.array(cids, dtype="int64"),
+                        "chunk_text": texts,
+                        "n_chunk_tokens": pd.array(ns, dtype="int64"),
+                    }
+                )
+
+        return df.select(F.col(id_col), F.col(text_col)).mapInPandas(
+            gen, f"{id_col} {id_ddl}, chunk_id bigint, chunk_text string, n_chunk_tokens bigint"
+        )
     toks = tokenize(F.col(text_col))
     n = F.size(toks)
     n_starts = F.floor((n - 1) / stride) + 1  # starts: 0, stride, ... < n

@@ -427,3 +427,14 @@ def test_quota_sample_respects_each_quota(spark):
         for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()
     }
     assert counts == {"en": 7, "zh": 3}  # whitelist semantics: others dropped
+
+
+def test_chunk_documents_vectorized_matches_expression(spark):
+    from plumberapp_spark.llm.textqa import chunk_documents
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    fast = sorted(map(tuple, chunk_documents(docs, max_tokens=24, overlap=8).collect()))
+    slow = sorted(
+        map(tuple, chunk_documents(docs, max_tokens=24, overlap=8, vectorized=False).collect())
+    )
+    assert fast == slow
