@@ -317,20 +317,35 @@ def main() -> None:
     with open(Path(__file__).resolve().parent / "BENCH_local.json", "w") as f:
         json.dump(detail, f, indent=1)
 
+    # VERDICT r4 item 1: the driver captures only the TAIL of stdout and
+    # r3/r4 both overflowed it (r4's 71-entry per-query map alone is
+    # ~2.2 KB against a ~2.9 KB window -> parsed:null two rounds running).
+    # stdout therefore carries ONLY the scalar headline (~250 bytes, 10x
+    # margin); per-query timings/rates/ratios live in BENCH_local.json.
+    # "queries" keeps the driver-contract key with a 3-query flagship
+    # sample so the line shape stays {metric, value, unit, queries, sf}.
+    sample = {
+        n: timings[n]
+        for n in ("q01_pricing_summary", "q17_minhash_lsh_pairs", "q20_embedding_topk")
+        if timings.get(n) is not None
+    }
     headline = {
         "metric": detail["metric"],
         "value": detail["value"],
         "unit": "sec",
-        "queries": timings,
+        "queries": sample,
+        "n_queries": len(timings),
         "sf": sf,
-        "failed": failed,
+        # first few names only — a mass failure must not re-overflow the line
+        "failed": failed[:5],
+        "n_failed": len(failed),
         "vs_duckdb_geomean": detail.get("vs_duckdb_geomean"),
         "vs_duckdb_geomean_substantive": detail.get("vs_duckdb_geomean_substantive"),
         "detail": "BENCH_local.json",
     }
-    # compact separators: every byte counts against the driver's tail
-    # capture window (round 3 overflowed it and recorded parsed:null)
-    print(json.dumps(headline, separators=(",", ":")))
+    line = json.dumps(headline, separators=(",", ":"))
+    assert len(line) < 600, f"headline must stay tiny for tail capture: {len(line)}"
+    print(line)
 
 
 if __name__ == "__main__":
