@@ -28,6 +28,53 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def estimated_rows(df: DataFrame) -> int:
+    """Zero-job row estimate from Catalyst's optimized-plan statistics.
+
+    ``rowCount`` when the optimizer derived one (LocalRelation, CBO
+    stats), else ``sizeInBytes`` (for parquet scans: file size x
+    compression factor — pure metadata, no Spark action) divided by an
+    assumed ~32 compressed bytes/row — the same bytes<->rows mapping
+    q36's file-size router uses (64 MB of orders parquet ≈ 2M rows).
+    Accuracy is not required: this only picks between two CORRECT plans
+    (plain window vs distributed prefix sum), and a miss in either
+    direction costs at most the ~0.8 s fixed prefix overhead or a
+    few-task window at a scale where both still finish.
+
+    Unknown statistics (RDD-backed plans — e.g. ``createDataFrame`` —
+    report sizeInBytes = Long.MaxValue) deliberately route to the
+    DISTRIBUTED path: at 100 TB "we don't know how big this is" must
+    never pick the one-task-per-key plan.
+    """
+    stats = df._jdf.queryExecution().optimizedPlan().stats()
+    rc = stats.rowCount()
+    if rc.isDefined():
+        return int(str(rc.get()))
+    return int(str(stats.sizeInBytes())) // 32
+
+
+def _join_broadcast_null_safe(left: DataFrame, right: DataFrame, keys: list[str]) -> DataFrame:
+    """``left JOIN broadcast(right) USING keys`` with NULL-safe equality.
+
+    A plain ``on=keys`` equi-join silently DROPS rows whose key is NULL
+    (NULL never equi-joins), which would make the bucketed path return a
+    different row set than the n_buckets<=1 plain-window path for a
+    corpus with NULL strata (ADVICE r4). ``<=>`` keeps the NULL stratum
+    as its own partition, matching ``Window.partitionBy``'s treatment of
+    NULL keys, and is still planned as a broadcast hash join (EqualNullSafe
+    is an equi-join key for Spark's hash-join strategies).
+    """
+    renamed = right
+    for k in keys:
+        renamed = renamed.withColumnRenamed(k, f"__r_{k}")
+    cond = None
+    for k in keys:
+        c = left[k].eqNullSafe(renamed[f"__r_{k}"])
+        cond = c if cond is None else (cond & c)
+    out = left.join(F.broadcast(renamed), cond)
+    return out.drop(*[f"__r_{k}" for k in keys])
+
+
 def ranked_running_total(
     df: DataFrame,
     part_col: str,
@@ -54,16 +101,17 @@ def ranked_running_total(
     bucket so they sort after every non-null value, matching the naive
     window's ``desc_nulls_last`` placement (Spark's ``desc()`` default).
 
-    ``auto_threshold``: when set, one COUNT job routes the plan — plain
-    single-window below the threshold (the prefix machinery costs ~0.8 s
-    of fixed overhead that dominates at small scale), the distributed
-    prefix sum at/above it (where the plain window is one task per key
-    and blows up 84× at 100× data). The count is a metadata-cheap scan of
-    the projected input — deliberate, unlike a full materialization.
+    ``auto_threshold``: when set, Catalyst plan STATISTICS route the plan
+    — plain single-window below the threshold (the prefix machinery costs
+    ~0.8 s of fixed overhead that dominates at small scale), the
+    distributed prefix sum at/above it (where the plain window is one
+    task per key and blows up 84× at 100× data). Routing runs ZERO Spark
+    jobs (VERDICT r4 item 4 — the former ``df.count()`` here was an eager
+    full scan from an API that looks lazy); see :func:`estimated_rows`.
     """
     value_col = value_col or order_col
     spark = df.sparkSession
-    if auto_threshold is not None and df.count() < auto_threshold:
+    if auto_threshold is not None and estimated_rows(df) < auto_threshold:
         n_buckets = 1
     if n_buckets is None:
         n_buckets = spark.sparkContext.defaultParallelism
@@ -85,7 +133,7 @@ def ranked_running_total(
     # every row with the same order_col value gets the same bucket. NULLs
     # drop out of F.filter's predicate (they'd land in bucket 0 = the TOP),
     # so route them explicitly to the last bucket — desc_nulls_last parity.
-    bucketed = df.join(F.broadcast(bounds), on=part_col).withColumn(
+    bucketed = _join_broadcast_null_safe(df, bounds, [part_col]).withColumn(
         "_bkt",
         F.when(F.col(order_col).isNull(), F.size("_bs")).otherwise(
             F.size(F.filter("_bs", lambda b: b >= F.col(order_col)))
@@ -113,7 +161,7 @@ def ranked_running_total(
             )
         )
         return (
-            local.join(F.broadcast(offsets), on=[part_col, "_bkt"])
+            _join_broadcast_null_safe(local, offsets, [part_col, "_bkt"])
             .withColumn(rank_name, (F.col("_rn") + F.col("_n_off")).cast("long"))
             .drop("_bs", "_bkt", "_rn", "_n_off")
         )
@@ -144,7 +192,7 @@ def ranked_running_total(
     )
 
     return (
-        local.join(F.broadcast(offsets), on=[part_col, "_bkt"])
+        _join_broadcast_null_safe(local, offsets, [part_col, "_bkt"])
         .withColumn(rank_name, (F.col("_rn") + F.col("_n_off")).cast("long"))
         .withColumn(
             total_name,
