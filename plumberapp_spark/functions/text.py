@@ -25,6 +25,18 @@ STOPWORDS = ["the", "a", "an", "and", "or", "of", "to", "in", "is", "it"]
 
 _WS = r"\s+"
 
+# The Python-side splitter every Arrow mapInPandas path must use.
+# Java's \s (what the F.split expression forms above and DuckDB's RE2
+# oracles match) is the ASCII set [ \t\n\x0B\f\r]; Python's default \s
+# is Unicode-aware and ADDITIONALLY splits on NBSP/U+2028/ideographic
+# space — common in web corpora — so an un-flagged re.compile(r"\s+")
+# silently diverges from its own pinned oracle (ADVICE r4). re.ASCII
+# makes Python's \s exactly Java's set; parity on non-ASCII whitespace
+# is pinned in tests/test_textops_vectorized.py.
+import re as _re_mod  # noqa: E402  (kept local to avoid polluting the API)
+
+WS_SPLIT = _re_mod.compile(r"\s+", _re_mod.ASCII)
+
 
 def tokenize(col: Column) -> Column:
     """Whitespace tokenization, empty tokens removed.

@@ -93,7 +93,7 @@ def simhash_table(
     import pandas as pd
 
     id_ddl = df.schema[id_col].dataType.simpleString()
-    ws = re.compile(r"\s+")
+    from plumberapp_spark.functions.text import WS_SPLIT as ws  # ASCII \\s == Java/RE2
     js = np.arange(bits, dtype=np.uint64)
     weights = (np.uint64(1) << js).astype(np.int64)
 
@@ -270,7 +270,7 @@ def _signature_arrays(
         [minhash_perm_params(p)[1] for p in range(num_perm)], dtype=np.uint64
     )
     m61 = np.uint64(MERSENNE61)
-    ws = re.compile(r"\s+")
+    from plumberapp_spark.functions.text import WS_SPLIT as ws  # ASCII \\s == Java/RE2
 
     def sig_batches(batches):
         # md5 is the dominant per-shingle cost; real corpora repeat
@@ -477,7 +477,7 @@ def ngram_jaccard_pairs(
         import pandas as pd
 
         id_ddl = df.schema[id_col].dataType.simpleString()
-        ws = re.compile(r"\s+")
+        from plumberapp_spark.functions.text import WS_SPLIT as ws  # ASCII \\s == Java/RE2
 
         def shingle_rows(batches):
             for pdf in batches:
@@ -724,7 +724,7 @@ def decontaminate(
 
         import pandas as pd
 
-        ws = re.compile(r"\s+")
+        from plumberapp_spark.functions.text import WS_SPLIT as ws  # ASCII \\s == Java/RE2
         id_ddl = df.schema[id_col].dataType.simpleString()
 
         def gen(batches):

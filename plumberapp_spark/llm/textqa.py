@@ -67,7 +67,7 @@ def language_id(
     from plumberapp_spark.functions.text import LANG_MARKERS
 
     id_ddl = df.schema[id_col].dataType.simpleString()
-    ws = re.compile(r"\s+")
+    from plumberapp_spark.functions.text import WS_SPLIT as ws  # ASCII \\s == Java/RE2
     markers = {lang: frozenset(LANG_MARKERS[lang]) for lang in sorted(LANG_MARKERS)}
 
     def lang_batches(batches):
@@ -112,7 +112,7 @@ def token_stats(
 
         import pandas as pd
 
-        ws = _re.compile(r"\s+")
+        from plumberapp_spark.functions.text import WS_SPLIT as ws  # ASCII \\s == Java/RE2
         id_ddl = df.schema[id_col].dataType.simpleString()
 
         def stats(batches):
@@ -137,13 +137,18 @@ def token_stats(
             stats,
             f"{id_col} {id_ddl}, n_tokens bigint, n_distinct_tokens bigint, n_subword_est bigint",
         )
-    toks = tokenize(F.col(text_col))
+    # NULL text = empty doc (0 tokens), matching the Arrow path and the
+    # repo-wide convention — an uncoalesced split(NULL) would yield NULL
+    # stats and diverge from the vectorized default (pinned in
+    # tests/test_textops_vectorized.py::test_unicode_whitespace_parity).
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    toks = tokenize(text)
     subword = F.aggregate(
         toks, F.lit(0).cast("bigint"), lambda acc, t: acc + F.ceil(F.length(t) / 4).cast("bigint")
     )
     return df.select(
         F.col(id_col),
-        token_count(F.col(text_col)).cast("bigint").alias("n_tokens"),
+        token_count(text).cast("bigint").alias("n_tokens"),
         F.size(F.array_distinct(toks)).cast("bigint").alias("n_distinct_tokens"),
         subword.alias("n_subword_est"),
     )
@@ -210,7 +215,7 @@ def repetition_stats(
 
     import pandas as pd
 
-    ws = _re.compile(r"\s+")
+    from plumberapp_spark.functions.text import WS_SPLIT as ws  # ASCII \\s == Java/RE2
     id_ddl = df.schema[id_col].dataType.simpleString()
 
     def rep_batches(batches):
@@ -306,7 +311,7 @@ def quality_filter(
     from plumberapp_spark.functions.text import LANG_MARKERS, STOPWORDS
 
     id_ddl = df.schema[id_col].dataType.simpleString()
-    ws = _re.compile(r"\s+")
+    from plumberapp_spark.functions.text import WS_SPLIT as ws  # ASCII \\s == Java/RE2
     non_punct = _re.compile(r"[^\w\s]", _re.ASCII)  # Java \w is ASCII
     stops = frozenset(STOPWORDS)
     markers = {lang: frozenset(LANG_MARKERS[lang]) for lang in sorted(LANG_MARKERS)}
@@ -387,7 +392,7 @@ def top_ngrams(
 
     import pandas as pd
 
-    ws = _re.compile(r"\s+")
+    from plumberapp_spark.functions.text import WS_SPLIT as ws  # ASCII \\s == Java/RE2
 
     def gram_partials(batches):
         for pdf in batches:
@@ -440,7 +445,7 @@ def chunk_documents(
 
         import pandas as pd
 
-        ws = _re.compile(r"\s+")
+        from plumberapp_spark.functions.text import WS_SPLIT as ws  # ASCII \\s == Java/RE2
         id_ddl = df.schema[id_col].dataType.simpleString()
 
         def gen(batches):

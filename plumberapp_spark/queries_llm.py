@@ -33,8 +33,10 @@ from plumberapp_spark.llm.textqa import (
 from plumberapp_spark.llm.multimodal import attach_media, extract_features
 from plumberapp_spark.functions.text import LANG_MARKERS, STOPWORDS
 
-TOKS = r"list_filter(string_split_regex(text, '\s+'), x -> x != '')"
-TOKS_LOWER = r"list_filter(string_split_regex(lower(text), '\s+'), x -> x != '')"
+# coalesce: NULL text = empty doc (0 tokens) — the repo-wide convention,
+# matching both the Arrow mapInPandas paths and the expression forms.
+TOKS = r"list_filter(string_split_regex(coalesce(text, ''), '\s+'), x -> x != '')"
+TOKS_LOWER = r"list_filter(string_split_regex(lower(coalesce(text, '')), '\s+'), x -> x != '')"
 
 
 def _hash56(expr: str) -> str:

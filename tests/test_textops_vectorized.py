@@ -73,3 +73,52 @@ def test_token_stats_vectorized_matches_expression_form(spark):
     fast = sorted(map(tuple, token_stats(docs, vectorized=True).collect()))
     slow = sorted(map(tuple, token_stats(docs, vectorized=False).collect()))
     assert fast == slow and len(fast) > 0
+
+
+def test_unicode_whitespace_parity(spark):
+    # ADVICE r4: the Arrow paths tokenized with Python's Unicode-aware
+    # \s+ while the pinned expression forms use Java's ASCII-only \s —
+    # on NBSP / U+2028 / ideographic-space text (common in web corpora)
+    # the two silently diverged and the ASCII-only test corpus hid it.
+    # All splitters now share functions.text.WS_SPLIT (re.ASCII). Pin
+    # parity on exactly the texts that used to diverge.
+    from plumberapp_spark.llm.dedup import ngram_jaccard_pairs
+    from plumberapp_spark.llm.textqa import (
+        chunk_documents,
+        language_id,
+        quality_filter,
+        repetition_stats,
+        token_stats,
+        top_ngrams,
+    )
+
+    rows = [
+        (1, "the cat and the dog"),          # NBSP joins, ASCII splits
+        (2, "one two three and the of to"),  # line separator
+        (3, "ideographic　space　tokens in the"),
+        (4, "plain ascii text the and of"),
+        (5, "mixed   joined and split the"),
+        (6, ""),
+        (7, None),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    for fn, kw in [
+        (token_stats, {}),
+        (language_id, {}),
+        (repetition_stats, {}),
+        (quality_filter, {}),
+        (top_ngrams, {"n": 2, "k": 50}),
+        (chunk_documents, {"max_tokens": 3}),
+    ]:
+        fast = sorted(map(tuple, fn(docs, vectorized=True, **kw).collect()))
+        slow = sorted(map(tuple, fn(docs, vectorized=False, **kw).collect()))
+        assert fast == slow, f"{fn.__name__} diverges on non-ASCII whitespace"
+
+    fast = sorted(
+        map(tuple, ngram_jaccard_pairs(docs, "text", "doc_id", threshold=0.0, vectorized=True).collect())
+    )
+    slow = sorted(
+        map(tuple, ngram_jaccard_pairs(docs, "text", "doc_id", threshold=0.0, vectorized=False).collect())
+    )
+    assert fast == slow
