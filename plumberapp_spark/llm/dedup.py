@@ -783,7 +783,14 @@ def dedup_against(
     broadcasts the reference side when it is small (a daily increment
     against a fixed eval/blocklist) while a corpus-sized reference stays
     a shuffled hash join. No full-text ever crosses the wire.
+
+    NULL text hashes as the EMPTY document (repo-wide convention, same as
+    exact_dedup/token_stats): md5(NULL) is NULL, which never equi-joins,
+    so without the coalesce a NULL-text row would always survive — and a
+    NULL in ``reference`` would match nothing instead of matching empty
+    docs (ADVICE r4). Oracle q68 uses the same coalesce.
     """
-    ref_digests = reference.select(F.md5(F.col(text_col)).alias("_digest")).distinct()
-    keyed = df.withColumn("_digest", F.md5(F.col(text_col)))
+    digest = F.md5(F.coalesce(F.col(text_col), F.lit("")))
+    ref_digests = reference.select(digest.alias("_digest")).distinct()
+    keyed = df.withColumn("_digest", digest)
     return keyed.join(ref_digests, on="_digest", how="left_anti").drop("_digest")

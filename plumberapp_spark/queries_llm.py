@@ -821,7 +821,8 @@ def q67_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id, lang, source
     FROM documents
     WHERE doc_id % 3 != 0
-      AND md5(text) NOT IN (SELECT md5(text) FROM documents WHERE doc_id % 3 = 0)
+      AND md5(coalesce(text, '')) NOT IN
+          (SELECT md5(coalesce(text, '')) FROM documents WHERE doc_id % 3 = 0)
     """,
 )
 def q68_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:

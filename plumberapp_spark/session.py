@@ -255,25 +255,52 @@ def row_idx_bounds(
     return stats_bounds(sf_dir, name, col, n=n)
 
 
-# (session, dir, table) -> DataFrame. A DataFrame is an immutable logical
-# plan, so handing the same object to every caller is safe; caching skips
-# the per-call footer/schema resolution job (~0.1-0.3 s per read.parquet)
-# exactly as a long-lived serving session would. Values hold the session
-# object so an id() is never reused while its entry lives.
+# (session, dir, table, mtime) -> DataFrame. A DataFrame is an immutable
+# logical plan, so handing the same object to every caller is safe;
+# caching skips the per-call footer/schema resolution job (~0.1-0.3 s per
+# read.parquet) exactly as a long-lived serving session would. Values
+# hold the session object so an id() is never reused while its entry
+# lives. Lifetime control (ADVICE r4): entries of STOPPED sessions are
+# purged lazily on every cache miss (a stopped SparkContext has
+# ``_jsc is None``), so a long-lived multi-session process doesn't pin
+# dead sessions and their plans; and the path's mtime is part of the
+# key, so data rewritten in-process at the same path is re-read instead
+# of silently served stale (one os.stat per call — no Spark job).
 _TABLE_CACHE: dict = {}
+
+
+def _path_mtime(path: str) -> float:
+    try:
+        return os.stat(path).st_mtime
+    except OSError:
+        return -1.0
+
+
+def _purge_stopped_sessions() -> None:
+    dead = [
+        k
+        for k, (sess, _) in _TABLE_CACHE.items()
+        if getattr(sess.sparkContext, "_jsc", None) is None
+    ]
+    for k in dead:
+        del _TABLE_CACHE[k]
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str):
     """Read one of the driver-provided parquet tables (any session).
-    Cached per (session, path): re-reading a path whose FILES were
-    replaced mid-session returns the cached plan — call
-    ``clear_table_cache()`` after rewriting testdata in-process."""
-    key = (id(spark), sf_dir, name)
+    Cached per (session, path, mtime)."""
+    path = f"{sf_dir}/{name}.parquet"
+    key = (id(spark), sf_dir, name, _path_mtime(path))
     hit = _TABLE_CACHE.get(key)
     if hit is not None and hit[0] is spark:
         return hit[1]
+    _purge_stopped_sessions()
+    # drop superseded entries for this same (session, path) — older mtimes
+    # can never be served again, don't let rewrites grow the dict
+    for k in [k for k in _TABLE_CACHE if k[:3] == key[:3]]:
+        del _TABLE_CACHE[k]
     ensure_read_confs(spark)
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(path)
     _TABLE_CACHE[key] = (spark, df)
     return df
 

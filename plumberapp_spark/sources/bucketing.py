@@ -22,7 +22,14 @@ between tables force a shuffle on the smaller side only).
 
 from __future__ import annotations
 
+import os
+import time
+
 from pyspark.sql import DataFrame, SparkSession
+
+# Gate for _drop_stale_location: only directories strictly older than this
+# process may be treated as orphans of a previous run.
+_PROCESS_START = time.time()
 
 
 def write_bucketed(
@@ -95,7 +102,14 @@ def ensure_bucketed_tables(
         name = bucketed_name(sf_dir, table, num_buckets)
         if not spark.catalog.tableExists(name):
             _drop_stale_location(spark, name)
-            write_bucketed(load_table(spark, sf_dir, table), name, key, num_buckets)
+            try:
+                write_bucketed(load_table(spark, sf_dir, table), name, key, num_buckets)
+            except Exception:
+                # LOCATION_ALREADY_EXISTS from a concurrent process's
+                # just-written directory (which _drop_stale_location
+                # deliberately left alone): skip — bucketed_or_parquet
+                # falls back to the plain parquet read, same results.
+                continue
         names[table] = name
     return names
 
@@ -105,14 +119,31 @@ def _drop_stale_location(spark: SparkSession, name: str) -> None:
     in-memory, so a table written by a PREVIOUS process is 'not exists'
     to this one while its warehouse directory persists on disk —
     saveAsTable then fails with LOCATION_ALREADY_EXISTS (this killed the
-    bucketed path of a whole bench run). Deleting the orphan is safe
-    precisely because no live catalog references it."""
+    bucketed path of a whole bench run).
+
+    'No live catalog references it' only holds for THIS process, so the
+    delete is gated on the directory being older than this process's
+    start (ADVICE r4): a directory another concurrently-running
+    bench/test process just wrote (or is writing) is younger and is left
+    alone — that process's saveAsTable owns it. A genuinely stale orphan
+    from a previous run always predates us and is removed as before."""
     import shutil
     from urllib.parse import urlparse
 
     wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", "")).path
-    if wh:
-        shutil.rmtree(f"{wh}/{name.lower()}", ignore_errors=True)
+    if not wh:
+        return
+    path = f"{wh}/{name.lower()}"
+    try:
+        dir_mtime = os.stat(path).st_mtime
+    except OSError:
+        return  # nothing on disk — saveAsTable will just create it
+    if dir_mtime >= _PROCESS_START:
+        # written during our lifetime by someone else: do not touch; let
+        # saveAsTable surface LOCATION_ALREADY_EXISTS to the caller, whose
+        # tableExists/except fallback routes to the plain parquet read.
+        return
+    shutil.rmtree(path, ignore_errors=True)
 
 
 def bucketed_or_parquet(

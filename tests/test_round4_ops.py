@@ -438,3 +438,23 @@ def test_chunk_documents_vectorized_matches_expression(spark):
         map(tuple, chunk_documents(docs, max_tokens=24, overlap=8, vectorized=False).collect())
     )
     assert fast == slow
+
+
+def test_dedup_against_null_text_matches_empty(spark):
+    # ADVICE r4: md5(NULL) is NULL and never equi-joins, so NULL-text rows
+    # used to always survive the anti join while the oracle's NOT IN
+    # dropped them (and a NULL in the reference made NOT IN drop every
+    # row). Contract now pinned: NULL text == empty document, both sides.
+    from plumberapp_spark.llm.dedup import dedup_against
+
+    new = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "fresh"), (4, "seen")], "doc_id long, text string"
+    )
+    # reference contains an empty doc -> NULL and "" in `new` must both drop
+    ref = spark.createDataFrame([(10, ""), (11, "seen")], "doc_id long, text string")
+    kept = sorted(r.doc_id for r in dedup_against(new, ref).collect())
+    assert kept == [3]
+    # NULL in the REFERENCE must behave as empty too, not poison the join
+    ref2 = spark.createDataFrame([(10, None), (11, "seen")], "doc_id long, text string")
+    kept2 = sorted(r.doc_id for r in dedup_against(new, ref2).collect())
+    assert kept2 == [3]
