@@ -537,28 +537,76 @@ def q49_topo_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat(F.lit("src"), (F.col("num") / 2).cast("int").cast("string"))
         ).alias("parent_name"),
     )
-    edges = edges.persist()
-    frontier = edges.filter(F.col("parent_name").isNull()).select(
-        "name", F.lit(0).cast("bigint").alias("depth")
-    )
-    out = frontier
-    # fixed-point loop: ≤ ceil(log2(#nodes)) rounds for the tree fixture;
-    # the frontier is tiny, so each join broadcasts it
-    for _ in range(8):
-        frontier = (
-            edges.join(F.broadcast(frontier.select(F.col("name").alias("parent_name"), "depth")),
-                       "parent_name")
-            .select("name", (F.col("depth") + 1).cast("bigint").alias("depth"))
+    # VERDICT r4 item 6: the edge table is PLAN-sized (one row per
+    # distinct pipeline source — dozens, never data-scale), but the
+    # former iterative frontier join paid a fixed per-round driver/job
+    # cost x DAG depth (2.43 s at sf0.1, the slowest non-streaming query
+    # in the suite). The data-sized work — distilling documents down to
+    # the distinct edge list — stays in Spark; the graph walk happens
+    # driver-side over the collected edges, exactly like the LP collects
+    # its plan-sized stats vector (queries_analytic.py LP route). A guard
+    # keeps the 100 TB posture honest: an edge list that is NOT
+    # plan-sized falls back to the distributed frontier loop.
+    collected = edges.limit(100_001).collect()
+    if len(collected) > 100_000:  # not plan-sized after all
+        edges = edges.persist()
+        frontier = edges.filter(F.col("parent_name").isNull()).select(
+            "name", F.lit(0).cast("bigint").alias("depth")
         )
-        if frontier.isEmpty():
-            break
-        out = out.unionAll(frontier)
-    # The persist only serves the loop's isEmpty() actions; release it so
-    # repeated invocations (bench passes, correctness runs) don't
-    # accumulate cached blocks — the final evaluation recomputes the
-    # 20-row edge table per join round, which is free.
-    edges.unpersist()
-    return out
+        out = frontier
+        for _ in range(8):
+            frontier = (
+                edges.join(
+                    F.broadcast(frontier.select(F.col("name").alias("parent_name"), "depth")),
+                    "parent_name",
+                )
+                .select("name", (F.col("depth") + 1).cast("bigint").alias("depth"))
+            )
+            if frontier.isEmpty():
+                break
+            out = out.unionAll(frontier)
+        edges.unpersist()
+        return out
+
+    parent = {r["name"]: r["parent_name"] for r in collected}
+    # depth None = unreachable from a root — matches the frontier join,
+    # which never emits nodes whose parent chain doesn't reach a NULL
+    # parent (dangling references, cycles).
+    depths: dict[str, int | None] = {}
+
+    def depth_of(n: str) -> int | None:
+        if n in depths:
+            return depths[n]
+        seen: list[str] = []
+        cur: str | None = n
+        while cur is not None and cur not in depths and cur in parent:
+            seen.append(cur)
+            cur = parent[cur]
+            if len(seen) > len(parent):  # cycle: no member reaches a root
+                cur = "\0cycle"
+                break
+        if cur is None:  # walked through a root's NULL parent
+            base: int | None = -1
+        elif cur in depths:
+            base = depths[cur]
+        else:  # dangling parent reference or cycle sentinel
+            base = None
+        for node in reversed(seen):
+            base = None if base is None else base + 1
+            depths[node] = base
+        return depths[n]
+
+    rows = [(n, d) for n in parent if (d := depth_of(n)) is not None]
+    if not rows:
+        return spark.range(0).select(
+            F.col("id").cast("string").alias("name"), F.col("id").alias("depth")
+        )
+    # JVM-side VALUES relation: createDataFrame ships a Python RDD and
+    # costs ~0.4 s even warm; an inline VALUES literal plans in ~0.01 s.
+    vals = ",".join(
+        "('{}',{}L)".format(n.replace("'", "''"), d) for n, d in rows
+    )
+    return spark.sql(f"SELECT name, depth FROM VALUES {vals} AS t(name, depth)")
 
 
 @register(
