@@ -106,6 +106,7 @@ PRIMARY_INPUT = {
     "q69_document_chunking": "documents",
     "q70_quota_sample": "documents",
     "q71_hash_split": "documents",
+    "q72_ann_recall": "embeddings",
 }
 
 RATE_TABLES = ("lineitem", "orders", "events", "documents", "embeddings", "customer")

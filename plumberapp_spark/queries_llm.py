@@ -916,3 +916,88 @@ def q71_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     return hash_split(docs, "doc_id").select("doc_id", "split")
+
+
+@register(
+    "q72_ann_recall",
+    oracle="""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         q AS (SELECT vec_id, e FROM v WHERE vec_id % 50 = 0),
+         ex0 AS (SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id,
+                        round(list_dot_product(q.e, b.e) /
+                              (sqrt(list_dot_product(q.e, q.e)) * sqrt(list_dot_product(b.e, b.e))), 6) AS cos_sim
+                 FROM q JOIN v b ON b.vec_id != q.vec_id),
+         exact AS (SELECT query_id, neighbor_id FROM
+                     (SELECT *, row_number() OVER (PARTITION BY query_id
+                              ORDER BY cos_sim DESC, neighbor_id) AS rn FROM ex0)
+                   WHERE rn <= 5),
+         cent AS (SELECT vec_id AS c_id, e AS ce FROM v
+                  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+         sim AS (SELECT v.vec_id, cent.c_id,
+                        round(list_dot_product(v.e, cent.ce) /
+                              (sqrt(list_dot_product(v.e, v.e)) * sqrt(list_dot_product(cent.ce, cent.ce))), 6) AS s
+                 FROM v CROSS JOIN cent),
+         ranked AS (SELECT vec_id, c_id,
+                           row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, c_id) AS rn
+                    FROM sim),
+         vc AS (SELECT vec_id, c_id AS cell FROM ranked WHERE rn = 1),
+         qc AS (SELECT vec_id AS query_id, c_id AS cell FROM ranked
+                WHERE rn <= 2 AND vec_id % 50 = 0),
+         icand AS (SELECT qc.query_id, vc.vec_id AS neighbor_id
+                   FROM vc JOIN qc ON vc.cell = qc.cell
+                   WHERE vc.vec_id != qc.query_id),
+         iscored AS (SELECT icand.query_id, icand.neighbor_id,
+                            round(list_dot_product(a.e, b.e) /
+                                  (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 6) AS cos_sim
+                     FROM icand
+                     JOIN v a ON a.vec_id = icand.query_id
+                     JOIN v b ON b.vec_id = icand.neighbor_id),
+         ivf AS (SELECT query_id, neighbor_id FROM
+                   (SELECT *, row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos_sim DESC, neighbor_id) AS rank FROM iscored)
+                 WHERE rank <= 5),
+         planes AS (SELECT p, list_transform(generate_series(0, 63), j ->
+                      ('0x' || substr(md5('h' || p::VARCHAR || ':' || j::VARCHAR), 1, 14))::BIGINT
+                      / 36028797018963968.0 - 1) AS pl
+                    FROM generate_series(0, 3) t(p)),
+         buck AS (SELECT v.vec_id,
+                         string_agg(CASE WHEN list_dot_product(v.e, planes.pl) >= 0
+                                         THEN '1' ELSE '0' END, '' ORDER BY planes.p) AS bucket
+                  FROM v CROSS JOIN planes GROUP BY v.vec_id),
+         b AS (SELECT buck.vec_id, buck.bucket, v.e FROM buck JOIN v USING (vec_id)),
+         lq AS (SELECT vec_id AS query_id, e AS qe, bucket FROM b WHERE vec_id % 50 = 0),
+         lcand AS (SELECT lq.query_id, b.vec_id AS neighbor_id, b.e AS ce, lq.qe
+                   FROM b JOIN lq ON b.bucket = lq.bucket WHERE b.vec_id != lq.query_id),
+         lscored AS (SELECT query_id, neighbor_id,
+                            round(list_dot_product(ce, qe) /
+                                  (sqrt(list_dot_product(ce, ce)) * sqrt(list_dot_product(qe, qe))), 6) AS cos_sim
+                     FROM lcand),
+         lsh AS (SELECT query_id, neighbor_id FROM
+                   (SELECT *, row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos_sim DESC, neighbor_id) AS rank FROM lscored)
+                 WHERE rank <= 5),
+         nt AS (SELECT count(*) AS n_true FROM exact),
+         ih AS (SELECT count(*) AS n_hit FROM ivf JOIN exact USING (query_id, neighbor_id)),
+         lh AS (SELECT count(*) AS n_hit FROM lsh JOIN exact USING (query_id, neighbor_id))
+    SELECT 'ivf' AS method, CAST(5 AS BIGINT) AS k, 'centroids=16,nprobe=2' AS param,
+           CAST(nt.n_true AS BIGINT) AS n_true, CAST(ih.n_hit AS BIGINT) AS n_hit,
+           round(ih.n_hit * 1.0 / nt.n_true, 6) AS recall
+    FROM nt, ih
+    UNION ALL
+    SELECT 'lsh', CAST(5 AS BIGINT), 'planes=4',
+           CAST(nt.n_true AS BIGINT), CAST(lh.n_hit AS BIGINT),
+           round(lh.n_hit * 1.0 / nt.n_true, 6)
+    FROM nt, lh
+    """,
+)
+def q72_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Online ANN quality signal (VERDICT r4 item 8): recall@5 of the IVF
+    and LSH indexes vs the exact route on the same sampled query set —
+    the continuous production metric, not only a test-time assertion.
+    Lazy composition of three index runs + one-row aggregates; the oracle
+    replays exact, IVF (q54's derivation), and LSH (q56's) in DuckDB and
+    computes the identical (n_true, n_hit, recall) rows."""
+    from plumberapp_spark.llm.similarity import ann_recall_report
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ann_recall_report(emb, emb.filter(F.col("vec_id") % 50 == 0), k=5)
