@@ -196,16 +196,24 @@ def q06_zip_by_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     — the null-padded union scan costs what the saved job latency buys
     back (5-rep A/B: shared ~1.6 s vs per-side ~1.45 s steady-state) —
     so the simpler form stays."""
-    orders = with_row_idx(
-        load_table(spark, sf_dir, "orders").select("o_orderkey"),
-        ["o_orderkey"],
-        bounds=row_idx_bounds(sf_dir, "orders", "o_orderkey"),
-    )
-    events = with_row_idx(
-        load_table(spark, sf_dir, "events").select("event_id", "event_type"),
-        ["event_id"],
-        bounds=row_idx_bounds(sf_dir, "events", "event_id"),
-    )
+    from plumberapp_spark.operators.stream import with_row_idx_simple
+    from plumberapp_spark.session import table_bytes
+
+    # Size-routed like q36: below 64 MB a single-task window per side
+    # beats the distributed bucket machinery's fixed multi-stage cost
+    # (measured 0.76 s -> 0.54 s at sf0.1); above it the bucketed
+    # two-phase index keeps keys x buckets parallelism (the plain window
+    # is the one-task scale-killer SCALE.md quantifies). Both paths
+    # produce the identical dense index.
+    def side(name: str, cols: list, key: str):
+        df = load_table(spark, sf_dir, name).select(*cols)
+        size = table_bytes(sf_dir, name)
+        if size is not None and size < (64 << 20):
+            return with_row_idx_simple(df, [key])
+        return with_row_idx(df, [key], bounds=row_idx_bounds(sf_dir, name, key))
+
+    orders = side("orders", ["o_orderkey"], "o_orderkey")
+    events = side("events", ["event_id", "event_type"], "event_id")
     return zip_by_index(orders, events).select("_row_idx", "o_orderkey", "event_id", "event_type")
 
 
