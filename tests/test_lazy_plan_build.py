@@ -1,0 +1,69 @@
+"""VERDICT r4 item 4 (full form): no operator may run Spark jobs while
+BUILDING its plan — eagerness must be an explicit, documented contract.
+
+Every registered query is built (not executed) under a job-group
+listener with a pre-warmed table cache (first-touch parquet schema
+listing is the read layer's cost, not the operator's). Queries that ARE
+allowed to run jobs at build time each carry a reason here; anything
+new that starts running build-time jobs fails this test and must either
+become lazy or join the allowlist with a documented why.
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import plumberapp_spark.all_queries  # noqa: F401, E402
+from plumberapp_spark.registry import REGISTRY  # noqa: E402
+from plumberapp_spark.session import TABLES, load_table  # noqa: E402
+
+SF_DIR = "/root/testdata/sf0.001"
+
+# name -> why build-time Spark jobs are part of the operator's contract
+EAGER_ALLOWED = {
+    # vectorized ANN collects the bounded query matrix for broadcast
+    # (<=100k enforced contract, similarity.py)
+    "q20_embedding_topk": "query-matrix collect (bounded broadcast contract)",
+    "q54_ivf_topk": "query-matrix collect (bounded broadcast contract)",
+    "q56_lsh_bucketed_topk": "query-matrix collect (bounded broadcast contract)",
+    "q72_ann_recall": "exact+IVF+LSH query-matrix collects (same contract)",
+    # grid pair search sizes its blocking grid from a collected stats row
+    "q21_embedding_near_dup_pairs": "grid sizing stats (one tiny agg)",
+    "q53_embedding_pairs_blocked": "grid sizing stats (one tiny agg)",
+    # driver-side algorithms over plan-sized collected inputs
+    "q49_topo_depth": "collect plan-sized edge list for driver BFS",
+    "q63_near_dup_clusters": "iterative min-label propagation (bounded rounds)",
+    "q47_lp_throughput": "collect plan-sized metrics vector for the LP",
+    "q48_min_cost_milp": "collect plan-sized metrics vector for the MILP",
+    # Structured Streaming queries start and drain their micro-batches
+    "q52_streaming_window_counts": "micro-batch execution is the query",
+    "q55_stateful_rate_monitor": "micro-batch execution is the query",
+    "q57_streaming_exact_dedup": "micro-batch execution is the query",
+    "q66_streaming_quality_monitor": "micro-batch execution is the query",
+}
+
+
+@pytest.mark.usefixtures()
+def test_plan_build_runs_no_spark_jobs(spark):
+    sc = spark.sparkContext
+    for t in TABLES:
+        load_table(spark, SF_DIR, t)  # exclude first-touch schema listing
+    violations = {}
+    for name, qd in REGISTRY.items():
+        if name in EAGER_ALLOWED:
+            continue
+        group = f"lazy-guard-{name}"
+        sc.setJobGroup(group, "plan build must be lazy")
+        try:
+            qd.fn(spark, SF_DIR)
+        finally:
+            sc.setJobGroup(None, None)
+        jobs = list(sc.statusTracker().getJobIdsForGroup(group))
+        if jobs:
+            violations[name] = len(jobs)
+    assert not violations, f"operators ran Spark jobs at plan-build time: {violations}"
