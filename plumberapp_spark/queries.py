@@ -208,7 +208,7 @@ def q06_zip_by_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     def side(name: str, cols: list, key: str):
         df = load_table(spark, sf_dir, name).select(*cols)
         size = table_bytes(sf_dir, name)
-        if size is not None and size < (64 << 20):
+        if size is not None and size < (32 << 20):
             return with_row_idx_simple(df, [key])
         return with_row_idx(df, [key], bounds=row_idx_bounds(sf_dir, name, key))
 
