@@ -107,6 +107,7 @@ PRIMARY_INPUT = {
     "q70_quota_sample": "documents",
     "q71_hash_split": "documents",
     "q72_ann_recall": "embeddings",
+    "q73_lsh_multiprobe": "embeddings",
 }
 
 RATE_TABLES = ("lineitem", "orders", "events", "documents", "embeddings", "customer")

@@ -52,9 +52,10 @@ _TAIL = (
     "q12_string_pipeline",
     "q14_exact_dedup",
     "q16_minhash_signature",
-    # displaced by q72 (new, round 5 — needs its first driver row);
-    # q13 is driver-green in r1, r2, and r4:
+    # displaced by q72/q73 (new, round 5 — need their first driver rows);
+    # q13 and q10 are driver-green in r1, r2, and r4:
     "q13_hash_bucket",
+    "q10_unbatch_roundtrip",
     # carried over from the r4 tail (driver-green r1-r3, family siblings
     # in-cap: q15~q14-lineage, q18~q16/q17, q22~q23/q24, q30/q31~q29,
     # q34~q46, q53/q21~q20/q56, q19~q58, q32/q33~q29/q52):

@@ -185,11 +185,24 @@ def lsh_bucketed_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     vectorized: bool = True,
+    nprobe_flips: int = 0,
 ) -> DataFrame:
     """LSH-bucketed ANN: sign pattern over ``num_planes`` hyperplanes is the
     bucket key; exact cosine re-rank within collisions. Approximate — may
     miss neighbors whose bucket differs (recall grows with fewer planes /
     multi-probe). Verified in tests by recall vs brute force, not equality.
+
+    ``nprobe_flips=1`` enables MULTI-PROBE: each query additionally
+    probes the ``num_planes`` buckets at Hamming distance 1 from its own
+    (the classic multi-probe LSH recall lever — a near neighbor that
+    lands just across one hyperplane is recovered without halving the
+    plane count for everyone). Only the QUERY side is replicated
+    (num_planes+1 skinny rows per query); the corpus still crosses the
+    exchange once, and because a corpus vector lives in exactly one
+    bucket the probe candidate sets are disjoint — the final per-query
+    top-k merges ≤ (num_planes+1)·k pruned candidates, never pairs.
+    Recall monotonicity vs single-probe is pinned in
+    tests/test_ivf_recall.py; values against the DuckDB replay in q73.
 
     ``vectorized=True`` (default) computes the sign buckets in one numpy
     matmul per Arrow batch (``V @ P.T``, plane matrix built once from the
@@ -244,6 +257,8 @@ def lsh_bucketed_topk(
         return df.mapInPandas(add_bucket, out_schema)
 
     bucket = bucket_np if vectorized else bucket_expr
+    if nprobe_flips not in (0, 1):
+        raise NotImplementedError("nprobe_flips: only Hamming distance <= 1 probing is implemented")
 
     if vectorized:
         # Per-bucket matmul via ONE groupBy("_bucket") applyInPandas:
@@ -280,6 +295,26 @@ def lsh_bucketed_topk(
         q = bucket(queries).select(
             F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec"), "_bucket", F.lit(1).alias("_side")
         )
+        if nprobe_flips:
+            # replicate each query row into its own bucket + every
+            # 1-bit-flipped bucket (skinny rows; corpus side untouched)
+            q_schema = q.schema
+
+            def expand_probes(batches):
+                for pdf in batches:
+                    if len(pdf) == 0:
+                        continue
+                    frames = [pdf]
+                    for j in range(num_planes):
+                        v = pdf.copy()
+                        v["_bucket"] = [
+                            b[:j] + ("0" if b[j] == "1" else "1") + b[j + 1:]
+                            for b in pdf["_bucket"]
+                        ]
+                        frames.append(v)
+                    yield pd.concat(frames, ignore_index=True)
+
+            q = q.mapInPandas(expand_probes, q_schema)
 
         def bucket_topk(key, pdf):
             side = pdf["_side"].to_numpy()
@@ -323,12 +358,42 @@ def lsh_bucketed_topk(
                 }
             )
 
-        return c.unionByName(q).groupBy("_bucket").applyInPandas(bucket_topk, out_schema)
+        res = c.unionByName(q).groupBy("_bucket").applyInPandas(bucket_topk, out_schema)
+        if nprobe_flips:
+            # per-bucket top-k is complete per PROBE; merge the disjoint
+            # probe candidate sets into the final per-query top-k (a
+            # window over <= (num_planes+1)*k rows per query)
+            w = Window.partitionBy(query_id_col).orderBy(
+                F.col("cos_sim").desc(), F.col("neighbor_id")
+            )
+            res = (
+                res.drop("rank")
+                .withColumn("rank", F.row_number().over(w))
+                .filter(F.col("rank") <= k)
+                .select(
+                    query_id_col, "neighbor_id", "cos_sim",
+                    F.col("rank").cast("bigint").alias("rank"),
+                )
+            )
+        return res
 
     c = bucket(corpus).select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cvec"), "_bucket")
     q = bucket(queries).select(
         F.col(id_col).alias(query_id_col), F.col(vec_col).alias("_qvec"), "_bucket"
     )
+    if nprobe_flips:
+        variants = F.array(
+            F.col("_bucket"),
+            *[
+                F.concat(
+                    F.expr(f"substring(_bucket, 1, {j})"),
+                    F.when(F.expr(f"substring(_bucket, {j + 1}, 1)") == "1", F.lit("0")).otherwise(F.lit("1")),
+                    F.expr(f"substring(_bucket, {j + 2})"),
+                )
+                for j in range(num_planes)
+            ],
+        )
+        q = q.withColumn("_bucket", F.explode(variants))
     cand = c.join(F.broadcast(q), on="_bucket").filter(F.col("neighbor_id") != F.col(query_id_col))
     scored = cand.select(
         query_id_col,

@@ -129,3 +129,33 @@ def test_ann_router_ivf_above_threshold(spark):
     )
     ivf = sorted(map(tuple, ivf_topk(emb, queries, k=3).collect()))
     assert routed == ivf
+
+
+def test_multiprobe_lsh_parity_and_recall_monotone(spark):
+    # Round 5: nprobe_flips=1 probes the num_planes Hamming-1 buckets.
+    # Contract: (a) vectorized == expression form exactly; (b) recall@k
+    # vs brute force is >= the single-probe route on the same corpus
+    # (the whole point of multi-probe); (c) single-probe output is
+    # UNCHANGED by the feature (nprobe_flips=0 default).
+    from plumberapp_spark.llm.similarity import brute_force_topk, lsh_bucketed_topk
+    from plumberapp_spark.session import load_table
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    emb = load_table(spark, sf, "embeddings")
+    qs = emb.filter(F.col("vec_id") % 50 == 0)
+    kw = dict(k=5, dim=64, num_planes=4)
+
+    fast = sorted(map(tuple, lsh_bucketed_topk(emb, qs, nprobe_flips=1, **kw).collect()))
+    slow = sorted(
+        map(tuple, lsh_bucketed_topk(emb, qs, nprobe_flips=1, vectorized=False, **kw).collect())
+    )
+    assert fast == slow
+
+    exact = {(r[0], r[1]) for r in brute_force_topk(emb, qs, 5).collect()}
+    single = {(r[0], r[1]) for r in lsh_bucketed_topk(emb, qs, **kw).collect()}
+    multi = {(r[0], r[1]) for r in lsh_bucketed_topk(emb, qs, nprobe_flips=1, **kw).collect()}
+    r_single = len(single & exact) / len(exact)
+    r_multi = len(multi & exact) / len(exact)
+    assert r_multi >= r_single
+    assert r_multi > 0.2  # fixture-measured 0.36; a broken probe expansion reverts to ~0.1
