@@ -108,6 +108,7 @@ PRIMARY_INPUT = {
     "q71_hash_split": "documents",
     "q72_ann_recall": "embeddings",
     "q73_lsh_multiprobe": "embeddings",
+    "q74_semantic_dedup": "embeddings",
 }
 
 RATE_TABLES = ("lineitem", "orders", "events", "documents", "embeddings", "customer")

@@ -908,3 +908,137 @@ def ann_recall_report(
     for r in rows[1:]:
         out = out.unionAll(r)
     return out
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    tau: float,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    vectorized: bool = True,
+    max_cell_rows: int = 200_000,
+) -> DataFrame:
+    """SemDeDup-style embedding semantic dedup (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the corpus into ``n_centroids`` IVF cells
+    (same deterministic md5-ranked centroids as :func:`ivf_topk`), then
+    WITHIN each cell drop every vector that has a neighbor with cosine
+    ≥ ``tau`` and a smaller id — one survivor per near-dup group, chosen
+    deterministically, without any corpus-wide pair search.
+
+    Returns (id, cell, kept): callers filter ``kept`` to materialize the
+    deduplicated corpus, and the full assignment supports auditing drop
+    rates per cell.
+
+    100 TB posture: centroids are k collected rows (broadcast); cell
+    assignment is one Arrow matmul pass over the corpus; the quadratic
+    step is confined per cell — ``n_centroids`` must scale with corpus
+    size exactly as in the paper (cells of ~10-100k vectors), and the
+    ``max_cell_rows`` guard turns a silently quadratic skewed cell into
+    an explicit error instead of a runaway task. Determinism contract
+    matches IVF: cosines rounded to 6 decimals before every comparison,
+    cell ties to the smaller centroid id.
+    """
+    if not vectorized:
+        cent = (
+            corpus.select(F.col(id_col).alias("_c_id"), F.col(vec_col).alias("_c_vec"))
+            .orderBy(F.md5(F.col("_c_id").cast("string")), "_c_id")
+            .limit(n_centroids)
+        )
+        sim = corpus.select(id_col, vec_col).crossJoin(F.broadcast(cent)).select(
+            id_col,
+            vec_col,
+            "_c_id",
+            F.round(cosine(F.col(vec_col), F.col("_c_vec")), 6).alias("_s"),
+        )
+        w = Window.partitionBy(id_col).orderBy(F.col("_s").desc(), "_c_id")
+        cells = (
+            sim.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select(id_col, vec_col, F.col("_c_id").alias("cell"))
+        )
+        a, b = cells.alias("a"), cells.alias("b")
+        dropped = (
+            a.join(
+                b,
+                (F.col("a.cell") == F.col("b.cell"))
+                & (F.col(f"b.{id_col}") < F.col(f"a.{id_col}")),
+            )
+            .filter(F.round(cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")), 6) >= tau)
+            .select(F.col(f"a.{id_col}").alias(id_col))
+            .distinct()
+            .withColumn("_dropped", F.lit(True))
+        )
+        return (
+            cells.join(dropped, on=id_col, how="left")
+            .select(
+                id_col,
+                "cell",
+                F.coalesce(~F.col("_dropped"), F.lit(True)).alias("kept"),
+            )
+        )
+
+    import numpy as np
+    import pandas as pd
+
+    spark = corpus.sparkSession
+    cent_rows = (
+        corpus.select(F.col(id_col), F.col(vec_col))
+        .orderBy(F.md5(F.col(id_col).cast("string")), id_col)
+        .limit(n_centroids)
+        .collect()
+    )
+    order = np.argsort(np.array([r[0] for r in cent_rows]))
+    c_ids = np.array([cent_rows[i][0] for i in order])
+    c_mat = np.array([list(cent_rows[i][1]) for i in order], dtype=np.float64)
+    c_norm = np.sqrt((c_mat * c_mat).sum(axis=1))
+    bc = spark.sparkContext.broadcast((c_ids, c_mat, c_norm))
+    id_ddl = corpus.schema[id_col].dataType.simpleString()
+
+    def assign(batches):
+        c_ids_, c_mat_, c_norm_ = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vecs = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            v_norm = np.sqrt((vecs * vecs).sum(axis=1))
+            denom = v_norm[:, None] * c_norm_[None, :]
+            sims = np.zeros((len(vecs), len(c_mat_)))
+            np.divide(vecs @ c_mat_.T, denom, out=sims, where=denom > 0)
+            out = pdf[[id_col, vec_col]].copy()
+            # argmax over the c_id-ascending matrix = cell ties to the
+            # SMALLER centroid id; emit the centroid's own id (the
+            # expression form's and the oracle's cell label)
+            out["cell"] = c_ids_[np.argmax(np.round(sims, 6), axis=1)]
+            yield out
+
+    cells = corpus.select(id_col, vec_col).mapInPandas(
+        assign, f"{id_col} {id_ddl}, {vec_col} array<double>, cell {id_ddl}"
+    )
+
+    def dedup_cell(key, pdf):
+        n = len(pdf)
+        if n > max_cell_rows:
+            raise ValueError(
+                f"semantic_dedup: cell {key[0]} holds {n} vectors "
+                f"(> max_cell_rows={max_cell_rows}); raise n_centroids so "
+                f"cells stay small enough for the in-cell pair scan"
+            )
+        ids = pdf[id_col].to_numpy()
+        asc = np.argsort(ids, kind="stable")
+        ids = ids[asc]
+        vecs = np.array(pdf[vec_col].to_numpy()[asc].tolist(), dtype=np.float64)
+        norm = np.sqrt((vecs * vecs).sum(axis=1))
+        denom = norm[:, None] * norm[None, :]
+        sims = np.zeros((n, n))
+        np.divide(vecs @ vecs.T, denom, out=sims, where=denom > 0)
+        sims = np.round(sims, 6)
+        # kept[i] = no j with ids[j] < ids[i] (strictly lower triangle
+        # after the id sort) and cos >= tau
+        tri = np.tril(sims >= tau, k=-1)
+        kept = ~tri.any(axis=1)
+        return pd.DataFrame({id_col: ids, "cell": pdf["cell"].iloc[0], "kept": kept})
+
+    return cells.groupBy("cell").applyInPandas(
+        dedup_cell, f"{id_col} {id_ddl}, cell {id_ddl}, kept boolean"
+    )

@@ -159,3 +159,33 @@ def test_multiprobe_lsh_parity_and_recall_monotone(spark):
     r_multi = len(multi & exact) / len(exact)
     assert r_multi >= r_single
     assert r_multi > 0.2  # fixture-measured 0.36; a broken probe expansion reverts to ~0.1
+
+
+def test_semantic_dedup_parity_and_contract(spark):
+    # Round 5 SemDeDup: vectorized == expression form exactly; survivors
+    # are closed under the drop rule (every dropped vector has a kept or
+    # smaller-id in-cell neighbor above tau -- here just re-check against
+    # the expression form's row set); NULL-free boolean output.
+    from plumberapp_spark.llm.similarity import semantic_dedup
+    from plumberapp_spark.session import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    fast = sorted(map(tuple, semantic_dedup(emb, tau=0.32).collect()))
+    slow = sorted(map(tuple, semantic_dedup(emb, tau=0.32, vectorized=False).collect()))
+    assert fast == slow
+    assert len(fast) == emb.count()  # one row per vector, kept or not
+    assert all(r[2] in (True, False) for r in fast)
+    # tau above the fixture's max pairwise cosine drops nothing
+    allkept = semantic_dedup(emb, tau=0.99).collect()
+    assert all(r["kept"] for r in allkept)
+
+
+def test_semantic_dedup_cell_guard_raises(spark):
+    from plumberapp_spark.llm.similarity import semantic_dedup
+    from plumberapp_spark.session import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="max_cell_rows"):
+        semantic_dedup(emb, tau=0.32, n_centroids=2, max_cell_rows=10).collect()
