@@ -109,6 +109,7 @@ PRIMARY_INPUT = {
     "q72_ann_recall": "embeddings",
     "q73_lsh_multiprobe": "embeddings",
     "q74_semantic_dedup": "embeddings",
+    "q75_pii_redaction": "documents",
 }
 
 RATE_TABLES = ("lineitem", "orders", "events", "documents", "embeddings", "customer")

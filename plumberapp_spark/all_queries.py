@@ -52,11 +52,12 @@ _TAIL = (
     "q12_string_pipeline",
     "q14_exact_dedup",
     "q16_minhash_signature",
-    # displaced by q72/q73/q74 (new, round 5 — need their first driver
-    # rows); q13, q10, and q09 are driver-green in r1, r2, and r4:
+    # displaced by q72/q73/q74/q75 (new, round 5 — need their first
+    # driver rows); q13, q10, q09, q07 are driver-green in r1, r2, r4:
     "q13_hash_bucket",
     "q10_unbatch_roundtrip",
     "q09_repeat_echo",
+    "q07_take_skip_shard",
     # carried over from the r4 tail (driver-green r1-r3, family siblings
     # in-cap: q15~q14-lineage, q18~q16/q17, q22~q23/q24, q30/q31~q29,
     # q34~q46, q53/q21~q20/q56, q19~q58, q32/q33~q29/q52):

@@ -487,3 +487,46 @@ def chunk_documents(
         df.select(F.col(id_col), F.explode(F.when(n > 0, chunks)).alias("_c"))
         .select(id_col, "_c.chunk_id", "_c.chunk_text", "_c.n_chunk_tokens")
     )
+
+
+# Conservative ASCII patterns, valid and IDENTICAL under Java regex
+# (Spark) and RE2 (DuckDB) — no lookarounds, no Unicode classes, so both
+# engines match the same spans. Kept module-level so oracle SQL and unit
+# tests share the exact strings.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IP_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE_RE = r"\+?\d[\d -]{7,}\d"
+
+
+def redact_pii(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """C4-style PII scrub: replace emails / IPv4 literals / phone-shaped
+    digit runs with fixed tokens and report per-kind counts — the
+    pre-training redaction pass every public-web corpus needs.
+
+    Pure Catalyst expressions end to end (regexp_count + chained
+    regexp_replace): this IS the scale path — whole-stage codegen, zero
+    Python, zero shuffle, a narrow projection over the corpus. Counts
+    are taken on the ORIGINAL text so they are independent of the
+    replacement order; replacement applies email -> ip -> phone (the
+    patterns cannot overlap: the phone class has no dots, the ip
+    pattern no letters).
+    """
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    out = df.select(
+        F.col(id_col),
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(text, PII_EMAIL_RE, "<EMAIL>"),
+                PII_IP_RE,
+                "<IP>",
+            ),
+            PII_PHONE_RE,
+            "<PHONE>",
+        ).alias("clean_text"),
+        F.regexp_count(text, F.lit(PII_EMAIL_RE)).cast("bigint").alias("n_emails"),
+        F.regexp_count(text, F.lit(PII_IP_RE)).cast("bigint").alias("n_ips"),
+        F.regexp_count(text, F.lit(PII_PHONE_RE)).cast("bigint").alias("n_phones"),
+    )
+    return out

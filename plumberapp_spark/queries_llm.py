@@ -1092,3 +1092,35 @@ def q74_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from plumberapp_spark.llm.similarity import semantic_dedup
 
     return semantic_dedup(load_table(spark, sf_dir, "embeddings"), tau=0.32, n_centroids=16)
+
+
+@register(
+    "q75_pii_redaction",
+    oracle=r"""
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(coalesce(text, ''),
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+             '\+?\d[\d -]{7,}\d', '<PHONE>', 'g') AS clean_text,
+           CAST(len(regexp_extract_all(coalesce(text, ''),
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(coalesce(text, ''),
+                 '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips,
+           CAST(len(regexp_extract_all(coalesce(text, ''),
+                 '\+?\d[\d -]{7,}\d')) AS BIGINT) AS n_phones
+    FROM documents
+    """,
+)
+def q75_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style PII scrub (round 5): emails / IPv4 / phone-shaped digit
+    runs replaced with fixed tokens, per-kind counts reported. Pure
+    Catalyst regexp expressions (whole-stage codegen, zero Python, zero
+    shuffle) — the patterns are deliberately ASCII-only and semantically
+    identical under Java regex and RE2 so the oracle matches span for
+    span; real-redaction behavior is unit-tested on injected PII rows
+    (the synthetic corpus itself is expected to be mostly clean)."""
+    from plumberapp_spark.llm.textqa import redact_pii
+
+    return redact_pii(load_table(spark, sf_dir, "documents"))

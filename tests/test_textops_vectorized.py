@@ -122,3 +122,28 @@ def test_unicode_whitespace_parity(spark):
         map(tuple, ngram_jaccard_pairs(docs, "text", "doc_id", threshold=0.0, vectorized=False).collect())
     )
     assert fast == slow
+
+
+def test_redact_pii_behavior(spark):
+    # Real-redaction contract on injected PII (the synthetic corpus is
+    # clean, so q75's oracle alone would never exercise a replacement).
+    from plumberapp_spark.llm.textqa import redact_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail john.doe+x@example.com or a.b@c.io now"),
+            (2, "host 192.168.0.1 plus 10.0.0.255"),
+            (3, "call +1 555 123 4567 or 089-1234-5678"),
+            (4, "clean text, no identifiers at all"),
+            (5, ""),
+            (6, None),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in redact_pii(df).collect()}
+    assert rows[1].clean_text == "mail <EMAIL> or <EMAIL> now" and rows[1].n_emails == 2
+    assert rows[2].clean_text == "host <IP> plus <IP>" and rows[2].n_ips == 2
+    assert rows[3].n_phones == 2 and "<PHONE>" in rows[3].clean_text
+    assert rows[4].clean_text == "clean text, no identifiers at all"
+    assert (rows[4].n_emails, rows[4].n_ips, rows[4].n_phones) == (0, 0, 0)
+    assert rows[6].clean_text == ""  # NULL = empty doc convention
