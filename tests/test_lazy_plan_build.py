@@ -32,6 +32,7 @@ EAGER_ALLOWED = {
     "q54_ivf_topk": "query-matrix collect (bounded broadcast contract)",
     "q56_lsh_bucketed_topk": "query-matrix collect (bounded broadcast contract)",
     "q72_ann_recall": "exact+IVF+LSH query-matrix collects (same contract)",
+    "q74_semantic_dedup": "n_centroids-row centroid collect (IVF contract)",
     # grid pair search sizes its blocking grid from a collected stats row
     "q21_embedding_near_dup_pairs": "grid sizing stats (one tiny agg)",
     "q53_embedding_pairs_blocked": "grid sizing stats (one tiny agg)",
