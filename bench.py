@@ -110,6 +110,7 @@ PRIMARY_INPUT = {
     "q73_lsh_multiprobe": "embeddings",
     "q74_semantic_dedup": "embeddings",
     "q75_pii_redaction": "documents",
+    "q76_line_dedup": "documents",
 }
 
 RATE_TABLES = ("lineitem", "orders", "events", "documents", "embeddings", "customer")

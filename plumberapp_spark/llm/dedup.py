@@ -794,3 +794,64 @@ def dedup_against(
     ref_digests = reference.select(digest.alias("_digest")).distinct()
     keyed = df.withColumn("_digest", digest)
     return keyed.join(ref_digests, on="_digest", how="left_anti").drop("_digest")
+
+
+def line_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_occurrences: int = 1,
+) -> DataFrame:
+    """C4-style line-level dedup (Raffel et al. 2020 §2.2: "we discarded
+    all but one of any three-sentence span occurring more than once";
+    the common production variant operates on LINES): keep a line only
+    in the document where it FIRST occurs (smallest (doc_id, line_pos)),
+    once its corpus-wide occurrence count exceeds ``max_occurrences``;
+    documents are reassembled from their surviving lines in original
+    order. Returns (id, clean_text, n_lines, n_removed).
+
+    Scale shape: explode to (line_digest, doc, pos) — constant-width
+    md5 keys, never the line text, cross the exchange; one groupBy
+    computes per-line counts and the global first-occurrence via
+    min_by(struct(doc,pos)); a digest equi-join marks survivors; the
+    reassembly groupBy carries only surviving lines. Three exchanges
+    total, all on constant-width keys, independent of line length.
+    NULL text = empty doc (repo convention); empty docs survive with
+    clean_text = ''.
+    """
+    spark_lines = (
+        df.select(
+            F.col(id_col),
+            F.posexplode_outer(
+                F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")
+            ).alias("_pos", "_line"),
+        )
+    )
+    keyed = spark_lines.withColumn("_digest", F.md5(F.col("_line")))
+    stats = keyed.groupBy("_digest").agg(
+        F.count("*").alias("_n"),
+        F.min(F.struct(F.col(id_col).alias("_d"), F.col("_pos").alias("_p"))).alias("_first"),
+    )
+    marked = keyed.join(stats, on="_digest").withColumn(
+        "_keep",
+        (F.col("_n") <= max_occurrences)
+        | ((F.col("_first._d") == F.col(id_col)) & (F.col("_first._p") == F.col("_pos"))),
+    )
+    return (
+        marked.groupBy(id_col)
+        .agg(
+            F.concat_ws(
+                "\n",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(F.col("_keep"), F.struct("_pos", "_line"))
+                        )
+                    ),
+                    lambda s: s["_line"],
+                ),
+            ).alias("clean_text"),
+            F.count("*").cast("bigint").alias("n_lines"),
+            F.sum(F.when(~F.col("_keep"), 1).otherwise(0)).cast("bigint").alias("n_removed"),
+        )
+    )

@@ -1124,3 +1124,33 @@ def q75_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     from plumberapp_spark.llm.textqa import redact_pii
 
     return redact_pii(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "q76_line_dedup",
+    oracle="""
+    WITH l AS (SELECT doc_id, string_split(coalesce(text, ''), chr(10)) AS ls FROM documents),
+         e AS (SELECT doc_id, generate_subscripts(ls, 1) - 1 AS pos,
+                      unnest(ls) AS line FROM l),
+         r AS (SELECT doc_id, pos, line,
+                      count(*) OVER (PARTITION BY md5(line)) AS n,
+                      row_number() OVER (PARTITION BY md5(line) ORDER BY doc_id, pos) AS rn
+               FROM e),
+         m AS (SELECT doc_id, pos, line, (n <= 1 OR rn = 1) AS keep FROM r)
+    SELECT doc_id,
+           coalesce(string_agg(line, chr(10) ORDER BY pos) FILTER (WHERE keep), '') AS clean_text,
+           count(*)::BIGINT AS n_lines,
+           (count(*) FILTER (WHERE NOT keep))::BIGINT AS n_removed
+    FROM m GROUP BY doc_id
+    """,
+)
+def q76_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style line-level dedup (round 5): a line occurring in more than
+    ``max_occurrences`` places survives only at its globally-first
+    (doc_id, pos); documents are reassembled from surviving lines in
+    order. Three constant-width-key exchanges (line digest x2, doc
+    reassembly) — the line text itself never rides the count/first
+    shuffle. The oracle mirrors the rule with a window formulation."""
+    from plumberapp_spark.llm.dedup import line_dedup
+
+    return line_dedup(load_table(spark, sf_dir, "documents"))

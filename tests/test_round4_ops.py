@@ -458,3 +458,32 @@ def test_dedup_against_null_text_matches_empty(spark):
     ref2 = spark.createDataFrame([(10, None), (11, "seen")], "doc_id long, text string")
     kept2 = sorted(r.doc_id for r in dedup_against(new, ref2).collect())
     assert kept2 == [3]
+
+
+def test_line_dedup_behavior(spark):
+    # C4-style line dedup (round 5): a repeated line survives only at its
+    # globally-first (doc_id, pos); docs reassemble in original order;
+    # NULL text = empty doc.
+    from plumberapp_spark.llm.dedup import line_dedup
+
+    df = spark.createDataFrame(
+        [
+            (1, "unique one\ncommon line\nunique two"),
+            (2, "common line\nother text"),
+            (3, "common line"),
+            (4, "a\na\nb"),  # intra-doc repeat: first 'a' survives
+            (5, None),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in line_dedup(df).collect()}
+    assert rows[1].clean_text == "unique one\ncommon line\nunique two"
+    assert rows[1].n_removed == 0
+    assert rows[2].clean_text == "other text" and rows[2].n_removed == 1
+    assert rows[3].clean_text == "" and rows[3].n_removed == 1
+    assert rows[4].clean_text == "a\nb" and rows[4].n_removed == 1
+    assert rows[5].n_lines == 1  # NULL -> one empty line
+    # max_occurrences=2: a line in two places survives everywhere
+    relaxed = {r.doc_id: r for r in line_dedup(df, max_occurrences=3).collect()}
+    assert relaxed[2].clean_text == "common line\nother text"
+    assert relaxed[3].clean_text == "common line"
