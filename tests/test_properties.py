@@ -315,3 +315,48 @@ def test_lp_grid_enumeration_brackets_both_solvers(rates, cores, n_seq):
     assert best <= exact + tol, "a feasible point beats the claimed optimum"
     assert best >= exact - resolution - tol, "claimed optimum not attained near lattice"
     assert abs(res.min_rate - exact) <= tol
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["alpha", "beta", "gamma", "", "zeta"]), min_size=0, max_size=5),
+        min_size=1,
+        max_size=8,
+    ),
+    max_occ=st.integers(min_value=1, max_value=3),
+)
+@settings(max_examples=15, deadline=None)
+def test_line_dedup_matches_python_reference(spark, docs, max_occ):
+    """line_dedup (q76) vs an independent driver-side reference: count
+    occurrences, keep a line everywhere if count <= max_occ, else only
+    at its lexicographically-first (doc, pos)."""
+    from collections import Counter
+
+    from plumberapp_spark.llm.dedup import line_dedup
+
+    rows = [(i, "\n".join(lines)) for i, lines in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    exploded = [
+        (i, p, ln) for i, text in rows for p, ln in enumerate(text.split("\n"))
+    ]
+    counts = Counter(ln for _, _, ln in exploded)
+    first = {}
+    for i, p, ln in sorted(exploded):
+        first.setdefault(ln, (i, p))
+    expected = {}
+    for i, text in rows:
+        lines = text.split("\n")
+        kept = [
+            ln
+            for p, ln in enumerate(lines)
+            if counts[ln] <= max_occ or first[ln] == (i, p)
+        ]
+        removed = len(lines) - len(kept)
+        expected[i] = ("\n".join(kept), len(lines), removed)
+
+    got = {
+        r.doc_id: (r.clean_text, r.n_lines, r.n_removed)
+        for r in line_dedup(df, max_occurrences=max_occ).collect()
+    }
+    assert got == expected
