@@ -156,3 +156,50 @@ def test_decode_audio(spark):
     out = {r["doc_id"]: r for r in decode_audio(df, "doc_id", "payload").collect()}
     assert (out[0]["n_channels"], out[0]["sample_rate"], out[0]["duration_s"]) == (1, 8000, 0.1)
     assert (out[1]["n_channels"], out[1]["sample_rate"], out[1]["duration_s"]) == (2, 44100, 1.0)
+
+
+def test_bmp_roundtrip_and_pixel_decode(spark):
+    # Round 5: the BMP pixel path is REAL in this container (stdlib
+    # encode + numpy decode) — roundtrip must be bit-exact, including
+    # row padding (odd widths) and the BGR/bottom-up storage order.
+    import numpy as np
+
+    from plumberapp_spark.llm.multimodal import decode_bmp_pixels, decode_image_pixels, encode_bmp
+
+    rng = np.random.default_rng(7)
+    for h, w in [(5, 3), (1, 1), (4, 4), (3, 7)]:
+        arr = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        back = decode_bmp_pixels(encode_bmp(arr))
+        assert back.shape == (h, w, 3)
+        assert (back == arr).all()
+
+    arr = rng.integers(0, 256, size=(6, 5, 3), dtype=np.uint8)
+    df = spark.createDataFrame([(1, bytearray(encode_bmp(arr)))], "doc_id long, payload binary")
+    row = decode_image_pixels(df, "doc_id", "payload").collect()[0]
+    assert (row.height, row.width, row.channels) == (6, 5, 3)
+    assert (np.array(row.pixels).reshape(6, 5, 3) == arr).all()
+
+
+def test_resize_pixels_nearest_neighbor(spark):
+    import numpy as np
+
+    from plumberapp_spark.llm.multimodal import decode_image_pixels, encode_bmp, resize_pixels
+
+    rng = np.random.default_rng(11)
+    arr = rng.integers(0, 256, size=(8, 6, 3), dtype=np.uint8)
+    df = spark.createDataFrame([(1, bytearray(encode_bmp(arr)))], "doc_id long, payload binary")
+    out = resize_pixels(decode_image_pixels(df, "doc_id", "payload"), 4, 3).collect()[0]
+    got = np.array(out.pixels).reshape(4, 3, 3)
+    ys = (np.arange(4) * 8 // 4)
+    xs = (np.arange(3) * 6 // 3)
+    assert (got == arr[ys][:, xs]).all()
+
+
+def test_image_header_consistent_with_pixel_decode(spark):
+    import numpy as np
+
+    from plumberapp_spark.llm.multimodal import encode_bmp, parse_image_header
+
+    arr = np.zeros((9, 4, 3), dtype=np.uint8)
+    h, w, ch, mode = parse_image_header(encode_bmp(arr))
+    assert (h, w, ch, mode) == (9, 4, 3, "RGB")
