@@ -887,6 +887,10 @@ def ann_recall_report(
             approx = lsh_bucketed_topk(corpus, queries, k, id_col=id_col, vec_col=vec_col,
                                        query_id_col=query_id_col, **lsh_kwargs)
             param = f"planes={lsh_kwargs['num_planes']}"
+        elif method == "lsh_mp":
+            approx = lsh_bucketed_topk(corpus, queries, k, id_col=id_col, vec_col=vec_col,
+                                       query_id_col=query_id_col, nprobe_flips=1, **lsh_kwargs)
+            param = f"planes={lsh_kwargs['num_planes']},flips=1"
         else:
             raise ValueError(f"unknown ANN method {method!r}")
         n_hit = (

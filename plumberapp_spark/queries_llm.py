@@ -976,9 +976,27 @@ def q71_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
                    (SELECT *, row_number() OVER (PARTITION BY query_id
                             ORDER BY cos_sim DESC, neighbor_id) AS rank FROM lscored)
                  WHERE rank <= 5),
+         mprobes AS (SELECT query_id, qe, bucket AS vb FROM lq
+                     UNION ALL
+                     SELECT query_id, qe,
+                            substr(bucket, 1, j - 1) ||
+                            (CASE WHEN substr(bucket, j, 1) = '1' THEN '0' ELSE '1' END) ||
+                            substr(bucket, j + 1) AS vb
+                     FROM lq CROSS JOIN generate_series(1, 4) t(j)),
+         mcand AS (SELECT p.query_id, b.vec_id AS neighbor_id, b.e AS ce, p.qe
+                   FROM b JOIN mprobes p ON b.bucket = p.vb WHERE b.vec_id != p.query_id),
+         mscored AS (SELECT query_id, neighbor_id,
+                            round(list_dot_product(ce, qe) /
+                                  (sqrt(list_dot_product(ce, ce)) * sqrt(list_dot_product(qe, qe))), 6) AS cos_sim
+                     FROM mcand),
+         mp AS (SELECT query_id, neighbor_id FROM
+                  (SELECT *, row_number() OVER (PARTITION BY query_id
+                           ORDER BY cos_sim DESC, neighbor_id) AS rank FROM mscored)
+                WHERE rank <= 5),
          nt AS (SELECT count(*) AS n_true FROM exact),
          ih AS (SELECT count(*) AS n_hit FROM ivf JOIN exact USING (query_id, neighbor_id)),
-         lh AS (SELECT count(*) AS n_hit FROM lsh JOIN exact USING (query_id, neighbor_id))
+         lh AS (SELECT count(*) AS n_hit FROM lsh JOIN exact USING (query_id, neighbor_id)),
+         mh AS (SELECT count(*) AS n_hit FROM mp JOIN exact USING (query_id, neighbor_id))
     SELECT 'ivf' AS method, CAST(5 AS BIGINT) AS k, 'centroids=16,nprobe=2' AS param,
            CAST(nt.n_true AS BIGINT) AS n_true, CAST(ih.n_hit AS BIGINT) AS n_hit,
            round(ih.n_hit * 1.0 / nt.n_true, 6) AS recall
@@ -988,6 +1006,11 @@ def q71_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(nt.n_true AS BIGINT), CAST(lh.n_hit AS BIGINT),
            round(lh.n_hit * 1.0 / nt.n_true, 6)
     FROM nt, lh
+    UNION ALL
+    SELECT 'lsh_mp', CAST(5 AS BIGINT), 'planes=4,flips=1',
+           CAST(nt.n_true AS BIGINT), CAST(mh.n_hit AS BIGINT),
+           round(mh.n_hit * 1.0 / nt.n_true, 6)
+    FROM nt, mh
     """,
 )
 def q72_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1000,7 +1023,9 @@ def q72_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     from plumberapp_spark.llm.similarity import ann_recall_report
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return ann_recall_report(emb, emb.filter(F.col("vec_id") % 50 == 0), k=5)
+    return ann_recall_report(
+        emb, emb.filter(F.col("vec_id") % 50 == 0), k=5, methods=("ivf", "lsh", "lsh_mp")
+    )
 
 
 @register(
