@@ -111,6 +111,7 @@ PRIMARY_INPUT = {
     "q74_semantic_dedup": "embeddings",
     "q75_pii_redaction": "documents",
     "q76_line_dedup": "documents",
+    "q77_unigram_logprob": "documents",
 }
 
 RATE_TABLES = ("lineitem", "orders", "events", "documents", "embeddings", "customer")

@@ -59,6 +59,7 @@ _TAIL = (
     "q09_repeat_echo",
     "q07_take_skip_shard",
     "q27_concatenate",
+    "q28_choose_from",
     # carried over from the r4 tail (driver-green r1-r3, family siblings
     # in-cap: q15~q14-lineage, q18~q16/q17, q22~q23/q24, q30/q31~q29,
     # q34~q46, q53/q21~q20/q56, q19~q58, q32/q33~q29/q52):

@@ -530,3 +530,59 @@ def redact_pii(
         F.regexp_count(text, F.lit(PII_PHONE_RE)).cast("bigint").alias("n_phones"),
     )
     return out
+
+
+def unigram_logprob_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vocab_size: int = 1000,
+) -> DataFrame:
+    """Perplexity-proxy quality score: mean unigram log-probability of a
+    document under the CORPUS's own add-one-smoothed top-``vocab_size``
+    unigram model — the cheap stand-in for the KenLM-style LM filters
+    production curation pipelines run (CCNet, Gopher §A1.2). Low scores
+    flag gibberish / OOV-dense / boilerplate documents.
+
+    p(token) = (count_in_vocab + 1) / (total_tokens + vocab_size); OOV
+    tokens take count 0. Returns (id, n_tokens, mean_logprob) with the
+    mean rounded to 4 decimals (sum-order-independent at that precision).
+    Empty/NULL docs score NULL (no tokens to average).
+
+    Fully lazy and JVM-side: token counts are one partial-aggregated
+    exchange on the token itself; the top-k vocabulary is a k-row
+    TakeOrdered that AUTO-BROADCASTS into the per-document join; the
+    per-doc mean is the second exchange. Nothing corpus-sized reaches
+    the driver.
+    """
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    toks = df.select(F.col(id_col), F.explode(tokenize(text)).alias("_tok"))
+    counts = toks.groupBy("_tok").agg(F.count("*").alias("_cnt"))
+    # deterministic top-k: count desc, token asc — ties never flap
+    vocab = counts.orderBy(F.col("_cnt").desc(), "_tok").limit(vocab_size)
+    total = toks.agg(F.count("*").alias("_total"))
+    scored = (
+        toks.join(F.broadcast(vocab), on="_tok", how="left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            id_col,
+            F.log(
+                (F.coalesce(F.col("_cnt"), F.lit(0)) + 1)
+                / (F.col("_total") + F.lit(vocab_size)).cast("double")
+            ).alias("_lp"),
+        )
+    )
+    per_doc = scored.groupBy(id_col).agg(
+        F.count("*").cast("bigint").alias("n_tokens"),
+        F.round(F.avg("_lp"), 4).alias("mean_logprob"),
+    )
+    # docs with zero tokens never appear in `toks`; restore them with NULLs
+    return (
+        df.select(F.col(id_col))
+        .join(per_doc, on=id_col, how="left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_tokens"), F.lit(0)).cast("bigint").alias("n_tokens"),
+            "mean_logprob",
+        )
+    )

@@ -1179,3 +1179,34 @@ def q76_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from plumberapp_spark.llm.dedup import line_dedup
 
     return line_dedup(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "q77_unigram_logprob",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+         tok AS (SELECT doc_id, unnest(toks) AS tk FROM t),
+         cnt AS (SELECT tk, count(*) AS c FROM tok GROUP BY tk),
+         vocab AS (SELECT tk, c FROM cnt ORDER BY c DESC, tk LIMIT 1000),
+         tot AS (SELECT count(*) AS n FROM tok),
+         lp AS (SELECT tok.doc_id,
+                       ln((coalesce(vocab.c, 0) + 1) * 1.0 / (tot.n + 1000)) AS l
+                FROM tok LEFT JOIN vocab ON tok.tk = vocab.tk, tot),
+         agg AS (SELECT doc_id, count(*)::BIGINT AS n_tokens,
+                        round(avg(l), 4) AS mean_logprob
+                 FROM lp GROUP BY doc_id)
+    SELECT d.doc_id,
+           coalesce(agg.n_tokens, 0)::BIGINT AS n_tokens,
+           agg.mean_logprob
+    FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
+    """,
+)
+def q77_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy LM scoring (round 5): mean add-one-smoothed
+    unigram log-probability under the corpus's own top-1000 vocabulary —
+    the KenLM-filter stand-in (CCNet/Gopher LM quality gates). Counts
+    ride one partial-agg exchange on the token; the 1000-row vocabulary
+    broadcasts into the per-doc join; fully lazy, JVM-side end to end."""
+    from plumberapp_spark.llm.textqa import unigram_logprob_score
+
+    return unigram_logprob_score(load_table(spark, sf_dir, "documents"))

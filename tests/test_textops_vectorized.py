@@ -147,3 +147,28 @@ def test_redact_pii_behavior(spark):
     assert rows[4].clean_text == "clean text, no identifiers at all"
     assert (rows[4].n_emails, rows[4].n_ips, rows[4].n_phones) == (0, 0, 0)
     assert rows[6].clean_text == ""  # NULL = empty doc convention
+
+
+def test_unigram_logprob_contract(spark):
+    # q77: frequent-token docs score higher than OOV-dense docs; empty
+    # and NULL docs yield NULL scores with n_tokens=0; scores bounded by
+    # the smoothed model's own range.
+    import math
+
+    from plumberapp_spark.llm.textqa import unigram_logprob_score
+
+    df = spark.createDataFrame(
+        [
+            (1, "the the the the"),
+            (2, "zzzqx wvvkj pqrst"),  # all OOV-ish singletons
+            (3, ""),
+            (4, None),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in unigram_logprob_score(df, vocab_size=2).collect()}
+    assert rows[1].mean_logprob > rows[2].mean_logprob
+    assert rows[3].n_tokens == 0 and rows[3].mean_logprob is None
+    assert rows[4].n_tokens == 0 and rows[4].mean_logprob is None
+    total, v = 7, 2  # 7 tokens corpus-wide, vocab_size=2
+    assert rows[1].mean_logprob == round(math.log((4 + 1) / (total + v)), 4)
