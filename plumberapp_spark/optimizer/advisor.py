@@ -23,7 +23,12 @@ from plumberapp_spark.metrics.machine_info import (
 )
 from plumberapp_spark.metrics.model import MetricsModel
 from plumberapp_spark.metrics.profiler import PipelineProfiler
-from plumberapp_spark.optimizer.lp import LPResult, max_min_throughput
+from plumberapp_spark.optimizer.lp import (
+    BandwidthBound,
+    LPResult,
+    fit_piecewise_linear,
+    max_min_throughput,
+)
 from plumberapp_spark.plans.nodes import CACHE_DENYLIST_OPS, PARALLELIZABLE_OPS, Pipeline
 from plumberapp_spark.plans import rewrites
 
@@ -107,9 +112,25 @@ def disk_parallelism_scale(
 
 
 class Optimizer:
-    def __init__(self, spark: SparkSession, machine: MachineInfo | None = None):
+    def __init__(
+        self,
+        spark: SparkSession,
+        machine: MachineInfo | None = None,
+        bandwidth_sweep: list[tuple[float, float]] | None = None,
+    ):
+        """``bandwidth_sweep``: optional (read parallelism, observed rate)
+        calibration points (the reference's sweep,
+        pa/pipeline_optimizer_wrapper.py:365-459). When given, the fitted
+        2-segment curve becomes bandwidth rows on the source node's θ in
+        the Q2 LP (pa/convex_solver.py:104-128) — a disk-bound pipeline
+        then stops over-allocating cores to the reader."""
         self.spark = spark
         self.machine = machine or MachineInfo()
+        self.bandwidth_fit = (
+            fit_piecewise_linear([p for p, _ in bandwidth_sweep], [r for _, r in bandwidth_sweep])
+            if bandwidth_sweep and len(bandwidth_sweep) >= 2
+            else None
+        )
 
     def advise(self, pipeline: Pipeline, sample_rows: int | None = None) -> Advice:
         model = PipelineProfiler(self.spark).profile(pipeline, sample_rows=sample_rows)
@@ -122,7 +143,22 @@ class Optimizer:
         all_rates = {s.name: s.expected_per_core_max_rate for s in model.stats}
         sequential = {s.name for s in model.stats if not s.is_parallel}
         if all_rates:
-            lp = max_min_throughput(all_rates, float(self.machine.num_cores), sequential_ops=sequential)
+            bw_bound = None
+            if self.bandwidth_fit is not None:
+                src = next((s.name for s in model.stats if s.op.startswith("source")), None)
+                if src is not None:
+                    f = self.bandwidth_fit
+                    bw_bound = BandwidthBound(src, max(f.m1, 0.0), f.b1, max(f.m2, 0.0), f.b2)
+                    advice.notes.append(
+                        f"bandwidth rows on {src}: m1={f.m1:.3g} b1={f.b1:.3g} "
+                        f"m2={f.m2:.3g} b2={f.b2:.3g} (knee at θ={f.x_thresh:.3g})"
+                    )
+            lp = max_min_throughput(
+                all_rates,
+                float(self.machine.num_cores),
+                sequential_ops=sequential,
+                bandwidth=bw_bound,
+            )
             advice.lp = lp
             advice.thetas = lp.thetas
             # second-solver validation, warn-on-mismatch (reference
@@ -130,7 +166,11 @@ class Optimizer:
             from plumberapp_spark.optimizer.lp import cross_check_throughput
 
             warn = cross_check_throughput(
-                lp, all_rates, float(self.machine.num_cores), sequential_ops=sequential
+                lp,
+                all_rates,
+                float(self.machine.num_cores),
+                sequential_ops=sequential,
+                bandwidth=bw_bound,
             )
             if warn:
                 advice.notes.append(warn)

