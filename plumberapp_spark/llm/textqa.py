@@ -20,6 +20,33 @@ from plumberapp_spark.functions.text import (
 )
 
 
+def widen(df: DataFrame, min_partition_bytes: int = 32 << 20) -> DataFrame:
+    """Round-robin repartition a NARROW-but-LARGE input up to the
+    cluster's parallelism before a scan-heavy per-row pass (round-6: a
+    single-row-group parquet table scans as ONE task, so an Arrow or
+    explode pass runs single-core no matter how many cores exist).
+
+    Size-aware on purpose, measured both ways at sf0.1/10×: when the
+    lone partition is small (<32 MB — the q36 router's threshold), the
+    repartition exchange + task scheduling costs MORE than the
+    single-core pass it parallelizes (q24 0.32 s → 0.55 s), so tiny
+    inputs pass through untouched. When partitions are fat, fan-out wins
+    (q24 beats DuckDB at 10× with the wide plan). Inputs already at
+    ``defaultParallelism`` never repartition — at 100 TB (thousands of
+    splits) this is always a no-op. Unknown-size plans (RDD-backed:
+    sizeInBytes = Long.MaxValue) deliberately widen: "we don't know how
+    big" must never pick the one-task plan (same posture as
+    operators/windows.estimated_rows)."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    n = df.rdd.getNumPartitions()
+    if n >= par:
+        return df
+    size = int(str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()))
+    if size // max(n, 1) < min_partition_bytes:
+        return df
+    return df.repartition(par)
+
+
 def text_quality(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Quality features + a composite score in [0,1]: long-enough, low
     punctuation, some (but not all) stopwords — the standard cheap filters
@@ -84,11 +111,8 @@ def language_id(
                 preds.append(best_lang if best_score > 0 else "und")
             yield pd.DataFrame({id_col: ids, "pred_lang": preds})
 
-    par = df.sparkSession.sparkContext.defaultParallelism
-    return (
-        df.select(F.col(id_col), F.col(text_col))
-        .repartition(par)
-        .mapInPandas(lang_batches, f"{id_col} {id_ddl}, pred_lang string")
+    return widen(df.select(F.col(id_col), F.col(text_col))).mapInPandas(
+        lang_batches, f"{id_col} {id_ddl}, pred_lang string"
     )
 
 
@@ -133,7 +157,7 @@ def token_stats(
                 )
                 yield out
 
-        return df.select(F.col(id_col), F.col(text_col)).mapInPandas(
+        return widen(df.select(F.col(id_col), F.col(text_col))).mapInPandas(
             stats,
             f"{id_col} {id_ddl}, n_tokens bigint, n_distinct_tokens bigint, n_subword_est bigint",
         )
@@ -549,40 +573,79 @@ def unigram_logprob_score(
     mean rounded to 4 decimals (sum-order-independent at that precision).
     Empty/NULL docs score NULL (no tokens to average).
 
-    Fully lazy and JVM-side: token counts are one partial-aggregated
-    exchange on the token itself; the top-k vocabulary is a k-row
-    TakeOrdered that AUTO-BROADCASTS into the per-document join; the
-    per-doc mean is the second exchange. Nothing corpus-sized reaches
-    the driver.
+    Two passes over the corpus, one exchange total (round-6 — the
+    original lazy formulation re-tokenized the corpus three times, once
+    per use of the exploded token stream, and shuffled one (doc, lp)
+    row per token occurrence into the per-doc mean):
+
+    1. JVM explode → partial-aggregated token counts (the only
+       corpus-derived exchange; wire width = distinct tokens per
+       partition, not occurrences), then ONE action computes both the
+       top-k vocabulary and the corpus total: per-partition top-k +
+       partial sum (bounding the final gather at partitions × k rows),
+       merged by a single final aggregate.
+    2. The k-row vocabulary (vocab_size rows — plan-sized by contract,
+       like the IVF centroid collect) ships to executors in the Arrow
+       scorer's closure; per-doc means come from one mapInPandas pass
+       with O(1) dict lookups — no join, no shuffle: each doc's tokens
+       never leave its partition.
     """
+    import pandas as pd
+
+    from plumberapp_spark.functions.text import WS_SPLIT as ws  # ASCII \\s == Java/RE2
+
     text = F.coalesce(F.col(text_col), F.lit(""))
-    toks = df.select(F.col(id_col), F.explode(tokenize(text)).alias("_tok"))
-    counts = toks.groupBy("_tok").agg(F.count("*").alias("_cnt"))
-    # deterministic top-k: count desc, token asc — ties never flap
-    vocab = counts.orderBy(F.col("_cnt").desc(), "_tok").limit(vocab_size)
-    total = toks.agg(F.count("*").alias("_total"))
-    scored = (
-        toks.join(F.broadcast(vocab), on="_tok", how="left")
-        .crossJoin(F.broadcast(total))
-        .select(
-            id_col,
-            F.log(
-                (F.coalesce(F.col("_cnt"), F.lit(0)) + 1)
-                / (F.col("_total") + F.lit(vocab_size)).cast("double")
-            ).alias("_lp"),
-        )
+    wide = widen(df.select(F.col(id_col), F.col(text_col)))
+    counts = (
+        wide.select(F.explode(tokenize(text)).alias("_tok"))
+        .groupBy("_tok")
+        .agg(F.count("*").alias("_cnt"))
     )
-    per_doc = scored.groupBy(id_col).agg(
-        F.count("*").cast("bigint").alias("n_tokens"),
-        F.round(F.avg("_lp"), 4).alias("mean_logprob"),
+    # top-k entries sort by (count desc, token asc) — deterministic, ties
+    # never flap. Encoded as a sortable struct: (-count, token).
+    entry = F.struct((-F.col("_cnt")).alias("_neg"), F.col("_tok").alias("_t"))
+    per_part = counts.groupBy(F.spark_partition_id().alias("_p")).agg(
+        F.slice(F.array_sort(F.collect_list(entry)), 1, vocab_size).alias("_top"),
+        F.sum("_cnt").alias("_sum"),
     )
-    # docs with zero tokens never appear in `toks`; restore them with NULLs
-    return (
-        df.select(F.col(id_col))
-        .join(per_doc, on=id_col, how="left")
-        .select(
-            id_col,
-            F.coalesce(F.col("n_tokens"), F.lit(0)).cast("bigint").alias("n_tokens"),
-            "mean_logprob",
-        )
+    merged = per_part.groupBy().agg(
+        F.slice(F.array_sort(F.flatten(F.collect_list("_top"))), 1, vocab_size).alias("_top"),
+        F.sum("_sum").alias("_total"),
+    ).first()
+    total = merged["_total"] or 0
+    vocab = {e["_t"]: -int(e["_neg"]) for e in (merged["_top"] or [])}
+    denom = float(total + vocab_size)
+    id_ddl = df.schema[id_col].dataType.simpleString()
+
+    import math
+
+    # hoist the log out of the per-token loop: lp[t] = log(count+1), OOV
+    # contributes log(0+1) = 0, so score = Σ lp[t] − n·log(denom)
+    log_probs = {t: math.log(c + 1) for t, c in vocab.items()}
+    log_denom = math.log(denom)
+
+    def score(batches):
+        from itertools import repeat
+
+        get, zeros = log_probs.get, repeat(0.0)
+        for pdf in batches:
+            n_tok, mean_lp = [], []
+            for doc_text in pdf[text_col]:
+                toks = [t for t in ws.split(doc_text) if t] if doc_text is not None else []
+                n_tok.append(len(toks))
+                if toks:
+                    s = sum(map(get, toks, zeros)) - len(toks) * log_denom
+                    mean_lp.append(round(s / len(toks), 4))
+                else:
+                    mean_lp.append(None)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "n_tokens": pd.array(n_tok, dtype="int64"),
+                    "mean_logprob": pd.array(mean_lp, dtype="float64"),
+                }
+            )
+
+    return wide.mapInPandas(
+        score, f"{id_col} {id_ddl}, n_tokens bigint, mean_logprob double"
     )

@@ -1,0 +1,49 @@
+"""Ad-hoc per-query timing: spark wall + DuckDB oracle wall at a given
+sf dir. Usage: python tools/time_queries.py SF_DIR q24_token_stats ...
+(repeats each query twice, reports the second/warm run)."""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import duckdb
+
+import plumberapp_spark.all_queries  # noqa: F401
+from plumberapp_spark.registry import REGISTRY
+from tools.check_correctness import TABLES, get_spark
+
+
+def main() -> None:
+    sf_dir = sys.argv[1]
+    names = sys.argv[2:]
+    spark = get_spark("time_queries")
+    duck = duckdb.connect()
+    import os
+
+    for t in TABLES:
+        path = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(path):
+            path = f"{path}/*.parquet"
+        duck.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
+    for name in names:
+        qd = REGISTRY[name]
+        walls = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            n = len(qd.fn(spark, sf_dir).collect())
+            walls.append(time.perf_counter() - t0)
+        if qd.oracle:
+            t0 = time.perf_counter()
+            duck.execute(qd.oracle).fetchall()
+            dwall = time.perf_counter() - t0
+        else:
+            dwall = float("nan")
+        print(
+            f"{name}: spark cold={walls[0]:.3f}s warm={walls[1]:.3f}s "
+            f"duck={dwall:.3f}s ratio_warm={walls[1]/dwall if dwall == dwall else float('nan'):.2f} rows={n}"
+        )
+
+
+if __name__ == "__main__":
+    main()
