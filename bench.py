@@ -234,6 +234,16 @@ def main() -> None:
         from plumberapp_spark.metrics.disk_probe import drop_page_caches
 
         caches_dropped = drop_page_caches()
+    # Opt-in memory pressure (reference pa/memory_management.py:14-97):
+    # SPARK_GRAFT_BENCH_MEM_PRESSURE=0.8 holds ballast so ~80% of system
+    # memory stays used for the whole measured run — cold numbers then
+    # reflect a host whose page cache has no room, like production.
+    mem_pressure = None
+    mem_target = float(os.environ.get("SPARK_GRAFT_BENCH_MEM_PRESSURE", "0") or 0)
+    if mem_target > 0:
+        from plumberapp_spark.metrics.memory_pressure import AsyncMemoryPressure
+
+        mem_pressure = AsyncMemoryPressure(mem_target, refresh_interval_s=2.0)
     for name in names:
         if caches_dropped:
             drop_page_caches()
@@ -278,6 +288,9 @@ def main() -> None:
         if d is not None:
             duck[name] = d
     total = round(sum(t for t in timings.values() if t is not None), 3)
+    if mem_pressure is not None:
+        held = mem_pressure.manager.ballast_bytes()
+        mem_pressure.stop()
 
     # The driver captures only the TAIL of stdout; round 3's full-detail
     # line (~10 KB: cold/rates/duckdb/vs_duckdb for 58 queries) overflowed
@@ -296,6 +309,8 @@ def main() -> None:
         "input_rows": input_rows,
         "failed": failed,
     }
+    if mem_pressure is not None:
+        detail["memory_pressure"] = {"target_used_fraction": mem_target, "ballast_bytes": held}
 
     if duck_con is not None:
         detail["duckdb_sec"] = duck

@@ -853,6 +853,7 @@ def ann_recall_report(
     methods: tuple = ("ivf", "lsh"),
     ivf_kwargs: dict | None = None,
     lsh_kwargs: dict | None = None,
+    semdedup_kwargs: dict | None = None,
 ) -> DataFrame:
     """Online recall@k for the approximate ANN routes vs the exact route
     on the SAME query set — the quality signal a 100 TB deployment needs
@@ -863,6 +864,15 @@ def ann_recall_report(
     n_true = exact top-k pairs, n_hit = of those also returned by the
     approximate index, recall = n_hit / n_true rounded to 6 decimals.
 
+    Method ``"semdedup"`` (round-6, VERDICT r5 item 9) monitors the
+    cell-confined dedup route the same way: n_true = ids the EXACT
+    full-corpus rule would drop (some smaller-id neighbor with cosine
+    ≥ tau anywhere), n_hit = of those, ids the in-cell
+    :func:`semantic_dedup` also drops — pairs straddling a cell
+    boundary are exactly what this recall loses at scale. Its k column
+    is 0 (not a top-k method); the exact side rides the grid block
+    self-join, never an all-pairs broadcast.
+
     100 TB contract: ``queries`` must be a bounded SAMPLE (the exact
     route inherits brute force's ≤100k broadcast guard); the corpus-sized
     work is one exact scoring pass plus each index's own bounded
@@ -871,6 +881,7 @@ def ann_recall_report(
     """
     ivf_kwargs = {"n_centroids": 16, "nprobe": 2, **(ivf_kwargs or {})}
     lsh_kwargs = {"dim": 64, "num_planes": 4, **(lsh_kwargs or {})}
+    semdedup_kwargs = {"tau": 0.32, "n_centroids": 16, **(semdedup_kwargs or {})}
 
     exact_ids = brute_force_topk(
         corpus, queries, k, id_col, vec_col, query_id_col
@@ -891,6 +902,32 @@ def ann_recall_report(
             approx = lsh_bucketed_topk(corpus, queries, k, id_col=id_col, vec_col=vec_col,
                                        query_id_col=query_id_col, nprobe_flips=1, **lsh_kwargs)
             param = f"planes={lsh_kwargs['num_planes']},flips=1"
+        elif method == "semdedup":
+            tau = semdedup_kwargs["tau"]
+            nc = semdedup_kwargs["n_centroids"]
+            true_drops = (
+                near_dup_pairs_cosine(corpus, tau, id_col=id_col, vec_col=vec_col)
+                .select(F.col("id_b").alias(id_col))
+                .distinct()
+            )
+            approx_drops = (
+                semantic_dedup(corpus, tau, n_centroids=nc, id_col=id_col, vec_col=vec_col)
+                .filter(~F.col("kept"))
+                .select(id_col)
+            )
+            sd_true = true_drops.agg(F.count("*").alias("n_true"))
+            sd_hit = approx_drops.join(true_drops, on=id_col).agg(F.count("*").alias("n_hit"))
+            rows.append(
+                sd_true.crossJoin(sd_hit).select(
+                    F.lit("semdedup").alias("method"),
+                    F.lit(0).cast("bigint").alias("k"),
+                    F.lit(f"tau={tau},centroids={nc}").alias("param"),
+                    F.col("n_true"),
+                    F.col("n_hit"),
+                    F.round(F.col("n_hit") / F.col("n_true"), 6).alias("recall"),
+                )
+            )
+            continue
         else:
             raise ValueError(f"unknown ANN method {method!r}")
         n_hit = (

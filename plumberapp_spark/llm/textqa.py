@@ -532,10 +532,12 @@ def redact_pii(
     Pure Catalyst expressions end to end (regexp_count + chained
     regexp_replace): this IS the scale path — whole-stage codegen, zero
     Python, zero shuffle, a narrow projection over the corpus. Counts
-    are taken on the ORIGINAL text so they are independent of the
-    replacement order; replacement applies email -> ip -> phone (the
-    patterns cannot overlap: the phone class has no dots, the ip
-    pattern no letters).
+    are per-pattern on the ORIGINAL text, so they are independent of the
+    replacement order — and may double-count a span matching two kinds
+    (an all-digit email local part like ``12345678901@x.com`` matches
+    both the email and phone patterns, so n_phones can exceed the
+    ``<PHONE>`` tokens actually inserted after the email replacement
+    runs first). Replacement applies email -> ip -> phone.
     """
     text = F.coalesce(F.col(text_col), F.lit(""))
     out = df.select(

@@ -14,6 +14,7 @@ contract survives a 1000-executor cluster.
 
 from __future__ import annotations
 
+import warnings
 from typing import Sequence
 
 from pyspark.sql import Column, DataFrame, Window
@@ -64,13 +65,31 @@ def with_row_idx(
     """
     order_cols = [F.col(c) if isinstance(c, str) else c for c in order_by]
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
-    lead = order_cols[0].cast("double")
+    # try_cast, not cast: under ANSI mode (Spark 4 default) a plain cast
+    # THROWS on a non-numeric leading key; try_cast yields nulls, the
+    # probe comes back empty, and the documented serial fallback (with a
+    # warning, below) takes over instead of the whole query dying.
+    lead = order_cols[0].try_cast("double")
     if bounds is None:
         probs = [i / n for i in range(1, n)]
         bounds = (
             sorted(set(df.select(lead.alias("__k")).approxQuantile("__k", probs, 0.001)))
             if probs
             else []
+        )
+    if not bounds and n > 1:
+        # Degenerate bucketing (VERDICT r5): an empty boundary vector on
+        # a multi-core request means the leading key didn't cast to a
+        # number (string keys → approxQuantile sees all-null) or the
+        # input is trivially small. The result stays CORRECT but the
+        # rank runs as ONE task — at data scale that is the serial plan
+        # this function exists to avoid, so say so instead of silently
+        # degrading.
+        warnings.warn(
+            f"with_row_idx: empty bucket boundaries for leading key "
+            f"{order_by[0]!r} (non-numeric-castable key, or trivial input); "
+            "falling back to a single serial bucket",
+            stacklevel=2,
         )
     if bounds:
         # bucket = #boundaries strictly below the key, as a CHAINED-WHEN

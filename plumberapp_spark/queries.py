@@ -199,7 +199,7 @@ def q06_zip_by_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     from plumberapp_spark.operators.stream import with_row_idx_simple
     from plumberapp_spark.session import table_bytes
 
-    # Size-routed like q36: below 64 MB a single-task window per side
+    # Size-routed like q36: below 32 MB a single-task window per side
     # beats the distributed bucket machinery's fixed multi-stage cost
     # (measured 0.76 s -> 0.54 s at sf0.1); above it the bucketed
     # two-phase index keeps keys x buckets parallelism (the plain window

@@ -603,8 +603,11 @@ def q49_topo_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     # JVM-side VALUES relation: createDataFrame ships a Python RDD and
     # costs ~0.4 s even warm; an inline VALUES literal plans in ~0.01 s.
+    # escape backslashes BEFORE quotes: with the default
+    # escapedStringLiterals=false a raw backslash in a source name would
+    # mis-parse the literal (ADVICE r5)
     vals = ",".join(
-        "('{}',{}L)".format(n.replace("'", "''"), d) for n, d in rows
+        "('{}',{}L)".format(n.replace("\\", "\\\\").replace("'", "\\'"), d) for n, d in rows
     )
     return spark.sql(f"SELECT name, depth FROM VALUES {vals} AS t(name, depth)")
 

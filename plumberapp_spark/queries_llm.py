@@ -996,7 +996,21 @@ def q71_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
          nt AS (SELECT count(*) AS n_true FROM exact),
          ih AS (SELECT count(*) AS n_hit FROM ivf JOIN exact USING (query_id, neighbor_id)),
          lh AS (SELECT count(*) AS n_hit FROM lsh JOIN exact USING (query_id, neighbor_id)),
-         mh AS (SELECT count(*) AS n_hit FROM mp JOIN exact USING (query_id, neighbor_id))
+         mh AS (SELECT count(*) AS n_hit FROM mp JOIN exact USING (query_id, neighbor_id)),
+         sdvc AS (SELECT r.vec_id, r.c_id AS cell, v.e
+                  FROM ranked r JOIN v USING (vec_id) WHERE r.rn = 1),
+         sdrop AS (SELECT a.vec_id FROM sdvc a WHERE EXISTS (
+                     SELECT 1 FROM sdvc b
+                     WHERE b.cell = a.cell AND b.vec_id < a.vec_id
+                       AND round(list_dot_product(a.e, b.e) /
+                                 (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 6) >= 0.32)),
+         tdrop AS (SELECT a.vec_id FROM v a WHERE EXISTS (
+                     SELECT 1 FROM v b
+                     WHERE b.vec_id < a.vec_id
+                       AND round(list_dot_product(a.e, b.e) /
+                                 (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 6) >= 0.32)),
+         snt AS (SELECT count(*) AS n_true FROM tdrop),
+         sh AS (SELECT count(*) AS n_hit FROM sdrop JOIN tdrop USING (vec_id))
     SELECT 'ivf' AS method, CAST(5 AS BIGINT) AS k, 'centroids=16,nprobe=2' AS param,
            CAST(nt.n_true AS BIGINT) AS n_true, CAST(ih.n_hit AS BIGINT) AS n_hit,
            round(ih.n_hit * 1.0 / nt.n_true, 6) AS recall
@@ -1011,20 +1025,32 @@ def q71_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(nt.n_true AS BIGINT), CAST(mh.n_hit AS BIGINT),
            round(mh.n_hit * 1.0 / nt.n_true, 6)
     FROM nt, mh
+    UNION ALL
+    SELECT 'semdedup', CAST(0 AS BIGINT), 'tau=0.32,centroids=16',
+           CAST(snt.n_true AS BIGINT), CAST(sh.n_hit AS BIGINT),
+           round(sh.n_hit * 1.0 / snt.n_true, 6)
+    FROM snt, sh
     """,
 )
 def q72_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Online ANN quality signal (VERDICT r4 item 8): recall@5 of the IVF
     and LSH indexes vs the exact route on the same sampled query set —
-    the continuous production metric, not only a test-time assertion.
-    Lazy composition of three index runs + one-row aggregates; the oracle
-    replays exact, IVF (q54's derivation), and LSH (q56's) in DuckDB and
-    computes the identical (n_true, n_hit, recall) rows."""
+    the continuous production metric, not only a test-time assertion —
+    plus (round-6) the SemDeDup route's drop recall: the fraction of
+    exact-rule near-dup drops the cell-confined q74 dedup also finds
+    (cell-boundary misses are its drift mode at 100 TB). Lazy composition
+    of four index runs + one-row aggregates; the oracle replays exact,
+    IVF (q54's derivation), LSH (q56's), multi-probe (q73's), and
+    SemDeDup (q74's) in DuckDB and computes the identical
+    (n_true, n_hit, recall) rows."""
     from plumberapp_spark.llm.similarity import ann_recall_report
 
     emb = load_table(spark, sf_dir, "embeddings")
     return ann_recall_report(
-        emb, emb.filter(F.col("vec_id") % 50 == 0), k=5, methods=("ivf", "lsh", "lsh_mp")
+        emb,
+        emb.filter(F.col("vec_id") % 50 == 0),
+        k=5,
+        methods=("ivf", "lsh", "lsh_mp", "semdedup"),
     )
 
 

@@ -270,8 +270,23 @@ _TABLE_CACHE: dict = {}
 
 
 def _path_mtime(path: str) -> float:
+    """Freshness stamp for the table cache key. For a parquet DIRECTORY
+    the directory's own mtime misses in-place part-file rewrites (same
+    names: no create/delete, no dir mtime bump — ADVICE r5), so take the
+    max over the directory and its entries' mtimes (one scandir — no
+    Spark job). ``clear_table_cache()`` remains the escape hatch."""
     try:
-        return os.stat(path).st_mtime
+        st = os.stat(path)
+        if not os.path.isdir(path):
+            return st.st_mtime
+        newest = st.st_mtime
+        with os.scandir(path) as it:
+            for entry in it:
+                try:
+                    newest = max(newest, entry.stat().st_mtime)
+                except OSError:
+                    pass
+        return newest
     except OSError:
         return -1.0
 

@@ -24,8 +24,10 @@ from __future__ import annotations
 
 import os
 import time
+import warnings
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.errors import AnalysisException
 
 # Gate for _drop_stale_location: only directories strictly older than this
 # process may be treated as orphans of a previous run.
@@ -104,11 +106,19 @@ def ensure_bucketed_tables(
             _drop_stale_location(spark, name)
             try:
                 write_bucketed(load_table(spark, sf_dir, table), name, key, num_buckets)
-            except Exception:
+            except AnalysisException as exc:
                 # LOCATION_ALREADY_EXISTS from a concurrent process's
                 # just-written directory (which _drop_stale_location
                 # deliberately left alone): skip — bucketed_or_parquet
                 # falls back to the plain parquet read, same results.
+                # Narrowed from bare Exception (ADVICE r5): disk-full /
+                # permission / schema errors should surface, not silently
+                # degrade every run to the unbucketed path.
+                warnings.warn(
+                    f"bucketed write of {name} failed ({exc}); "
+                    "falling back to the plain parquet read",
+                    stacklevel=2,
+                )
                 continue
         names[table] = name
     return names

@@ -41,6 +41,10 @@ EAGER_ALLOWED = {
     "q63_near_dup_clusters": "iterative min-label propagation (bounded rounds)",
     "q47_lp_throughput": "collect plan-sized metrics vector for the LP",
     "q48_min_cost_milp": "collect plan-sized metrics vector for the MILP",
+    "q78_lp_bandwidth_bound": "collect plan-sized metrics vector for the LP (q47 contract)",
+    # round-6 q77: the vocab_size-row top-k vocabulary ships in the Arrow
+    # scorer's closure (same bounded-collect contract as IVF centroids)
+    "q77_unigram_logprob": "vocab_size-row vocabulary collect (bounded broadcast contract)",
     # Structured Streaming queries start and drain their micro-batches
     "q52_streaming_window_counts": "micro-batch execution is the query",
     "q55_stateful_rate_monitor": "micro-batch execution is the query",

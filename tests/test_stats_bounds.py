@@ -88,3 +88,29 @@ def test_footer_sampling_caps_driver_work(tmp_path):
 
     b = stats_bounds(str(tmp_path), "t", "k", n=4, max_footers=5)
     assert b is not None and b == sorted(b)
+
+
+def test_with_row_idx_warns_on_degenerate_bucketing(spark):
+    """Round-6 (VERDICT r5 item 8): a string leading key silently casts
+    to all-null, collapsing the bucket probe to ONE serial bucket — the
+    result is still correct, but the operator must SAY it degraded."""
+    import warnings as _w
+
+    df = spark.createDataFrame([(f"k{i:04d}",) for i in range(100)], "k string")
+    with _w.catch_warnings(record=True) as caught:
+        _w.simplefilter("always")
+        out = with_row_idx(df, ["k"], num_partitions=8)
+        rows = out.orderBy("k").collect()
+    assert [r["_row_idx"] for r in rows] == list(range(100))  # still correct
+    msgs = [str(c.message) for c in caught]
+    assert any("single serial bucket" in m for m in msgs), msgs
+
+
+def test_with_row_idx_no_warning_on_numeric_key(spark):
+    import warnings as _w
+
+    df = spark.createDataFrame([(i,) for i in range(1000)], "k int")
+    with _w.catch_warnings(record=True) as caught:
+        _w.simplefilter("always")
+        with_row_idx(df, ["k"], num_partitions=8).collect()
+    assert not any("serial bucket" in str(c.message) for c in caught)

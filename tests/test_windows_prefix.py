@@ -198,3 +198,30 @@ def test_bucketed_path_keeps_null_strata(spark):
     # rank-only route (stratified sampling's path) must keep them too
     rank_only = ranked_running_total(df, n_buckets=8, total_name=None, **{k: v for k, v in kw.items() if k != "total_name"})
     assert rank_only.count() == 300
+
+
+def test_q36_file_size_routing_picks_distributed_at_scale(spark, monkeypatch):
+    """Round-6 (VERDICT r5 item 5): q36's FILE-SIZE route — below 64 MB
+    of orders parquet the plain 5-task window (no percentile_approx
+    boundary aggregate in the plan); at/above it (the 100x copy is
+    ~240 MB) the distributed prefix machinery. Pinned by monkeypatching
+    the size signal so the test needs no 240 MB fixture."""
+    import plumberapp_spark.all_queries  # noqa: F401 — populate REGISTRY
+    import plumberapp_spark.session as sess
+    from plumberapp_spark.registry import REGISTRY
+
+    fn = REGISTRY["q36_order_priority_window"].fn
+
+    # q36 imports table_bytes function-locally, so patch the session module
+    monkeypatch.setattr(sess, "table_bytes", lambda sf_dir, name: 1 << 20)
+    small = fn(spark, "/root/testdata/sf0.001")
+    assert "percentile_approx" not in small._jdf.queryExecution().analyzed().toString()
+
+    monkeypatch.setattr(sess, "table_bytes", lambda sf_dir, name: 240 << 20)
+    big = fn(spark, "/root/testdata/sf0.001")
+    assert "percentile_approx" in big._jdf.queryExecution().analyzed().toString()
+
+    # unknown size falls back to the count-threshold route inside
+    # ranked_running_total — still scale-safe (never silently plain)
+    monkeypatch.setattr(sess, "table_bytes", lambda sf_dir, name: None)
+    fn(spark, "/root/testdata/sf0.001")  # must build without error

@@ -28,21 +28,29 @@ def main() -> None:
         duck.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
     for name in names:
         qd = REGISTRY[name]
-        walls = []
-        for _ in range(2):
-            t0 = time.perf_counter()
-            n = len(qd.fn(spark, sf_dir).collect())
-            walls.append(time.perf_counter() - t0)
-        if qd.oracle:
-            t0 = time.perf_counter()
-            duck.execute(qd.oracle).fetchall()
-            dwall = time.perf_counter() - t0
-        else:
-            dwall = float("nan")
-        print(
-            f"{name}: spark cold={walls[0]:.3f}s warm={walls[1]:.3f}s "
-            f"duck={dwall:.3f}s ratio_warm={walls[1]/dwall if dwall == dwall else float('nan'):.2f} rows={n}"
-        )
+        try:
+            walls = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                n = len(qd.fn(spark, sf_dir).collect())
+                walls.append(time.perf_counter() - t0)
+            best = min(walls[1:])  # exclude the cold first rep
+            if qd.oracle:
+                dws = []
+                for _ in range(3):
+                    t0 = time.perf_counter()
+                    duck.execute(qd.oracle).fetchall()
+                    dws.append(time.perf_counter() - t0)
+                dwall = min(dws[1:])
+            else:
+                dwall = float("nan")
+            print(
+                f"{name}: spark cold={walls[0]:.3f}s best={best:.3f}s "
+                f"duck={dwall:.3f}s ratio={best/dwall if dwall == dwall else float('nan'):.2f} rows={n}",
+                flush=True,
+            )
+        except Exception as exc:  # noqa: BLE001 — keep sweeping
+            print(f"{name}: FAIL {type(exc).__name__}: {str(exc)[:200]}", flush=True)
 
 
 if __name__ == "__main__":
