@@ -219,6 +219,14 @@ def main() -> None:
     # post-convergence rate window keeps the converged (not the noisiest)
     # rate, and single warm runs here show GC-bound outliers.
     names = list(REGISTRY)
+    # Iteration aid: SPARK_GRAFT_BENCH_ONLY=q41_returned_items,q42_... runs
+    # a subset under otherwise-identical bench conditions (bucketed tables,
+    # interleaved DuckDB baseline). Never set by the driver — full runs
+    # remain the artifact of record.
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY", "")
+    if only:
+        wanted = {n.strip() for n in only.split(",") if n.strip()}
+        names = [n for n in names if n in wanted]
     cold: dict[str, float | None] = {}
     timings: dict[str, float | None] = {}
     rates: dict[str, float] = {}

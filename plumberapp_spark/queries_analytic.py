@@ -281,6 +281,7 @@ def q41_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     join. Same results either way (pinned by the driver's oracle check,
     which runs the fallback path)."""
     from plumberapp_spark.sources.bucketing import bucketed_or_parquet
+    from plumberapp_spark.session import table_bytes
 
     l = (
         bucketed_or_parquet(spark, sf_dir, "lineitem")
@@ -290,13 +291,24 @@ def q41_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = bucketed_or_parquet(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_nationkey")
     n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
-    # pre-aggregate lineitem to order grain BEFORE the join (revenue is
-    # additive): on the bucketed copy this groupBy is exchange-free, and
-    # the join + downstream shuffle then carry one row per order instead
-    # of one per lineitem — the q42 agg-before-join ordering applied here
-    l_agg = l.groupBy("l_orderkey").agg(
-        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("_rev")
-    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    # Size-routed pre-aggregation (same mechanism as q06/q36): when
+    # orders fits the 64 MB broadcast threshold (on-disk < 32 MB, ~2x
+    # parquet->in-memory headroom), AQE turns l⋈o into a broadcast-hash
+    # join and a groupBy(l_orderkey) pre-agg's exchange is STRANDED — it
+    # no longer doubles as the join partitioning, so it is a pure extra
+    # stage (measured: dropping it cuts q41 1.1 s -> ~0.6 s at sf0.1).
+    # Above the threshold (cluster scale) the pre-agg shrinks lineitem to
+    # order grain BEFORE the SMJ and its exchange IS the join exchange
+    # (hash-partitioned on the join key — Spark reuses it), so the
+    # shuffled volume drops ~4x for free; on the bucketed copies it is
+    # exchange-free entirely.
+    o_bytes = table_bytes(sf_dir, "orders")
+    if o_bytes is not None and o_bytes < (32 << 20):
+        joined = l.join(o, l.l_orderkey == o.o_orderkey).select("o_custkey", rev.alias("_rev"))
+    else:
+        l_agg = l.groupBy("l_orderkey").agg(F.sum(rev).alias("_rev"))
+        joined = l_agg.join(o, l_agg.l_orderkey == o.o_orderkey).select("o_custkey", "_rev")
     # aggregate on the NUMERIC key, decorate after the limit: customer
     # name / nation are functionally dependent on custkey, so grouping by
     # o_custkey alone is equivalent to the oracle's (custkey, name,
@@ -305,17 +317,16 @@ def q41_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fat side at all. The top-20 selection orders by the ROUNDED revenue
     # (matching the oracle's ORDER BY exactly, ties included); only those
     # 20 rows ever meet the customer and nation tables.
-    per_cust = (
-        l_agg.join(o, l_agg.l_orderkey == o.o_orderkey)
-        .groupBy("o_custkey")
-        .agg(F.round(F.sum("_rev"), 2).alias("revenue"))
-    )
+    per_cust = joined.groupBy("o_custkey").agg(F.round(F.sum("_rev"), 2).alias("revenue"))
     top = per_cust.orderBy(F.col("revenue").desc(), "o_custkey").limit(20)
+    # the decorate output is exactly 20 rows: sort it in one coalesced
+    # partition instead of paying a full range-exchange + sort stage
     return (
         c.join(F.broadcast(top), c.c_custkey == top.o_custkey)
         .join(F.broadcast(n), F.col("c_nationkey") == n.n_nationkey)
         .select("c_custkey", "c_name", "revenue", "n_name")
-        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .coalesce(1)
+        .sortWithinPartitions(F.col("revenue").desc(), "c_custkey")
     )
 
 

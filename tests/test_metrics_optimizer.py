@@ -345,13 +345,23 @@ def test_memory_pressure_allocates_and_releases():
     assert mp.refresh() <= 0
     assert mp.ballast_bytes() == 0
 
+    def rss() -> int:
+        with open("/proc/self/status") as f:
+            for line in f:
+                if line.startswith("VmRSS:"):
+                    return int(line.split()[1]) * 1024
+        return 0
+
     used_now = 1.0 - MemoryPressure(0.0).available_fraction()
     target = min(used_now + 0.02, 0.95)  # ~2% of RAM above current usage
     mp = MemoryPressure(target)
+    rss_before = rss()
     grown = mp.refresh()
     assert grown > 0 and mp.ballast_bytes() == grown
-    # ballast is real: system 'used' moved toward the target
-    assert 1.0 - mp.available_fraction() >= used_now + 0.005
+    # ballast is real: THIS process's resident set grew by ~grown bytes.
+    # (Asserting on the system-wide used fraction instead is racy — any
+    # concurrent process freeing memory mid-test flips the sign.)
+    assert rss() - rss_before >= int(grown * 0.8)
     mp.release()
     assert mp.ballast_bytes() == 0
 
