@@ -280,7 +280,7 @@ def q41_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     with BOTH exchanges elided; otherwise it is the plain AQE shuffle
     join. Same results either way (pinned by the driver's oracle check,
     which runs the fallback path)."""
-    from plumberapp_spark.sources.bucketing import bucketed_or_parquet
+    from plumberapp_spark.sources.bucketing import bucketed_or_parquet, has_bucketed
     from plumberapp_spark.session import table_bytes
 
     l = (
@@ -292,19 +292,30 @@ def q41_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_nationkey")
     n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    # Size-routed pre-aggregation (same mechanism as q06/q36): when
-    # orders fits the 64 MB broadcast threshold (on-disk < 32 MB, ~2x
-    # parquet->in-memory headroom), AQE turns l⋈o into a broadcast-hash
-    # join and a groupBy(l_orderkey) pre-agg's exchange is STRANDED — it
-    # no longer doubles as the join partitioning, so it is a pure extra
-    # stage (measured: dropping it cuts q41 1.1 s -> ~0.6 s at sf0.1).
-    # Above the threshold (cluster scale) the pre-agg shrinks lineitem to
-    # order grain BEFORE the SMJ and its exchange IS the join exchange
-    # (hash-partitioned on the join key — Spark reuses it), so the
-    # shuffled volume drops ~4x for free; on the bucketed copies it is
-    # exchange-free entirely.
+    # Route by physical layout (same mechanism as q06/q36's size routing):
+    #
+    # * BOTH fact copies bucketed on orderkey (bench / serving sessions):
+    #   pre-agg lineitem to order grain — the groupBy is exchange-free on
+    #   the bucketed layout — and PIN the merge join. Left to itself AQE
+    #   sees small orders and picks a broadcast join, paying a build-side
+    #   scan+hash job the co-bucketed sorted layout made unnecessary
+    #   (measured at sf0.1: 0.86 s BHJ vs 0.70 s pinned SMJ, and the SMJ
+    #   plan is the one that is exchange-free at ANY scale).
+    # * Plain parquet, orders under 32 MB on disk (~64 MB in memory, the
+    #   broadcast threshold with 2x headroom): let AQE broadcast, and skip
+    #   the pre-agg — under a BHJ its exchange is STRANDED (no longer
+    #   doubles as the join partitioning), a pure extra stage (measured:
+    #   dropping it cuts q41 1.1 s -> ~0.6 s at sf0.1).
+    # * Plain parquet at scale: pre-agg before the shuffle join — its
+    #   exchange IS the join exchange (hash-partitioned on the join key,
+    #   Spark reuses it) and shuffled volume drops ~4x for free.
     o_bytes = table_bytes(sf_dir, "orders")
-    if o_bytes is not None and o_bytes < (32 << 20):
+    if has_bucketed(spark, sf_dir, "lineitem") and has_bucketed(spark, sf_dir, "orders"):
+        l_agg = l.groupBy("l_orderkey").agg(F.sum(rev).alias("_rev"))
+        joined = l_agg.join(o.hint("merge"), l_agg.l_orderkey == o.o_orderkey).select(
+            "o_custkey", "_rev"
+        )
+    elif o_bytes is not None and o_bytes < (32 << 20):
         joined = l.join(o, l.l_orderkey == o.o_orderkey).select("o_custkey", rev.alias("_rev"))
     else:
         l_agg = l.groupBy("l_orderkey").agg(F.sum(rev).alias("_rev"))

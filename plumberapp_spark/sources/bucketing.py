@@ -156,6 +156,21 @@ def _drop_stale_location(spark: SparkSession, name: str) -> None:
     shutil.rmtree(path, ignore_errors=True)
 
 
+def has_bucketed(
+    spark: SparkSession, sf_dir: str, table: str, num_buckets: int | None = None
+) -> bool:
+    """True when this session's catalog holds the bucketed copy —
+    callers use this to pin the exchange-free merge-join route that the
+    bucketed layout exists to serve (AQE otherwise happily picks a
+    broadcast join at small SF and pays a build the layout made
+    unnecessary)."""
+    num_buckets = num_buckets or default_num_buckets(spark)
+    try:
+        return spark.catalog.tableExists(bucketed_name(sf_dir, table, num_buckets))
+    except Exception:
+        return False
+
+
 def bucketed_or_parquet(
     spark: SparkSession, sf_dir: str, table: str, num_buckets: int | None = None
 ) -> DataFrame:
