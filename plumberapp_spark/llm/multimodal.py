@@ -466,3 +466,100 @@ def resize_pixels(df: DataFrame, out_h: int, out_w: int) -> DataFrame:
     return df.select("doc_id", "height", "width", "channels", "pixels").mapInPandas(
         _resize, PIXELS_SCHEMA
     )
+
+
+def _bilinear_resize(arr, out_h: int, out_w: int):
+    """Bilinear resample of an (h, w, c) int array to (out_h, out_w, c)
+    — pure numpy gather + lerp, the no-dependency stand-in for the
+    reference's tf.image.resize_bicubic (imagenet_input.py:80,116)."""
+    import numpy as np
+
+    h, w = arr.shape[0], arr.shape[1]
+    fy = (np.arange(out_h) + 0.5) * h / out_h - 0.5
+    fx = (np.arange(out_w) + 0.5) * w / out_w - 0.5
+    y0 = np.clip(np.floor(fy).astype(np.int64), 0, h - 1)
+    x0 = np.clip(np.floor(fx).astype(np.int64), 0, w - 1)
+    y1 = np.minimum(y0 + 1, h - 1)
+    x1 = np.minimum(x0 + 1, w - 1)
+    wy = np.clip(fy - y0, 0.0, 1.0)[:, None, None]
+    wx = np.clip(fx - x0, 0.0, 1.0)[None, :, None]
+    a = arr.astype(np.float64)
+    top = a[y0][:, x0] * (1 - wx) + a[y0][:, x1] * wx
+    bot = a[y1][:, x0] * (1 - wx) + a[y1][:, x1] * wx
+    out = top * (1 - wy) + bot * wy
+    return np.clip(np.rint(out), 0, 255).astype(np.int32)
+
+
+def augment_pixels(
+    df: DataFrame,
+    out_h: int,
+    out_w: int,
+    seed: int = 0,
+    training: bool = True,
+    min_area: float = 0.08,
+    max_area: float = 1.0,
+    aspect_range: tuple = (0.75, 1.33),
+    max_attempts: int = 10,
+    crop_padding: int = 32,
+) -> DataFrame:
+    """The P6 TRAINING augmentation over decoded pixel rows, pure numpy —
+    the full jitter the reference applies per image
+    (imagenet_input.py:101-120 ``crop_image`` and 50-85: distorted
+    bounding-box crop with area in [0.08, 1.0] and aspect in
+    [0.75, 1.33] (10 attempts, whole image on failure), resize to the
+    target, random horizontal flip; ``training=False`` is the eval path:
+    central crop at ``size/(size+CROP_PADDING)`` coverage then resize
+    (imagenet_input.py:62-80)).
+
+    Randomness is a per-row ``numpy.random.Generator`` seeded by
+    ``(seed, doc_id)`` — the same derive-don't-share discipline as the
+    engine's deterministic sampling operators, so the output is a pure
+    function of (data, seed): reproducible across retries, shards, and
+    partitionings, and rows never need a shared RNG stream (which would
+    serialize the stage). Arrow-batched ``mapInPandas``; the pixel
+    payload never crosses an exchange.
+    """
+    import numpy as np
+
+    def _augment(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"doc_id": [], "height": [], "width": [], "channels": [], "pixels": []}
+            for row_id, h, w, ch, flat in zip(
+                pdf["doc_id"], pdf["height"], pdf["width"], pdf["channels"], pdf["pixels"]
+            ):
+                h, w, ch = int(h), int(w), int(ch)
+                arr = np.asarray(flat, dtype=np.int32).reshape(h, w, ch)
+                rng = np.random.default_rng([seed, int(row_id)])
+                if training:
+                    # sample_distorted_bounding_box analog
+                    for _ in range(max_attempts):
+                        area = rng.uniform(min_area, max_area) * h * w
+                        log_lo, log_hi = np.log(aspect_range[0]), np.log(aspect_range[1])
+                        aspect = np.exp(rng.uniform(log_lo, log_hi))
+                        cw = int(round(np.sqrt(area * aspect)))
+                        chh = int(round(np.sqrt(area / aspect)))
+                        if 0 < cw <= w and 0 < chh <= h:
+                            oy = int(rng.integers(0, h - chh + 1))
+                            ox = int(rng.integers(0, w - cw + 1))
+                            break
+                    else:  # use_image_if_no_bounding_boxes
+                        oy, ox, chh, cw = 0, 0, h, w
+                    crop = arr[oy : oy + chh, ox : ox + cw]
+                    out = _bilinear_resize(crop, out_h, out_w)
+                    if rng.random() < 0.5:  # random_flip_left_right
+                        out = out[:, ::-1]
+                else:
+                    # eval: central crop at size/(size+padding) coverage
+                    cs = int(round(out_h / (out_h + crop_padding) * min(h, w)))
+                    oy, ox = (h - cs + 1) // 2, (w - cs + 1) // 2
+                    out = _bilinear_resize(arr[oy : oy + cs, ox : ox + cs], out_h, out_w)
+                rows["doc_id"].append(int(row_id))
+                rows["height"].append(out_h)
+                rows["width"].append(out_w)
+                rows["channels"].append(ch)
+                rows["pixels"].append(out.reshape(-1))
+            yield pd.DataFrame(rows)
+
+    return df.select("doc_id", "height", "width", "channels", "pixels").mapInPandas(
+        _augment, PIXELS_SCHEMA
+    )

@@ -203,3 +203,69 @@ def test_image_header_consistent_with_pixel_decode(spark):
     arr = np.zeros((9, 4, 3), dtype=np.uint8)
     h, w, ch, mode = parse_image_header(encode_bmp(arr))
     assert (h, w, ch, mode) == (9, 4, 3, "RGB")
+
+
+def test_augment_pixels_training_jitter(spark):
+    """Round-6 (P6 completion): the full training jitter runs for real
+    without PIL — distorted-bbox crop + bilinear resize + random flip
+    (imagenet_input.py:101-120 semantics), deterministic per (seed,
+    doc_id)."""
+    import numpy as np
+
+    from plumberapp_spark.llm.multimodal import augment_pixels, decode_image_pixels, encode_bmp
+
+    rng = np.random.default_rng(7)
+    imgs = [
+        (i, bytearray(encode_bmp(rng.integers(0, 256, size=(16, 12, 3), dtype=np.uint8))))
+        for i in range(4)
+    ]
+    df = spark.createDataFrame(imgs, "doc_id long, payload binary")
+    pixels = decode_image_pixels(df, "doc_id", "payload")
+
+    out1 = {r.doc_id: list(r.pixels) for r in augment_pixels(pixels, 8, 8, seed=3).collect()}
+    out2 = {r.doc_id: list(r.pixels) for r in augment_pixels(pixels, 8, 8, seed=3).collect()}
+    assert out1 == out2  # pure function of (data, seed)
+    assert all(len(v) == 8 * 8 * 3 for v in out1.values())
+    out_other_seed = {
+        r.doc_id: list(r.pixels) for r in augment_pixels(pixels, 8, 8, seed=4).collect()
+    }
+    assert any(out1[k] != out_other_seed[k] for k in out1)  # seed actually jitters
+    assert all(0 <= v <= 255 for v in out1[0])
+
+
+def test_augment_pixels_eval_central_crop(spark):
+    """Eval path: central crop at size/(size+padding) coverage then
+    bilinear resize (imagenet_input.py:62-80) — no randomness, so no
+    seed sensitivity."""
+    import numpy as np
+
+    from plumberapp_spark.llm.multimodal import (
+        _bilinear_resize,
+        augment_pixels,
+        decode_image_pixels,
+        encode_bmp,
+    )
+
+    arr = np.arange(20 * 14 * 3, dtype=np.uint8).reshape(20, 14, 3) % 251
+    df = spark.createDataFrame([(5, bytearray(encode_bmp(arr)))], "doc_id long, payload binary")
+    pixels = decode_image_pixels(df, "doc_id", "payload")
+    a = augment_pixels(pixels, 8, 8, seed=1, training=False, crop_padding=4).collect()[0]
+    b = augment_pixels(pixels, 8, 8, seed=9, training=False, crop_padding=4).collect()[0]
+    assert list(a.pixels) == list(b.pixels)
+    # replay the central-crop arithmetic independently
+    cs = int(round(8 / (8 + 4) * 14))
+    oy, ox = (20 - cs + 1) // 2, (14 - cs + 1) // 2
+    want = _bilinear_resize(arr[oy : oy + cs, ox : ox + cs].astype(np.int32), 8, 8)
+    assert (np.array(a.pixels).reshape(8, 8, 3) == want).all()
+
+
+def test_bilinear_resize_identity_and_mean():
+    import numpy as np
+
+    from plumberapp_spark.llm.multimodal import _bilinear_resize
+
+    arr = np.random.default_rng(0).integers(0, 256, size=(6, 5, 3)).astype(np.int32)
+    assert (_bilinear_resize(arr, 6, 5) == arr).all()  # identity at same size
+    # downscale of a constant image stays constant
+    const = np.full((9, 9, 1), 77, dtype=np.int32)
+    assert (_bilinear_resize(const, 3, 3) == 77).all()
