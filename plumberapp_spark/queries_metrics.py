@@ -298,7 +298,7 @@ def q35_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     (3.6 s) but ~2.5x slower at <=10x (serial broadcast-build stages
     dominate at small scale), so the flat shape is kept and AQE remains
     free to re-plan."""
-    from plumberapp_spark.sources.bucketing import bucketed_or_parquet
+    from plumberapp_spark.sources.bucketing import bucketed_or_parquet, has_bucketed
 
     region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey", "n_name")
@@ -306,6 +306,12 @@ def q35_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fact sides via the session's bucketed copies when materialized
     # (ensure_bucketed_tables): the l⋈o exchange pair disappears — see q41
     orders = bucketed_or_parquet(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    # same pin as q41: on the co-bucketed sorted copies the merge join is
+    # exchange-free, but AQE sees small orders and pays a broadcast build
+    # the layout made unnecessary (measured: 1.35 s -> 0.73 s at 10x,
+    # 0.47 -> 0.45 s at sf0.1, warm best-of-3)
+    if has_bucketed(spark, sf_dir, "lineitem") and has_bucketed(spark, sf_dir, "orders"):
+        orders = orders.hint("merge")
     lineitem = bucketed_or_parquet(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_extendedprice", "l_discount"
     )
