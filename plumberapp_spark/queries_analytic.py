@@ -185,7 +185,7 @@ def q39_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     reserved for fixed-cardinality dims (nation/region). The fact sides
     read through the bucketed router (see q41), so with materialized
     copies the l⋈o join is exchange-free either way."""
-    from plumberapp_spark.sources.bucketing import bucketed_or_parquet
+    from plumberapp_spark.sources.bucketing import bucketed_or_parquet, has_bucketed
 
     cutoff = F.lit("1998-06-01").cast("timestamp")
     # customer contributes NO output columns here — it is purely a filter
@@ -213,6 +213,15 @@ def q39_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("_rev")
     )
     o_building = o.join(c_keys, o.o_custkey == c_keys.c_custkey, "left_semi")
+    # the broadcast semi join preserves orders' bucket partitioning, so
+    # on the bucketed copies the l_agg⋈o join (and the order-grain
+    # groupBy above it — hashpartitioning(l_orderkey) satisfies the
+    # superset clustering) is exchange-free under a pinned merge join;
+    # AQE would instead broadcast the filtered orders side and pay the
+    # build (measured warm best-of-3: 0.51 -> 0.42 s at sf0.1,
+    # 0.67 -> 0.55 s at 10x)
+    if has_bucketed(spark, sf_dir, "lineitem") and has_bucketed(spark, sf_dir, "orders"):
+        o_building = o_building.hint("merge")
     return (
         l_agg.join(o_building, l_agg.l_orderkey == o_building.o_orderkey)
         .groupBy(
