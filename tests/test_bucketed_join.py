@@ -107,3 +107,32 @@ def test_bucketed_join_matches_plain_join(spark, bucketed_tables):
     got = {tuple(r) for r in _joined(spark, bucketed_tables).collect()}
     want = {tuple(r) for r in plain.collect()}
     assert got == want
+
+
+def test_pinned_merge_join_on_bucketed_route(spark):
+    """Round-6: q35/q39/q41 pin the merge join when the session has the
+    bucketed copies — the plan must show a SortMergeJoin on the fact
+    keys with no hashpartitioning exchange on either side (AQE's
+    broadcast route would pay a build the layout made unnecessary), and
+    rows must match the plain-parquet route exactly."""
+    import plumberapp_spark.all_queries  # noqa: F401 — registry side effects
+    from plumberapp_spark.registry import REGISTRY
+    from plumberapp_spark.sources.bucketing import ensure_bucketed_tables
+
+    plain = {
+        q: [tuple(r) for r in REGISTRY[q].fn(spark, SF_DIR).collect()]
+        for q in ("q35_revenue_by_nation", "q39_shipping_priority")
+    }
+    names = ensure_bucketed_tables(spark, SF_DIR)
+    try:
+        for q in plain:
+            df = REGISTRY[q].fn(spark, SF_DIR)
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            assert "SortMergeJoin" in plan, q
+            assert "Exchange hashpartitioning(l_orderkey" not in plan, q
+            assert "Exchange hashpartitioning(o_orderkey" not in plan, q
+            got = [tuple(r) for r in df.collect()]
+            assert sorted(map(str, got)) == sorted(map(str, plain[q])), q
+    finally:
+        for t in names.values():
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
