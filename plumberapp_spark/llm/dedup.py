@@ -579,6 +579,163 @@ def ngram_jaccard_pairs(
     )
 
 
+def _tfidf_weights(
+    df: DataFrame, text_col: str, id_col: str
+) -> tuple[DataFrame, DataFrame]:
+    """Shared tf-idf lineage: ``(weights, norms)`` where weights =
+    ``(id, tk, _tf, _df, _w)`` with ``_w = tf · ln(N / df)`` (natural
+    log, N = total corpus docs) and norms = ``(id, _nrm)`` over ALL of a
+    doc's tokens. df(t) rides the SAME hash partitioning the (id, tk)
+    groupBy produced (window on tk — one exchange, the capped-Jaccard
+    shape); the corpus-size scalar broadcasts as a one-row aggregate."""
+    tf = (
+        df.select(F.col(id_col), F.explode(tokenize(F.col(text_col))).alias("tk"))
+        .groupBy(id_col, "tk")
+        .agg(F.count("*").alias("_tf"))
+    )
+    n_docs = df.groupBy().agg(F.count("*").alias("_nd"))
+    wts = (
+        tf.withColumn("_df", F.count("*").over(Window.partitionBy("tk")))
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("_w", F.col("_tf") * F.log(F.col("_nd") / F.col("_df")))
+    )
+    norms = wts.groupBy(id_col).agg(
+        F.sqrt(F.sum(F.col("_w") * F.col("_w"))).alias("_nrm")
+    )
+    return wts, norms
+
+
+def tfidf_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact tf-idf cosine top-k document search: for each query doc,
+    the ``k`` most similar corpus docs (self excluded) under the
+    corpus-trained tf-idf model — sparse-vector retrieval, the lexical
+    complement of :func:`~plumberapp_spark.llm.similarity.brute_force_topk`'s
+    dense-embedding search. ``queries`` is a one-column (or wider) frame
+    of query ids drawn from the corpus.
+
+    Scale shape: weights/norms are the shared linear lineage
+    (:func:`_tfidf_weights`); the query side reduces to (query, token,
+    weight) — queries × vocabulary, broadcast by the same small-side
+    contract as ANN query matrices — so each corpus token row meets its
+    matching query terms map-side, and the only corpus-sized exchange is
+    the (query_id, doc) partial-sum aggregate whose width is bounded by
+    |queries| · k after the two-stage top-k: a per-partition rank prunes
+    to ≤ k rows per (query, partition) BEFORE the global rank, so no
+    single task ever sorts the whole corpus (the naive
+    ``Window.partitionBy(query_id)`` is one task per query).
+
+    Cosine is rounded to 6 decimals BEFORE ranking with ties broken by
+    neighbor id — deterministic across engines and summation orders
+    (the brute_force_topk contract). Returns ``(query_id, neighbor_id,
+    cos_sim, rank)``.
+    """
+    wts, norms = _tfidf_weights(df, text_col, id_col)
+    qids = queries.select(F.col(id_col).alias("_qid")).distinct()
+    qw = (
+        wts.join(F.broadcast(qids), wts[id_col] == F.col("_qid"))
+        .select(F.col("_qid").alias("query_id"), "tk", F.col("_w").alias("_qw"))
+    )
+    qn = norms.join(
+        F.broadcast(qids), norms[id_col] == F.col("_qid")
+    ).select(F.col("_qid").alias("query_id"), F.col("_nrm").alias("_qn"))
+    dots = (
+        wts.join(F.broadcast(qw), "tk")
+        .filter(F.col(id_col) != F.col("query_id"))
+        .groupBy("query_id", id_col)
+        .agg(F.sum(F.col("_w") * F.col("_qw")).alias("_dot"))
+    )
+    scored = (
+        dots.join(norms, id_col)
+        .join(F.broadcast(qn), "query_id")
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            F.round(F.col("_dot") / (F.col("_nrm") * F.col("_qn")), 6).alias("cos_sim"),
+        )
+    )
+    # two-stage top-k: local (query, partition) rank caps the rows the
+    # global rank ever sees at k · partitions per query
+    w_local = Window.partitionBy("query_id", F.spark_partition_id()).orderBy(
+        F.col("cos_sim").desc(), "neighbor_id"
+    )
+    pruned = scored.withColumn("_lr", F.row_number().over(w_local)).filter(
+        F.col("_lr") <= k
+    )
+    w_global = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), "neighbor_id"
+    )
+    return (
+        pruned.withColumn("rank", F.row_number().over(w_global))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", F.col("rank").cast("bigint").alias("rank"))
+    )
+
+
+def tfidf_cosine_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_df: int = 20,
+    threshold: float = 0.0,
+) -> DataFrame:
+    """tf-idf–weighted cosine document pairs — the WEIGHTED complement
+    of :func:`ngram_jaccard_pairs` (set overlap treats 'the' and a rare
+    term alike; tf-idf is what near-dup mining uses when boilerplate
+    should not vote). ``w(d,t) = tf(d,t) · ln(N / df(t))`` with natural
+    log and N = total corpus docs; ``cos(a,b) = Σ_t w_a w_b / (‖a‖‖b‖)``.
+
+    ``max_df`` is the q58-style boilerplate cap: only tokens appearing
+    in 2..max_df docs feed the pair intersection (each token's fanout is
+    then ≤ C(max_df, 2) regardless of corpus duplication), while the
+    NORMS keep every token's weight — the standard guard that caps
+    intersection evidence without rescaling the vectors. The pair stage
+    reuses the capped inverted-index shape: the per-token document list
+    is collected only AFTER the df-window filter (bounded by the cap),
+    pairs explode JVM-side from the sorted list, and the lineage
+    executes once — no self-join. Norms meet the pair table in two
+    id-keyed joins (post-aggregation: one row per surviving pair, not
+    per token match; AQE broadcasts the norm side at small scale).
+
+    Returns ``(id_a, id_b, cos_sim)``, ``cos_sim`` rounded to 6.
+    """
+    wts, norms = _tfidf_weights(df, text_col, id_col)
+    grouped = (
+        wts.filter(F.col("_df").between(2, max_df))
+        .groupBy("tk")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col(id_col).alias("_id"), F.col("_w").alias("_wv")))
+            ).alias("_ds")
+        )
+    )
+    pair_expr = F.expr(
+        """flatten(transform(_ds, (x, i) ->
+             transform(slice(_ds, i + 2, size(_ds) - i - 1), y ->
+               struct(x._id AS id_a, y._id AS id_b, x._wv * y._wv AS prod))))"""
+    )
+    dots = (
+        grouped.select(F.explode(pair_expr).alias("_p"))
+        .select("_p.*")
+        .groupBy("id_a", "id_b")
+        .agg(F.sum("prod").alias("_dot"))
+    )
+    na = norms.select(F.col(id_col).alias("id_a"), F.col("_nrm").alias("_na"))
+    nb = norms.select(F.col(id_col).alias("id_b"), F.col("_nrm").alias("_nb"))
+    return (
+        dots.join(na, "id_a")
+        .join(nb, "id_b")
+        .withColumn("cos_sim", F.round(F.col("_dot") / (F.col("_na") * F.col("_nb")), 6))
+        .filter(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", "cos_sim")
+    )
+
+
 def connected_components(
     edges: DataFrame,
     nodes: DataFrame,

@@ -651,3 +651,70 @@ def unigram_logprob_score(
     return wide.mapInPandas(
         score, f"{id_col} {id_ddl}, n_tokens bigint, mean_logprob double"
     )
+
+
+def perplexity_buckets(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vocab_size: int = 1000,
+    n_buckets: int | None = None,
+) -> DataFrame:
+    """CCNet-style head/middle/tail corpus partitioning by LM quality
+    (the tercile split CCNet applies to its KenLM perplexities before
+    sampling predominantly from the 'head'): score every document with
+    :func:`unigram_logprob_score`, rank the scored corpus best-first
+    (``mean_logprob`` DESC — higher mean log-probability = lower
+    perplexity — with ``id_col`` as the deterministic tie-break), and
+    label the top third ``head``, the middle third ``middle``, the rest
+    ``tail``. Unscorable documents (no tokens) get rank NULL and land in
+    ``tail`` — gibberish-by-vacuity.
+
+    Scale shape: the global best-first rank is a window over a CONSTANT
+    key — the single-task wall — so it runs on the distributed bucketed
+    prefix machinery (``operators/windows.ranked_running_total`` in
+    rank-only mode, same route as token packing / stratified sampling);
+    the corpus-size scalar joins in as a broadcast one-row aggregate.
+    Bucket thresholds use exact integer arithmetic (``3*rank <= n``), so
+    the labels are a pure function of the rank, not of float quantiles.
+
+    Output: ``(id, n_tokens, mean_logprob, ppl_rank, bucket)``.
+    """
+    from plumberapp_spark.operators.windows import ranked_running_total
+
+    scores = unigram_logprob_score(df, text_col, id_col, vocab_size)
+    scored = scores.filter(F.col("mean_logprob").isNotNull()).withColumn(
+        "_all", F.lit(0)
+    )
+    ranked = ranked_running_total(
+        scored,
+        part_col="_all",
+        order_col="mean_logprob",
+        id_col=id_col,
+        total_name=None,
+        rank_name="ppl_rank",
+        n_buckets=n_buckets,
+        # stats-based route: plain window below ~2M rows (the prefix
+        # machinery's fixed overhead dominates), distributed above; an
+        # explicit n_buckets pins the route (tests force both paths)
+        auto_threshold=None if n_buckets is not None else 2_000_000,
+    )
+    n_scored = scored.groupBy().agg(F.count("*").alias("_n"))
+    labeled = ranked.join(F.broadcast(n_scored)).select(
+        F.col(id_col),
+        F.col("n_tokens"),
+        F.col("mean_logprob"),
+        F.col("ppl_rank").cast("bigint").alias("ppl_rank"),
+        F.when(3 * F.col("ppl_rank") <= F.col("_n"), F.lit("head"))
+        .when(3 * F.col("ppl_rank") <= 2 * F.col("_n"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+    )
+    unscored = scores.filter(F.col("mean_logprob").isNull()).select(
+        F.col(id_col),
+        F.col("n_tokens"),
+        F.col("mean_logprob"),
+        F.lit(None).cast("bigint").alias("ppl_rank"),
+        F.lit("tail").alias("bucket"),
+    )
+    return labeled.unionByName(unscored)

@@ -1236,3 +1236,84 @@ def q77_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     from plumberapp_spark.llm.textqa import unigram_logprob_score
 
     return unigram_logprob_score(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "q79_perplexity_buckets",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+         tok AS (SELECT doc_id, unnest(toks) AS tk FROM t),
+         cnt AS (SELECT tk, count(*) AS c FROM tok GROUP BY tk),
+         vocab AS (SELECT tk, c FROM cnt ORDER BY c DESC, tk LIMIT 1000),
+         tot AS (SELECT count(*) AS n FROM tok),
+         lp AS (SELECT tok.doc_id,
+                       ln((coalesce(vocab.c, 0) + 1) * 1.0 / (tot.n + 1000)) AS l
+                FROM tok LEFT JOIN vocab ON tok.tk = vocab.tk, tot),
+         agg AS (SELECT doc_id, count(*)::BIGINT AS n_tokens,
+                        round(avg(l), 4) AS mean_logprob
+                 FROM lp GROUP BY doc_id),
+         ranked AS (SELECT doc_id, n_tokens, mean_logprob,
+                           row_number() OVER (ORDER BY mean_logprob DESC, doc_id) AS ppl_rank,
+                           count(*) OVER () AS _n
+                    FROM agg)
+    SELECT d.doc_id,
+           coalesce(r.n_tokens, 0)::BIGINT AS n_tokens,
+           r.mean_logprob,
+           r.ppl_rank::BIGINT AS ppl_rank,
+           CASE WHEN r.ppl_rank IS NULL THEN 'tail'
+                WHEN 3 * r.ppl_rank <= r._n THEN 'head'
+                WHEN 3 * r.ppl_rank <= 2 * r._n THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM documents d LEFT JOIN ranked r ON d.doc_id = r.doc_id
+    """,
+)
+def q79_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style head/middle/tail terciles over the q77 LM scores
+    (round 6): best-scored third of the corpus = 'head', etc., with the
+    global best-first rank on the distributed bucketed prefix machinery
+    (a constant-key window is the single-task wall at scale). Tokenless
+    docs rank NULL and land in 'tail'."""
+    from plumberapp_spark.llm.textqa import perplexity_buckets
+
+    return perplexity_buckets(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "q80_tfidf_search",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+         tok AS (SELECT doc_id, unnest(toks) AS tk FROM t),
+         tf AS (SELECT doc_id, tk, count(*) AS tf FROM tok GROUP BY doc_id, tk),
+         dfreq AS (SELECT tk, count(*) AS df FROM tf GROUP BY tk),
+         nd AS (SELECT count(*) AS n FROM documents),
+         w AS (SELECT tf.doc_id, tf.tk,
+                      tf.tf * ln(nd.n * 1.0 / dfreq.df) AS w
+               FROM tf JOIN dfreq USING (tk), nd),
+         nrm AS (SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM w GROUP BY doc_id),
+         dots AS (SELECT q.doc_id AS query_id, c.doc_id AS neighbor_id,
+                         sum(c.w * q.w) AS dot
+                  FROM w c JOIN w q USING (tk)
+                  WHERE q.doc_id < 5 AND c.doc_id != q.doc_id
+                  GROUP BY 1, 2),
+         scored AS (SELECT query_id, neighbor_id,
+                           round(dot / (nc.nrm * nq.nrm), 6) AS cos_sim
+                    FROM dots JOIN nrm nc ON dots.neighbor_id = nc.doc_id
+                              JOIN nrm nq ON dots.query_id = nq.doc_id),
+         ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                              ORDER BY cos_sim DESC, neighbor_id) AS rank
+                    FROM scored)
+    SELECT query_id, neighbor_id, cos_sim, rank::BIGINT AS rank
+    FROM ranked WHERE rank <= 10
+    """,
+)
+def q80_tfidf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse lexical retrieval (round 6): tf-idf cosine top-10 corpus
+    docs for each of 5 query docs — the text-side complement of q20's
+    dense-embedding search. Weights/norms are one shared linear lineage;
+    the query term map broadcasts (queries × vocabulary — the ANN
+    small-side contract); ranking is the two-stage partial top-k, never
+    one task per query."""
+    from plumberapp_spark.llm.dedup import tfidf_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    return tfidf_topk(docs, docs.filter(F.col("doc_id") < 5), k=10)

@@ -172,3 +172,161 @@ def test_unigram_logprob_contract(spark):
     assert rows[4].n_tokens == 0 and rows[4].mean_logprob is None
     total, v = 7, 2  # 7 tokens corpus-wide, vocab_size=2
     assert rows[1].mean_logprob == round(math.log((4 + 1) / (total + v)), 4)
+
+
+def test_perplexity_buckets_terciles(spark):
+    # q79: ranks 1..6 split head/middle/tail 2-2-2; tokenless docs get
+    # NULL rank and land in 'tail'; rank is best-first (highest
+    # mean_logprob = rank 1) with doc_id tie-break.
+    from plumberapp_spark.llm.textqa import perplexity_buckets
+
+    df = spark.createDataFrame(
+        [
+            (1, "the the the the the the"),  # most in-vocab -> best score
+            (2, "the the the cat"),
+            (3, "the cat sat mat"),
+            (4, "cat sat mat hat"),
+            (5, "zzxq wvkj pqst brrw"),
+            (6, "qqa qqb qqc qqd"),  # all singletons, same shape as 5
+            (7, ""),
+            (8, None),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in perplexity_buckets(df, vocab_size=3).collect()}
+    assert rows[1].ppl_rank == 1 and rows[1].bucket == "head"
+    assert {rows[d].bucket for d in (1, 2)} == {"head"}
+    assert {rows[d].bucket for d in (3, 4)} == {"middle"}
+    assert {rows[d].bucket for d in (5, 6)} == {"tail"}
+    assert rows[7].ppl_rank is None and rows[7].bucket == "tail"
+    assert rows[8].ppl_rank is None and rows[8].bucket == "tail"
+    assert sorted(rows[d].ppl_rank for d in (1, 2, 3, 4, 5, 6)) == [1, 2, 3, 4, 5, 6]
+
+
+def _py_tfidf(texts: dict[int, str]):
+    # independent pure-Python tf-idf: whitespace tokens, ln(N/df)
+    # weights, norms over ALL tokens
+    import math
+    import re
+    from collections import Counter
+
+    ws = re.compile(r"\s+", re.ASCII)  # Java \s is ASCII — match the engine
+    tf = {
+        d: Counter(t for t in ws.split(txt) if t) if txt else Counter()
+        for d, txt in texts.items()
+    }
+    n = len(texts)
+    dfreq = Counter(t for c in tf.values() for t in c)
+    w = {
+        d: {t: c * math.log(n / dfreq[t]) for t, c in cnt.items()}
+        for d, cnt in tf.items()
+    }
+    nrm = {d: math.sqrt(sum(v * v for v in wv.values())) for d, wv in w.items()}
+    return w, nrm, dfreq
+
+
+def _synth_corpus():
+    # 30 docs over a realistic (spread-out) vocabulary: a-tokens df=3,
+    # b-tokens df=6, c-tokens df=10, 'common' df=30 — so a df-cap of 6
+    # genuinely BINDS (unlike the driver testdata's 31-token vocabulary
+    # where every df ≥ 25 and a fixed cap excludes everything)
+    return {
+        i: f"a{i % 10} b{i % 5} c{i // 10} common a{i % 10}" for i in range(30)
+    }
+
+
+def test_tfidf_cosine_pairs_matches_python_reference(spark):
+    # q80 family: pair mining must agree with the independent reference
+    # pair-for-pair after the 6-dp round, with the cap excluding hot
+    # tokens from intersections but not norms.
+    from plumberapp_spark.llm.dedup import tfidf_cosine_pairs
+
+    texts = _synth_corpus()
+    w, nrm, dfreq = _py_tfidf(texts)
+    max_df = 6
+    expected = {}
+    ids = sorted(texts)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            dot = sum(
+                w[a][t] * w[b][t]
+                for t in w[a].keys() & w[b].keys()
+                if 2 <= dfreq[t] <= max_df
+            )
+            if dot:
+                expected[(a, b)] = round(dot / (nrm[a] * nrm[b]), 6)
+    df = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    got = {
+        (r.id_a, r.id_b): r.cos_sim
+        for r in tfidf_cosine_pairs(df, max_df=max_df).collect()
+    }
+    assert set(got) == set(expected) and len(expected) > 10
+    for k in expected:
+        assert abs(got[k] - expected[k]) <= 1e-6, (k, got[k], expected[k])
+
+
+def test_tfidf_topk_matches_python_reference(spark):
+    # q80: top-10 search for 3 query docs vs the uncapped reference
+    # ranking (round-6-then-rank, neighbor-id tie-break).
+    from plumberapp_spark.llm.dedup import tfidf_topk
+
+    texts = _synth_corpus()
+    w, nrm, _ = _py_tfidf(texts)
+    expected = {}
+    for q in (0, 1, 2):
+        scored = []
+        for d in texts:
+            if d == q:
+                continue
+            shared = w[q].keys() & w[d].keys()
+            if not shared:
+                continue
+            dot = sum(w[q][t] * w[d][t] for t in shared)
+            scored.append((round(dot / (nrm[q] * nrm[d]), 6), d))
+        scored.sort(key=lambda s: (-s[0], s[1]))
+        for rank, (sim, d) in enumerate(scored[:10], start=1):
+            expected[(q, d)] = (sim, rank)
+    df = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    got = {
+        (r.query_id, r.neighbor_id): (r.cos_sim, r.rank)
+        for r in tfidf_topk(df, df.filter("doc_id < 3"), k=10).collect()
+    }
+    assert set(got) == set(expected)
+    for k, (sim, rank) in expected.items():
+        assert got[k][1] == rank and abs(got[k][0] - sim) <= 1e-6, (k, got[k], (sim, rank))
+
+
+def test_tfidf_cap_excludes_hot_tokens_from_pairs_not_norms(spark):
+    # A token in every doc (df > max_df) must not create pairs on its
+    # own, but still weighs into norms (idf may be 0 only when df == N).
+    from plumberapp_spark.llm.dedup import tfidf_cosine_pairs
+
+    df = spark.createDataFrame(
+        [
+            (1, "common alpha beta"),
+            (2, "common alpha beta"),
+            (3, "common gamma delta"),
+            (4, "common epsilon zeta"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = {
+        (r.id_a, r.id_b): r.cos_sim
+        for r in tfidf_cosine_pairs(df, max_df=3).collect()
+    }
+    # 'common' has df=4 > 3: docs 3 and 4 share ONLY it -> no pair rows
+    assert (3, 4) not in pairs and (1, 3) not in pairs
+    # docs 1-2 share alpha+beta (df=2 each); 'common' idf = ln(4/4) = 0,
+    # so their capped cosine is exactly 1 (identical surviving vectors)
+    assert pairs[(1, 2)] == 1.0
+
+
+def test_perplexity_buckets_distributed_rank_parity(spark):
+    # The forced multi-bucket prefix-rank route must emit exactly the
+    # plain-window route's rows (the scale path is a pure substitution).
+    from plumberapp_spark.llm.textqa import perplexity_buckets
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plain = {tuple(r) for r in perplexity_buckets(docs, n_buckets=1).collect()}
+    dist = {tuple(r) for r in perplexity_buckets(docs, n_buckets=4).collect()}
+    assert plain == dist
