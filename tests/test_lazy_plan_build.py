@@ -45,6 +45,9 @@ EAGER_ALLOWED = {
     # round-6 q77: the vocab_size-row top-k vocabulary ships in the Arrow
     # scorer's closure (same bounded-collect contract as IVF centroids)
     "q77_unigram_logprob": "vocab_size-row vocabulary collect (bounded broadcast contract)",
+    # q79 scores via unigram_logprob_score, so it inherits q77's bounded
+    # vocabulary collect (plus its route-probe stats lookups)
+    "q79_perplexity_buckets": "vocab_size-row vocabulary collect (q77 contract)",
     # Structured Streaming queries start and drain their micro-batches
     "q52_streaming_window_counts": "micro-batch execution is the query",
     "q55_stateful_rate_monitor": "micro-batch execution is the query",
