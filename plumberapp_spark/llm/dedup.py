@@ -1012,3 +1012,243 @@ def line_dedup(
             F.sum(F.when(~F.col("_keep"), 1).otherwise(0)).cast("bigint").alias("n_removed"),
         )
     )
+
+
+def bloom_decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram: int = 5,
+    n_bits: int = 1 << 20,
+    n_hashes: int = 4,
+    min_overlap: int = 1,
+) -> DataFrame:
+    """Bloom-filter benchmark decontamination: :func:`decontaminate`'s
+    eval-overlap flag computed against a CONSTANT-memory sketch of the
+    benchmark's shingle set instead of the set itself. Every benchmark
+    ``ngram``-shingle sets ``n_hashes`` bits (md5-derived positions in
+    ``[0, n_bits)``); a corpus shingle counts as contaminated when ALL
+    its positions are set — the standard Bloom membership test, so false
+    NEGATIVES are impossible (everything :func:`decontaminate` flags is
+    flagged here) and false positives are bounded by the usual
+    ``(1 - e^{-kn/m})^k``. The whole construction is md5-keyed, so the
+    sketch — false positives included — is bit-identical in the DuckDB
+    oracle.
+
+    Scale posture (the reason this exists next to :func:`decontaminate`):
+    the broadcast side is ``min(n_bits, n_hashes x |shingles|)`` map
+    entries no matter how large the eval suite grows, and the membership
+    test is a map lookup INSIDE the corpus row's projection — the corpus
+    is never exploded, never shuffled, and contributes NOTHING to any
+    exchange. The only exchange in the whole plan is the benchmark-side
+    position distinct (eval-sized). decontaminate's matched-pair
+    aggregation disappears entirely.
+
+    Output: ``(id, n_flagged_ngrams, flagged)`` — n_flagged_ngrams
+    counts the doc's DISTINCT shingles that pass the membership test.
+    """
+
+    def _pos(sh: Column, j: int) -> Column:
+        # position j: independent hash via a salted md5 (oracle:
+        # ('0x' || substr(md5('b' || j || ':' || sh), 1, 14))::BIGINT % n_bits)
+        return md5_long(F.concat(F.lit(f"b{j}:"), sh)) % n_bits
+
+    def _shingles(col: Column) -> Column:
+        return F.array_distinct(word_ngrams(tokenize(F.coalesce(col, F.lit(""))), ngram))
+
+    positions = (
+        benchmark.select(F.explode(_shingles(F.col(text_col))).alias("_sh"))
+        .distinct()
+        .select(
+            F.explode(F.array(*[_pos(F.col("_sh"), j) for j in range(n_hashes)])).alias("_p")
+        )
+        .distinct()
+    )
+    # the sketch: one row, one map<bigint, boolean> whose keys are the set
+    # bits. groupBy().agg on an empty input still yields the single row, so
+    # an empty benchmark degrades to "nothing flagged", not an empty join.
+    bloom = positions.groupBy().agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("_p"), F.lit(True)))
+        ).alias("_bloom")
+    )
+
+    def _hit(sh: Column) -> Column:
+        cond = F.lit(True)
+        for j in range(n_hashes):
+            # try_element_at: null (not ANSI MAP_KEY_DOES_NOT_EXIST) on a
+            # clear bit — the membership test IS the missing-key probe
+            cond = cond & F.try_element_at(F.col("_bloom"), _pos(sh, j)).isNotNull()
+        return cond
+
+    return (
+        corpus.select(F.col(id_col), F.col(text_col))
+        .crossJoin(F.broadcast(bloom))
+        .select(
+            F.col(id_col),
+            F.size(F.filter(_shingles(F.col(text_col)), _hit))
+            .cast("bigint")
+            .alias("n_flagged_ngrams"),
+        )
+        .withColumn("flagged", F.col("n_flagged_ngrams") >= min_overlap)
+    )
+
+
+def duplicate_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram: int = 8,
+) -> DataFrame:
+    """Exact duplicated-substring statistics — the span-granular dedup
+    signal of Lee et al. 2022 ("Deduplicating Training Data Makes
+    Language Models Better"), whose suffix-array ExactSubstr pass this
+    re-expresses at ``ngram``-token resolution with rolling word-gram
+    digests: a position is duplicated when its ``ngram``-gram occurs at
+    least twice ANYWHERE in the corpus (other docs or the same doc), and
+    overlapping duplicated positions merge into maximal spans.
+
+    Per doc: ``n_tokens``, ``n_dup_ngrams`` (duplicated gram positions),
+    ``n_dup_spans`` (maximal merged spans), ``dup_token_frac`` (fraction
+    of the doc's tokens covered by some duplicated span, the Lee et al.
+    headline number).
+
+    Scale shape: gram occurrences cross ONE exchange as (id, pos,
+    56-bit digest) — constant width regardless of document size — where
+    a window on the digest counts occurrences in place (the
+    ``_tfidf_weights`` df(t) trick: no second exchange for the count
+    join). Only DUPLICATED positions continue to the per-doc island
+    windows, which are partitioned by doc — parallelism is the number of
+    documents, never one task per corpus.
+    """
+    toks = tokenize(F.coalesce(F.col(text_col), F.lit("")))
+    grams = df.select(
+        F.col(id_col),
+        F.posexplode(word_ngrams(toks, ngram)).alias("_i", "_g"),
+    ).select(
+        F.col(id_col),
+        (F.col("_i") + 1).alias("_pos"),  # 1-based, matches generate_series
+        md5_long(F.col("_g")).alias("_h"),
+    )
+    dup = (
+        grams.withColumn("_c", F.count("*").over(Window.partitionBy("_h")))
+        .filter(F.col("_c") >= 2)
+        .select(id_col, "_pos")
+    )
+    w = Window.partitionBy(id_col).orderBy("_pos")
+    islands = (
+        dup.withColumn("_prev", F.lag("_pos").over(w))
+        .withColumn(
+            "_brk",
+            F.when(
+                F.col("_prev").isNull() | (F.col("_pos") > F.col("_prev") + (ngram - 1)),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("_island", F.sum("_brk").over(w))
+    )
+    spans = islands.groupBy(id_col, "_island").agg(
+        F.min("_pos").alias("_s"), F.max("_pos").alias("_e")
+    )
+    per_doc = spans.groupBy(id_col).agg(
+        F.count("*").cast("bigint").alias("n_dup_spans"),
+        F.sum(F.col("_e") + (ngram - 1) - F.col("_s") + 1).alias("_covered"),
+    )
+    counts = dup.groupBy(id_col).agg(F.count("*").cast("bigint").alias("n_dup_ngrams"))
+    base = df.select(F.col(id_col), F.size(toks).cast("bigint").alias("n_tokens"))
+    return (
+        base.join(counts, id_col, "left")
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            "n_tokens",
+            F.coalesce(F.col("n_dup_ngrams"), F.lit(0)).cast("bigint").alias("n_dup_ngrams"),
+            F.coalesce(F.col("n_dup_spans"), F.lit(0)).cast("bigint").alias("n_dup_spans"),
+            F.when(
+                F.col("n_tokens") > 0,
+                F.round(F.coalesce(F.col("_covered"), F.lit(0)) / F.col("n_tokens"), 6),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("dup_token_frac"),
+        )
+    )
+
+
+def bm25_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Exact BM25 top-k document retrieval (Robertson/Lucene variant:
+    ``idf = ln(1 + (N - df + 0.5)/(df + 0.5))``, tf saturation ``k1``,
+    length normalization ``b`` against the corpus mean doc length) —
+    :func:`tfidf_topk`'s ranking-function sibling, sharing its whole
+    scale shape: weights are one linear lineage with df(t) computed by a
+    window on the token (one exchange); the query side reduces to
+    (query, DISTINCT term) and broadcasts under the ANN small-side
+    contract; the two-stage partial top-k caps what the global rank sees
+    at k rows per (query, partition). Scores are rounded to 6 decimals
+    BEFORE ranking, ties broken by neighbor id — deterministic across
+    engines and summation orders.
+
+    Returns ``(query_id, neighbor_id, bm25, rank)``.
+    """
+    tf = (
+        df.select(F.col(id_col), F.explode(tokenize(F.col(text_col))).alias("tk"))
+        .groupBy(id_col, "tk")
+        .agg(F.count("*").alias("_tf"))
+    )
+    scalars = df.groupBy().agg(
+        F.count("*").alias("_nd"),
+        F.avg(F.size(tokenize(F.coalesce(F.col(text_col), F.lit(""))))).alias("_avgdl"),
+    )
+    dl = tf.groupBy(id_col).agg(F.sum("_tf").alias("_dl"))
+    wts = (
+        tf.withColumn("_df", F.count("*").over(Window.partitionBy("tk")))
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(scalars))
+        .withColumn(
+            "_w",
+            F.log(F.lit(1.0) + (F.col("_nd") - F.col("_df") + 0.5) / (F.col("_df") + 0.5))
+            * (F.col("_tf") * (k1 + 1))
+            / (
+                F.col("_tf")
+                + k1 * (1 - b + b * F.col("_dl") / F.col("_avgdl"))
+            ),
+        )
+    )
+    qids = queries.select(F.col(id_col).alias("_qid")).distinct()
+    # BM25 treats the query as a term SET: distinct terms, qtf ignored
+    qterms = (
+        tf.join(F.broadcast(qids), tf[id_col] == F.col("_qid"))
+        .select(F.col("_qid").alias("query_id"), "tk")
+        .distinct()
+    )
+    scored = (
+        wts.join(F.broadcast(qterms), "tk")
+        .filter(F.col(id_col) != F.col("query_id"))
+        .groupBy("query_id", id_col)
+        .agg(F.round(F.sum("_w"), 6).alias("bm25"))
+    )
+    w_local = Window.partitionBy("query_id", F.spark_partition_id()).orderBy(
+        F.col("bm25").desc(), id_col
+    )
+    pruned = scored.withColumn("_lr", F.row_number().over(w_local)).filter(
+        F.col("_lr") <= k
+    )
+    w_global = Window.partitionBy("query_id").orderBy(F.col("bm25").desc(), id_col)
+    return (
+        pruned.withColumn("rank", F.row_number().over(w_global))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            "bm25",
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+    )

@@ -165,3 +165,141 @@ def quota_sample(
         .filter(F.col("sample_rank") <= F.col("_quota"))
         .drop("_skey", "_quota")
     )
+
+
+def domain_mixture(
+    df: DataFrame,
+    domain_col: str = "source",
+    text_col: str = "text",
+    alpha: float = 0.3,
+) -> DataFrame:
+    """Temperature-scaled domain mixture weights — the multilingual /
+    multi-domain sampling-rate computation (exponentiated-and-renormalized
+    ``p^alpha``, the alpha-sampling of mBERT/XLM-R and the per-domain
+    mixture step of The Pile / DoReMi-style recipes): upweight small
+    domains, damp the head, and report how many effective epochs of each
+    domain one pass over the reweighted mix consumes.
+
+    Per domain: ``n_docs``, ``n_tokens``, ``p_raw`` (token share),
+    ``weight`` (``p_raw^alpha`` renormalized), ``effective_epochs``
+    (``weight / p_raw`` — how often the domain repeats if the mixed
+    corpus is sized at the raw token total).
+
+    Scale shape: ONE corpus pass (a map-side-combined groupBy on the
+    domain); everything after operates on the #domains-row aggregate,
+    where the renormalization windows are plan-sized frames (the 5-row
+    stats-table precedent), never corpus-sized.
+    """
+    from pyspark.sql import Window
+
+    from plumberapp_spark.functions.text import tokenize
+
+    per = df.groupBy(F.col(domain_col).alias("domain")).agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(F.size(tokenize(F.coalesce(F.col(text_col), F.lit("")))))
+        .cast("bigint")
+        .alias("n_tokens"),
+    )
+    everything = Window.partitionBy()
+    return (
+        per.withColumn("_tot", F.sum("n_tokens").over(everything))
+        .withColumn("_wu", F.pow(F.col("n_tokens") / F.col("_tot"), alpha))
+        .withColumn("_z", F.sum("_wu").over(everything))
+        .select(
+            "domain",
+            "n_docs",
+            "n_tokens",
+            F.round(F.col("n_tokens") / F.col("_tot"), 6).alias("p_raw"),
+            F.round(F.col("_wu") / F.col("_z"), 6).alias("weight"),
+            F.round(
+                (F.col("_wu") / F.col("_z")) / (F.col("n_tokens") / F.col("_tot")), 6
+            ).alias("effective_epochs"),
+        )
+    )
+
+
+def dsir_importance(
+    corpus: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 8192,
+    seed: int = 7,
+) -> DataFrame:
+    """DSIR data selection (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every corpus doc
+    by the log importance ratio of a TARGET distribution to the RAW
+    corpus distribution over hashed n-gram features — unigrams and
+    bigrams bucketed into ``n_buckets`` by a salted md5, with the two
+    bucket distributions Laplace-smoothed. Docs resembling the target
+    (``target`` is a small high-quality frame, e.g. a wiki slice) score
+    positive; ``selected`` flags them.
+
+    Per doc: ``n_features`` (unigram+bigram occurrences),
+    ``mean_log_ratio`` (average per-feature ``ln p_target - ln p_raw``),
+    ``selected`` (``mean_log_ratio > 0``).
+
+    Scale shape: the two feature distributions are ``n_buckets``-row
+    aggregates (corpus passes with map-side combine on a ≤n_buckets-wide
+    key) that BROADCAST back into the per-doc scoring join, so the only
+    corpus-sized exchange is the per-doc partial-sum aggregate — one row
+    per doc after map-side combine, never the feature stream. Hashing is
+    md5-keyed, so the DuckDB oracle reproduces buckets bit-for-bit.
+    """
+    from plumberapp_spark.functions.hashing import stable_bucket
+    from plumberapp_spark.functions.text import tokenize, word_ngrams
+
+    def _features(frame: DataFrame, with_id: bool) -> DataFrame:
+        toks = tokenize(F.coalesce(F.col(text_col), F.lit("")))
+        feats = F.explode(F.concat(toks, word_ngrams(toks, 2))).alias("_f")
+        cols = [F.col(id_col), feats] if with_id else [feats]
+        return frame.select(*cols).select(
+            *([F.col(id_col)] if with_id else []),
+            stable_bucket(F.col("_f"), n_buckets, seed).alias("_b"),
+        )
+
+    def _dist(feats: DataFrame, name: str, tot_name: str):
+        cnt = feats.groupBy("_b").agg(F.count("*").alias("_c"))
+        # the total is the n_buckets-row aggregate re-aggregated — its
+        # subplan is identical to cnt's, so Catalyst reuses the exchange
+        # instead of re-scanning the corpus
+        tot = cnt.groupBy().agg(F.sum("_c").alias(tot_name))
+        dist = cnt.crossJoin(F.broadcast(tot)).select(
+            "_b",
+            F.log((F.col("_c") + 1) / (F.col(tot_name) + n_buckets)).alias(name),
+        )
+        return dist, tot
+
+    # unseen buckets fall back to the smoothed floor ln(1 / (T + m)), so
+    # the scoring join carries the totals alongside the distributions
+    raw, raw_tot = _dist(_features(corpus, with_id=False), "_lr", "_rt")
+    tgt, tgt_tot = _dist(_features(target, with_id=False), "_lt", "_tt")
+    scored = (
+        _features(corpus, with_id=True)
+        .join(F.broadcast(raw), "_b", "left")
+        .join(F.broadcast(tgt), "_b", "left")
+        .crossJoin(F.broadcast(raw_tot))
+        .crossJoin(F.broadcast(tgt_tot))
+        .select(
+            F.col(id_col),
+            (
+                F.coalesce(F.col("_lt"), F.log(1.0 / (F.col("_tt") + n_buckets)))
+                - F.coalesce(F.col("_lr"), F.log(1.0 / (F.col("_rt") + n_buckets)))
+            ).alias("_ratio"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("bigint").alias("n_features"),
+            F.round(F.avg("_ratio"), 6).alias("mean_log_ratio"),
+        )
+    )
+    return (
+        corpus.select(id_col)
+        .join(scored, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_features"), F.lit(0)).cast("bigint").alias("n_features"),
+            F.col("mean_log_ratio"),
+            F.coalesce(F.col("mean_log_ratio") > 0, F.lit(False)).alias("selected"),
+        )
+    )

@@ -1317,3 +1317,199 @@ def q80_tfidf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return tfidf_topk(docs, docs.filter(F.col("doc_id") < 5), k=10)
+
+
+@register(
+    "q81_bloom_decontamination",
+    oracle=f"""
+    WITH corp AS (SELECT doc_id, list_distinct({_ngrams('(' + TOKS + ')', 5)}) AS shs
+                  FROM documents),
+         bsh AS (SELECT DISTINCT unnest(shs) AS sh FROM corp WHERE doc_id % 100 = 0),
+         pos AS (SELECT DISTINCT
+                   ('0x' || substr(md5('b' || j::VARCHAR || ':' || sh), 1, 14))::BIGINT
+                     % 262144 AS p
+                 FROM bsh, generate_series(0, 2) AS g(j)),
+         flat AS (SELECT doc_id, unnest(shs) AS sh FROM corp),
+         cpos AS (SELECT doc_id, sh,
+                    ('0x' || substr(md5('b' || j::VARCHAR || ':' || sh), 1, 14))::BIGINT
+                      % 262144 AS p
+                  FROM flat, generate_series(0, 2) AS g(j)),
+         hits AS (SELECT doc_id, sh FROM cpos LEFT JOIN pos ON cpos.p = pos.p
+                  GROUP BY doc_id, sh HAVING count(pos.p) = 3),
+         ov AS (SELECT doc_id, count(*) AS n FROM hits GROUP BY 1)
+    SELECT c.doc_id,
+           CAST(coalesce(ov.n, 0) AS BIGINT) AS n_flagged_ngrams,
+           coalesce(ov.n, 0) >= 1 AS flagged
+    FROM corp c LEFT JOIN ov USING (doc_id)
+    """,
+)
+def q81_bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q67's eval-overlap decontamination through a CONSTANT-memory
+    Bloom sketch of the benchmark shingles (round 6): the membership
+    test is a broadcast map lookup inside the corpus projection, so the
+    corpus is never exploded into an exchange at all — the 100 TB
+    posture q67 approaches but can't reach when the eval suite grows.
+    md5-derived bit positions make the sketch (false positives included)
+    bit-identical in the oracle."""
+    from plumberapp_spark.llm.dedup import bloom_decontaminate
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 100 == 0)
+    return bloom_decontaminate(
+        docs, bench, "text", "doc_id", ngram=5, n_bits=1 << 18, n_hashes=3, min_overlap=1
+    )
+
+
+@register(
+    "q82_domain_mixture",
+    oracle=f"""
+    WITH per AS (SELECT source AS domain, count(*)::BIGINT AS n_docs,
+                        coalesce(sum(len({TOKS})), 0)::BIGINT AS n_tokens
+                 FROM documents GROUP BY 1),
+         w1 AS (SELECT *, sum(n_tokens) OVER () AS tot FROM per),
+         w2 AS (SELECT *, pow(n_tokens * 1.0 / tot, 0.3) AS wu FROM w1),
+         w3 AS (SELECT *, sum(wu) OVER () AS z FROM w2)
+    SELECT domain, n_docs, n_tokens,
+           round(n_tokens * 1.0 / tot, 6) AS p_raw,
+           round(wu / z, 6) AS weight,
+           round((wu / z) / (n_tokens * 1.0 / tot), 6) AS effective_epochs
+    FROM w3
+    """,
+)
+def q82_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled domain sampling weights (round 6): the
+    alpha-sampling step every multi-domain training mix runs (mBERT /
+    XLM-R alpha=0.3; The Pile's per-set epochs) — one map-side-combined
+    corpus pass to the per-domain token counts, then plan-sized window
+    renormalization over the ~20 domain rows."""
+    from plumberapp_spark.llm.sampling import domain_mixture
+
+    return domain_mixture(load_table(spark, sf_dir, "documents"), "source", "text", alpha=0.3)
+
+
+@register(
+    "q83_bm25_search",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+         tok AS (SELECT doc_id, unnest(toks) AS tk FROM t),
+         tf AS (SELECT doc_id, tk, count(*) AS tf FROM tok GROUP BY 1, 2),
+         dfreq AS (SELECT tk, count(*) AS df FROM tf GROUP BY 1),
+         dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+         sc AS (SELECT count(*) AS nd, avg(len(toks)) AS avgdl FROM t),
+         w AS (SELECT tf.doc_id, tf.tk,
+                      ln(1.0 + (sc.nd - tf2.df + 0.5) / (tf2.df + 0.5))
+                        * (tf.tf * 2.2)
+                        / (tf.tf + 1.2 * (0.25 + (0.75 * dl.dl) / sc.avgdl)) AS w
+               FROM tf JOIN dfreq tf2 USING (tk) JOIN dl USING (doc_id), sc),
+         qt AS (SELECT DISTINCT doc_id AS query_id, tk FROM tf WHERE doc_id < 5),
+         dots AS (SELECT qt.query_id, w.doc_id AS neighbor_id,
+                         round(sum(w.w), 6) AS bm25
+                  FROM w JOIN qt USING (tk)
+                  WHERE w.doc_id != qt.query_id
+                  GROUP BY 1, 2),
+         ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                ORDER BY bm25 DESC, neighbor_id) AS rank
+                    FROM dots)
+    SELECT query_id, neighbor_id, bm25, rank::BIGINT AS rank
+    FROM ranked WHERE rank <= 10
+    """,
+)
+def q83_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 retrieval (round 6): the production lexical ranking
+    function (Robertson idf, tf saturation k1=1.2, length norm b=0.75)
+    on q80's retrieval skeleton — shared weight lineage, broadcast query
+    terms, two-stage partial top-k."""
+    from plumberapp_spark.llm.dedup import bm25_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bm25_topk(docs, docs.filter(F.col("doc_id") < 5), k=10)
+
+
+@register(
+    "q84_duplicate_spans",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+         g AS (SELECT doc_id,
+                      unnest(generate_series(1, len(toks) - 7)) AS pos,
+                      unnest(list_transform(generate_series(1, len(toks) - 7),
+                             i -> array_to_string(toks[i:i+7], ' '))) AS gram
+               FROM t),
+         hsh AS (SELECT doc_id, pos,
+                        ('0x' || substr(md5(gram), 1, 14))::BIGINT AS h
+                 FROM g),
+         cnt AS (SELECT h AS hh, count(*) AS n FROM hsh GROUP BY 1),
+         d AS (SELECT doc_id, pos FROM hsh JOIN cnt ON hsh.h = cnt.hh
+               WHERE cnt.n >= 2),
+         isl AS (SELECT doc_id, pos,
+                        CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+                                  OR pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + 7
+                             THEN 1 ELSE 0 END AS brk
+                 FROM d),
+         isl2 AS (SELECT doc_id, pos,
+                         sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+                  FROM isl),
+         sp AS (SELECT doc_id, island, min(pos) AS s, max(pos) AS e
+                FROM isl2 GROUP BY 1, 2),
+         spa AS (SELECT doc_id, count(*) AS n_spans, sum(e + 7 - s + 1) AS covered
+                 FROM sp GROUP BY 1),
+         dcnt AS (SELECT doc_id, count(*) AS n_dup FROM d GROUP BY 1)
+    SELECT t.doc_id,
+           len(toks)::BIGINT AS n_tokens,
+           CAST(coalesce(dcnt.n_dup, 0) AS BIGINT) AS n_dup_ngrams,
+           CAST(coalesce(spa.n_spans, 0) AS BIGINT) AS n_dup_spans,
+           CASE WHEN len(toks) > 0
+                THEN round(coalesce(spa.covered, 0) * 1.0 / len(toks), 6)
+                ELSE 0.0 END AS dup_token_frac
+    FROM t LEFT JOIN dcnt USING (doc_id) LEFT JOIN spa USING (doc_id)
+    """,
+)
+def q84_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-substring spans at 8-gram resolution (round 6):
+    the Lee et al. 2022 ExactSubstr signal — per doc, how many gram
+    positions repeat anywhere in the corpus, how many maximal merged
+    spans they form, and the fraction of tokens they cover. Gram
+    occurrences cross one constant-width digest exchange; only
+    duplicated positions reach the per-doc island windows."""
+    from plumberapp_spark.llm.dedup import duplicate_spans
+
+    return duplicate_spans(load_table(spark, sf_dir, "documents"), ngram=8)
+
+
+@register(
+    "q85_dsir_selection",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, lang, {TOKS} AS toks FROM documents),
+         f AS (SELECT doc_id, lang,
+                      unnest(list_concat(toks, {_ngrams('toks', 2)})) AS f
+               FROM t),
+         fb AS (SELECT doc_id, lang,
+                       ('0x' || substr(md5('s7:' || f), 1, 14))::BIGINT % 4096 AS b
+                FROM f),
+         rawc AS (SELECT b, count(*) AS c FROM fb GROUP BY 1),
+         rawt AS (SELECT sum(c) AS t FROM rawc),
+         tgtc AS (SELECT b, count(*) AS c FROM fb WHERE lang = 'en' GROUP BY 1),
+         tgtt AS (SELECT sum(c) AS t FROM tgtc),
+         sc AS (SELECT fb.doc_id,
+                       ln((coalesce(tgtc.c, 0) + 1) * 1.0 / (tgtt.t + 4096))
+                       - ln((coalesce(rawc.c, 0) + 1) * 1.0 / (rawt.t + 4096)) AS r
+                FROM fb LEFT JOIN rawc USING (b) LEFT JOIN tgtc USING (b), rawt, tgtt),
+         agg AS (SELECT doc_id, count(*)::BIGINT AS n_features,
+                        round(avg(r), 6) AS mean_log_ratio
+                 FROM sc GROUP BY 1)
+    SELECT d.doc_id,
+           coalesce(agg.n_features, 0)::BIGINT AS n_features,
+           agg.mean_log_ratio,
+           coalesce(agg.mean_log_ratio > 0, false) AS selected
+    FROM documents d LEFT JOIN agg USING (doc_id)
+    """,
+)
+def q85_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance-resampling scores (round 6; Xie et al. 2023):
+    hashed unigram+bigram bucket distributions for the raw corpus vs an
+    English-slice target, Laplace-smoothed log ratios averaged per doc.
+    Both distributions are n_buckets-row broadcast aggregates; the only
+    corpus-sized exchange is the per-doc partial-sum rollup."""
+    from plumberapp_spark.llm.sampling import dsir_importance
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dsir_importance(docs, docs.filter(F.col("lang") == "en"), n_buckets=4096, seed=7)

@@ -1,0 +1,220 @@
+"""Round-6 operator additions: Bloom-sketch decontamination (no false
+negatives, forced false positives, empty benchmark), duplicated-substring
+spans (hand-built span geometry + full-dup invariant), BM25 retrieval
+(python reference), domain mixture (normalization + alpha identities),
+DSIR selection (target == corpus null invariant, separation on a planted
+target)."""
+
+from __future__ import annotations
+
+import math
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from plumberapp_spark.llm.dedup import (  # noqa: E402
+    bloom_decontaminate,
+    bm25_topk,
+    decontaminate,
+    duplicate_spans,
+)
+from plumberapp_spark.llm.sampling import domain_mixture, dsir_importance  # noqa: E402
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+# ------------------------------------------------------------------
+# Bloom decontamination
+# ------------------------------------------------------------------
+
+
+def test_bloom_no_false_negatives(spark):
+    docs = _docs(spark)
+    bench = docs.filter(F.col("doc_id") % 100 == 0)
+    exact = {
+        r["doc_id"]
+        for r in decontaminate(docs, bench, ngram=5).filter("contaminated").collect()
+    }
+    bloom = {
+        r["doc_id"]
+        for r in bloom_decontaminate(docs, bench, ngram=5, n_bits=1 << 18, n_hashes=3)
+        .filter("flagged")
+        .collect()
+    }
+    assert exact <= bloom, "Bloom membership must never miss a true overlap"
+
+
+def test_bloom_tiny_filter_forces_false_positives(spark):
+    docs = _docs(spark).limit(200)
+    bench = docs.filter(F.col("doc_id") % 100 == 0)
+    exact = {
+        r["doc_id"]
+        for r in decontaminate(docs, bench, ngram=5).filter("contaminated").collect()
+    }
+    # 64 bits for thousands of set positions: filter saturates, everything
+    # with >= 1 shingle collides -> strictly more flags than the exact set
+    bloom = {
+        r["doc_id"]
+        for r in bloom_decontaminate(docs, bench, ngram=5, n_bits=64, n_hashes=2)
+        .filter("flagged")
+        .collect()
+    }
+    assert exact < bloom
+
+
+def test_bloom_empty_benchmark_flags_nothing(spark):
+    docs = _docs(spark).limit(50)
+    bench = docs.filter(F.lit(False))
+    out = bloom_decontaminate(docs, bench).collect()
+    assert len(out) == 50
+    assert all(r["n_flagged_ngrams"] == 0 and not r["flagged"] for r in out)
+
+
+# ------------------------------------------------------------------
+# Duplicated-substring spans
+# ------------------------------------------------------------------
+
+
+def _span_docs(spark):
+    shared = " ".join(f"s{i}" for i in range(10))  # 10-token shared run
+    rows = [
+        (0, f"{shared} u0a u0b u0c u0d u0e u0f u0g u0h u0i u0j"),
+        (1, f"v0a v0b v0c v0d v0e v0f v0g v0h v0i v0j {shared}"),
+        (2, "w0a w0b w0c w0d w0e w0f w0g w0h w0i w0j w0k w0l"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_duplicate_spans_geometry(spark):
+    # n=4: the shared 10-token run yields positions 1..7 duplicated in doc 0
+    # (11..17 in doc 1) -> one island covering exactly the 10 shared tokens
+    out = {r["doc_id"]: r for r in duplicate_spans(_span_docs(spark), ngram=4).collect()}
+    for d, first_pos in ((0, 1), (1, 11)):
+        r = out[d]
+        assert r["n_tokens"] == 20
+        assert r["n_dup_ngrams"] == 7
+        assert r["n_dup_spans"] == 1
+        assert r["dup_token_frac"] == 0.5  # 10 of 20 tokens covered
+    clean = out[2]
+    assert clean["n_dup_ngrams"] == 0
+    assert clean["n_dup_spans"] == 0
+    assert clean["dup_token_frac"] == 0.0
+
+
+def test_duplicate_spans_exact_dup_is_fully_covered(spark):
+    rows = [(0, "a b c d e f g h i j"), (1, "a b c d e f g h i j")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = duplicate_spans(df, ngram=4).collect()
+    assert all(r["dup_token_frac"] == 1.0 and r["n_dup_spans"] == 1 for r in out)
+
+
+def test_duplicate_spans_within_doc_repeat_counts(spark):
+    # the same 4-gram twice in ONE doc is a duplicate (Lee et al. semantics)
+    df = spark.createDataFrame(
+        [(0, "a b c d x y z q a b c d")], ["doc_id", "text"]
+    )
+    r = duplicate_spans(df, ngram=4).collect()[0]
+    assert r["n_dup_ngrams"] == 2  # positions 1 and 9
+    assert r["n_dup_spans"] == 2
+    assert r["dup_token_frac"] == round(8 / 12, 6)
+
+
+# ------------------------------------------------------------------
+# BM25
+# ------------------------------------------------------------------
+
+
+def _py_bm25(rows, query_terms, k1=1.2, b=0.75):
+    toks = {i: t.split() for i, t in rows}
+    n = len(rows)
+    avgdl = sum(len(t) for t in toks.values()) / n
+    dfreq: dict[str, int] = {}
+    for t in toks.values():
+        for tk in set(t):
+            dfreq[tk] = dfreq.get(tk, 0) + 1
+    scores = {}
+    for i, t in toks.items():
+        s, hit = 0.0, False
+        for tk in query_terms:
+            tf = t.count(tk)
+            if tf == 0:
+                continue
+            hit = True
+            idf = math.log(1 + (n - dfreq[tk] + 0.5) / (dfreq[tk] + 0.5))
+            s += idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * len(t) / avgdl))
+        if hit:  # inverted-index semantics: zero-overlap docs are absent
+            scores[i] = round(s, 6)
+    return scores
+
+
+def test_bm25_matches_python_reference(spark):
+    rows = [
+        (0, "spark shuffle join hash join"),
+        (1, "spark broadcast join small table"),
+        (2, "duck db vectorized scan filter"),
+        (3, "shuffle exchange partition skew salt"),
+        (4, "join join join everywhere join"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = bm25_topk(df, df.filter("doc_id = 0"), k=4).collect()
+    ref = _py_bm25(rows, set(rows[0][1].split()))
+    ref.pop(0)
+    want = sorted(ref.items(), key=lambda kv: (-kv[1], kv[0]))[:4]
+    got = [(r["neighbor_id"], r["bm25"]) for r in sorted(out, key=lambda r: r["rank"])]
+    assert got == [(i, s) for i, s in want]
+
+
+# ------------------------------------------------------------------
+# Domain mixture
+# ------------------------------------------------------------------
+
+
+def test_domain_mixture_normalization_and_alpha_one(spark):
+    docs = _docs(spark)
+    mix = domain_mixture(docs, "source", "text", alpha=0.3).collect()
+    assert abs(sum(r["weight"] for r in mix) - 1.0) < 1e-4
+    assert abs(sum(r["p_raw"] for r in mix) - 1.0) < 1e-4
+    # alpha < 1 compresses: smallest domain gains, largest loses
+    smallest = min(mix, key=lambda r: r["n_tokens"])
+    largest = max(mix, key=lambda r: r["n_tokens"])
+    assert smallest["effective_epochs"] > 1.0 > largest["effective_epochs"]
+    # alpha = 1 is the identity mix
+    ident = domain_mixture(docs, "source", "text", alpha=1.0).collect()
+    for r in ident:
+        assert abs(r["weight"] - r["p_raw"]) <= 1e-6
+        assert abs(r["effective_epochs"] - 1.0) <= 1e-4
+
+
+# ------------------------------------------------------------------
+# DSIR
+# ------------------------------------------------------------------
+
+
+def test_dsir_target_equals_corpus_is_null_signal(spark):
+    docs = _docs(spark).limit(100)
+    out = dsir_importance(docs, docs, n_buckets=1024).collect()
+    assert len(out) == 100
+    for r in out:
+        if r["n_features"]:
+            assert r["mean_log_ratio"] == 0.0
+            assert not r["selected"]
+
+
+def test_dsir_separates_planted_target(spark):
+    rows = [(i, "alpha beta gamma delta epsilon zeta " * 3) for i in range(10)]
+    rows += [(i, "one two three four five six seven " * 3) for i in range(10, 20)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    target = df.filter("doc_id < 10")
+    out = {r["doc_id"]: r for r in dsir_importance(df, target, n_buckets=512).collect()}
+    assert all(out[i]["selected"] for i in range(10))
+    assert not any(out[i]["selected"] for i in range(10, 20))
+    assert min(out[i]["mean_log_ratio"] for i in range(10)) > max(
+        out[i]["mean_log_ratio"] for i in range(10, 20)
+    )
