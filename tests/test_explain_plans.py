@@ -217,3 +217,42 @@ def test_decontamination_broadcasts_benchmark_side(spark):
     plan = formatted_plan(build(spark, "q67_decontamination"))
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_bloom_decontamination_never_shuffles_corpus(spark):
+    """q81's whole point: the corpus meets the Bloom sketch in a one-row
+    broadcast join — no exchange in the plan is keyed on the corpus (the
+    only exchanges are the benchmark-side position distinct + the
+    single-row sketch aggregate), and no corpus doc_id partitioning
+    exists anywhere."""
+    plan = formatted_plan(build(spark, "q81_bloom_decontamination"))
+    assert "BroadcastNestedLoopJoin" in plan  # the one-row sketch join
+    assert "hashpartitioning(doc_id" not in plan
+    assert "BatchEvalPython" not in plan  # membership test is pure codegen
+
+
+def test_duplicate_spans_exchange_is_digest_width(spark):
+    """q84: gram occurrences cross the corpus-scale exchange as (id, pos,
+    56-bit digest) — the gram STRING must be projected away before any
+    exchange, and occurrence counting is a window on the digest (no
+    second exchange for a count join)."""
+    plan = formatted_plan(build(spark, "q84_duplicate_spans"))
+    assert "hashpartitioning(_h" in plan  # the one digest exchange
+    assert "_g" not in plan.split("Exchange")[1], "gram string crossed an exchange"
+
+
+def test_bm25_query_side_broadcasts(spark):
+    """q83: query terms and scalars broadcast; the corpus token stream is
+    never on the build side of anything."""
+    plan = formatted_plan(build(spark, "q83_bm25_search"))
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_dsir_distributions_broadcast(spark):
+    """q85: both bucket distributions (≤n_buckets rows) broadcast into
+    the scoring join; the only corpus-keyed exchange is the per-doc
+    rollup."""
+    plan = formatted_plan(build(spark, "q85_dsir_selection"))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "BatchEvalPython" not in plan
