@@ -228,3 +228,56 @@ def q66_streaming_quality_monitor(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     query.awaitTermination()
     return spark.table(sink)
+
+
+@register(
+    "q86_streaming_bloom_dedup",
+    oracle="""
+    WITH d AS (SELECT doc_id, coalesce(text, '') AS t FROM documents),
+         s AS (SELECT doc_id, t,
+                      ('0x' || substr(md5(t), 1, 14))::BIGINT % 8 AS shard
+               FROM d),
+         hp AS (SELECT doc_id, shard,
+                       ('0x' || substr(md5('b' || j::VARCHAR || ':' || t), 1, 14))::BIGINT
+                         % 65536 AS p
+                FROM s, generate_series(0, 2) AS g(j)),
+         fs AS (SELECT shard, p, min(doc_id) AS fs FROM hp GROUP BY 1, 2)
+    SELECT hp.doc_id, bool_or(fs.fs = hp.doc_id) AS kept
+    FROM hp JOIN fs ON hp.shard = fs.shard AND hp.p = fs.p
+    GROUP BY 1
+    """,
+)
+def q86_streaming_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming content dedup with BOUNDED state (round 6): q57 keeps
+    one state row per distinct key forever; this keeps n_shards fixed
+    Bloom bitsets (64 KB total here) no matter how long the stream runs
+    — the only state design that survives unbounded 100 TB ingest. A doc
+    is kept iff one of its 3 md5-derived bits is fresh in its
+    content-sharded filter; true duplicates are never kept, false drops
+    are md5-determined, so the bounded replay has an EXACT relational
+    oracle: kept(d) <=> d is the min doc_id setting one of its (shard,
+    position) cells (add-always == add-if-kept because a dropped doc's
+    bits are already set)."""
+    ensure_read_confs(spark)
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    stream = (
+        spark.readStream.schema(schema).format("parquet").load(f"{sf_dir}/documents.*")
+    )
+    from plumberapp_spark.streaming.stream_ops import streaming_bloom_dedup
+
+    flagged = streaming_bloom_dedup(
+        stream, "text", "doc_id", n_shards=8, n_bits=1 << 16, n_hashes=3
+    )
+    sink = "q86_sink_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    for q in spark.streams.active:
+        if q.name == sink:
+            q.stop()
+    query = (
+        flagged.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(sink)

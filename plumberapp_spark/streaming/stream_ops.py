@@ -176,3 +176,90 @@ def run_stream_to_memory(stream_df: DataFrame, query_name: str, timeout_s: float
     finally:
         q.stop()
     return stream_df.sparkSession.sql(f"SELECT * FROM {query_name}")
+
+
+_BLOOM_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("kept", T.BooleanType()),
+    ]
+)
+
+_BLOOM_STATE_SCHEMA = T.StructType([T.StructField("bits", T.BinaryType())])
+
+
+def _bloom_dedup_fn(n_bits: int, n_hashes: int):
+    def fn(
+        key: Tuple[int], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        bits = bytearray(state.get[0]) if state.exists else bytearray(n_bits // 8)
+        chunks = [pdf for pdf in pdfs]
+        pdf = pd.concat(chunks) if chunks else pd.DataFrame(columns=["doc_id", "text"])
+        # arrival order within the batch is partition order; sort by id so
+        # the bounded replay is deterministic (and oracle-reproducible)
+        pdf = pdf.sort_values("doc_id")
+        ids: list[int] = []
+        kept: list[bool] = []
+        for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            t = text if isinstance(text, str) else ""
+            # md5_long parity: int(hexdigest[:14], 16) == conv(substr(md5,1,14),16,10)
+            pos = [
+                int(hashlib.md5(f"b{j}:{t}".encode()).hexdigest()[:14], 16) % n_bits
+                for j in range(n_hashes)
+            ]
+            seen = all(bits[p >> 3] & (1 << (p & 7)) for p in pos)
+            for p in pos:
+                bits[p >> 3] |= 1 << (p & 7)
+            ids.append(int(doc_id))
+            kept.append(not seen)
+        state.update((bytes(bits),))
+        yield pd.DataFrame({"doc_id": pd.array(ids, dtype="int64"), "kept": kept})
+
+    return fn
+
+
+def streaming_bloom_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_shards: int = 8,
+    n_bits: int = 1 << 16,
+    n_hashes: int = 3,
+) -> DataFrame:
+    """Streaming content dedup with BOUNDED state — the 100 TB answer to
+    :func:`streaming_exact_dedup`'s growing digest store: each of
+    ``n_shards`` state partitions holds a fixed ``n_bits``-bit Bloom
+    bitset (``n_shards x n_bits / 8`` bytes TOTAL, forever, regardless
+    of stream length), and a document is kept iff its ``n_hashes``
+    md5-derived bits are not all already set in its shard.
+
+    Sharding is by content digest, so every re-delivery of a text lands
+    on the shard that saw it first — true duplicates are NEVER kept
+    (Bloom filters have no false negatives); a unique doc may be dropped
+    with the usual false-positive probability, which is md5-determined
+    and therefore exactly reproducible by a relational oracle. Because a
+    dropped doc's bits are by definition already set, add-always and
+    add-if-kept semantics coincide, making the kept-set order-free
+    EXCEPT for which of two colliding docs survives — pinned to
+    smallest-id-first within each micro-batch (the bounded-replay /
+    oracle contract; an unbounded deploy keeps arrival order, like any
+    streaming dedup).
+
+    Output: one ``(id, kept)`` row per input doc.
+    """
+    from plumberapp_spark.functions.hashing import stable_bucket
+
+    keyed = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.col(text_col).alias("text"),
+        stable_bucket(F.coalesce(F.col(text_col), F.lit("")), n_shards).alias("_shard"),
+    )
+    return keyed.groupBy("_shard").applyInPandasWithState(
+        _bloom_dedup_fn(n_bits, n_hashes),
+        outputStructType=_BLOOM_OUT_SCHEMA,
+        stateStructType=_BLOOM_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

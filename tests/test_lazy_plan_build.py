@@ -53,6 +53,7 @@ EAGER_ALLOWED = {
     "q55_stateful_rate_monitor": "micro-batch execution is the query",
     "q57_streaming_exact_dedup": "micro-batch execution is the query",
     "q66_streaming_quality_monitor": "micro-batch execution is the query",
+    "q86_streaming_bloom_dedup": "micro-batch execution is the query",
 }
 
 

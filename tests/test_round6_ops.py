@@ -218,3 +218,53 @@ def test_dsir_separates_planted_target(spark):
     assert min(out[i]["mean_log_ratio"] for i in range(10)) > max(
         out[i]["mean_log_ratio"] for i in range(10, 20)
     )
+
+
+# ------------------------------------------------------------------
+# Streaming Bloom dedup
+# ------------------------------------------------------------------
+
+
+def test_streaming_bloom_dedup_no_false_negatives(spark):
+    """True duplicates are NEVER kept; with false positives possible,
+    the kept set can only shrink below the first-occurrence set."""
+    import plumberapp_spark.all_queries  # noqa: F401 — populates REGISTRY
+    from plumberapp_spark.registry import REGISTRY
+
+    out = {r["doc_id"]: r["kept"] for r in REGISTRY[
+        "q86_streaming_bloom_dedup"
+    ].fn(spark, SF_DIR).collect()}
+    docs = _docs(spark).select("doc_id", F.coalesce("text", F.lit("")).alias("t")).collect()
+    firsts: dict[str, int] = {}
+    for r in sorted(docs, key=lambda r: r["doc_id"]):
+        firsts.setdefault(r["t"], r["doc_id"])
+    first_ids = set(firsts.values())
+    assert len(out) == len(docs)
+    kept_ids = {i for i, k in out.items() if k}
+    assert kept_ids <= first_ids, "a non-first duplicate was kept"
+
+
+def test_streaming_bloom_dedup_drops_planted_duplicates(spark, tmp_path):
+    from plumberapp_spark.streaming.stream_ops import streaming_bloom_dedup
+
+    rows = [(i, f"unique text number {i} with filler words") for i in range(20)]
+    rows += [(100 + i, rows[i][1]) for i in range(10)]  # re-deliveries
+    src = str(tmp_path / "docs")
+    spark.createDataFrame(rows, ["doc_id", "text"]).coalesce(1).write.parquet(src)
+    stream = (
+        spark.readStream.schema("doc_id long, text string").format("parquet").load(src)
+    )
+    out_df = streaming_bloom_dedup(stream, n_shards=4, n_bits=1 << 14, n_hashes=3)
+    q = (
+        out_df.writeStream.format("memory")
+        .queryName("bloom_dedup_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = {r["doc_id"]: r["kept"] for r in spark.table("bloom_dedup_test").collect()}
+    assert len(out) == 30
+    assert not any(out[100 + i] for i in range(10)), "a re-delivery survived"
+    # 30 docs x 3 bits in 4x16384 cells: false positives ~impossible here
+    assert all(out[i] for i in range(20))
