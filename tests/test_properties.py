@@ -452,3 +452,49 @@ def test_line_dedup_matches_python_reference(spark, docs, max_occ):
         for r in line_dedup(df, max_occurrences=max_occ).collect()
     }
     assert got == expected
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["a", "b", "c", "d"]), min_size=0, max_size=12),
+        min_size=1,
+        max_size=6,
+    ),
+    ngram=st.integers(min_value=2, max_value=4),
+)
+@settings(max_examples=15, deadline=None)
+def test_duplicate_spans_matches_python_reference(spark, docs, ngram):
+    """duplicate_spans (q84) vs an independent driver-side reference:
+    positions whose n-gram occurs >= 2 times in the corpus, merged into
+    overlap-islands, with token coverage as the union of [i, i+n-1]."""
+    from collections import Counter
+
+    from plumberapp_spark.llm.dedup import duplicate_spans
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    grams = [
+        (i, p, tuple(toks[p : p + ngram]))
+        for i, toks in enumerate(docs)
+        for p in range(len(toks) - ngram + 1)
+    ]
+    counts = Counter(g for _, _, g in grams)
+    expected = {}
+    for i, toks in enumerate(docs):
+        dup = [p for (d, p, g) in grams if d == i and counts[g] >= 2]
+        spans = []
+        for p in sorted(dup):
+            if spans and p <= spans[-1][1]:  # [p, p+n-1] overlaps last island
+                spans[-1] = (spans[-1][0], max(spans[-1][1], p + ngram - 1))
+            else:
+                spans.append((p, p + ngram - 1))
+        covered = sum(e - s + 1 for s, e in spans)
+        frac = round(covered / len(toks), 6) if toks else 0.0
+        expected[i] = (len(toks), len(dup), len(spans), frac)
+
+    got = {
+        r.doc_id: (r.n_tokens, r.n_dup_ngrams, r.n_dup_spans, r.dup_token_frac)
+        for r in duplicate_spans(df, ngram=ngram).collect()
+    }
+    assert got == expected
