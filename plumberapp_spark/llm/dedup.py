@@ -1023,6 +1023,7 @@ def bloom_decontaminate(
     n_bits: int = 1 << 20,
     n_hashes: int = 4,
     min_overlap: int = 1,
+    vectorized: bool = True,
 ) -> DataFrame:
     """Bloom-filter benchmark decontamination: :func:`decontaminate`'s
     eval-overlap flag computed against a CONSTANT-memory sketch of the
@@ -1037,13 +1038,22 @@ def bloom_decontaminate(
     oracle.
 
     Scale posture (the reason this exists next to :func:`decontaminate`):
-    the broadcast side is ``min(n_bits, n_hashes x |shingles|)`` map
-    entries no matter how large the eval suite grows, and the membership
-    test is a map lookup INSIDE the corpus row's projection — the corpus
-    is never exploded, never shuffled, and contributes NOTHING to any
-    exchange. The only exchange in the whole plan is the benchmark-side
-    position distinct (eval-sized). decontaminate's matched-pair
-    aggregation disappears entirely.
+    the sketch is ``n_bits`` bits no matter how large the eval suite
+    grows, and the membership test runs INSIDE the corpus row's pass —
+    the corpus is never exploded, never shuffled, and contributes
+    NOTHING to any exchange. The only exchange in the whole plan is the
+    benchmark-side position distinct (eval-sized). decontaminate's
+    matched-pair aggregation disappears entirely.
+
+    ``vectorized=True`` (default) collects the bounded position set
+    (≤ min(n_bits, n_hashes x |bench shingles|) ints — the q77
+    vocab-closure contract), packs it into a real bitset, and probes it
+    in one Arrow pass over the corpus. The expression form
+    (``vectorized=False``) is the lazy oracle-parity definition, but its
+    per-probe ``element_at`` on a Spark map is a LINEAR scan inside an
+    interpreted lambda — O(|corpus shingles| x n_hashes x set bits),
+    measured ~20x slower at sf0.1 — so it exists for parity tests, not
+    production.
 
     Output: ``(id, n_flagged_ngrams, flagged)`` — n_flagged_ngrams
     counts the doc's DISTINCT shingles that pass the membership test.
@@ -1065,6 +1075,54 @@ def bloom_decontaminate(
         )
         .distinct()
     )
+    if vectorized:
+        import hashlib
+
+        import pandas as pd
+
+        from plumberapp_spark.functions.text import WS_SPLIT as ws
+
+        bits = bytearray(n_bits // 8 + 1)
+        for row in positions.collect():  # bounded: eval-set sized
+            p = row["_p"]
+            bits[p >> 3] |= 1 << (p & 7)
+        bits = bytes(bits)
+        id_ddl = corpus.schema[id_col].dataType.simpleString()
+
+        def probe(batches):
+            for pdf in batches:
+                ids, counts = [], []
+                for row_id, text in zip(pdf[id_col], pdf[text_col]):
+                    toks = [t for t in ws.split(text) if t] if text is not None else []
+                    seen = {
+                        " ".join(toks[i : i + ngram])
+                        for i in range(len(toks) - ngram + 1)
+                    }
+                    n = 0
+                    for sh in seen:
+                        hit = True
+                        for j in range(n_hashes):
+                            p = (
+                                int(
+                                    hashlib.md5(f"b{j}:{sh}".encode()).hexdigest()[:14],
+                                    16,
+                                )
+                                % n_bits
+                            )
+                            if not bits[p >> 3] & (1 << (p & 7)):
+                                hit = False
+                                break
+                        n += hit
+                    ids.append(row_id)
+                    counts.append(n)
+                yield pd.DataFrame({id_col: ids, "n_flagged_ngrams": counts})
+
+        return (
+            corpus.select(F.col(id_col), F.col(text_col))
+            .mapInPandas(probe, f"{id_col} {id_ddl}, n_flagged_ngrams bigint")
+            .withColumn("flagged", F.col("n_flagged_ngrams") >= min_overlap)
+        )
+
     # the sketch: one row, one map<bigint, boolean> whose keys are the set
     # bits. groupBy().agg on an empty input still yields the single row, so
     # an empty benchmark degrades to "nothing flagged", not an empty join.
@@ -1100,6 +1158,7 @@ def duplicate_spans(
     text_col: str = "text",
     id_col: str = "doc_id",
     ngram: int = 8,
+    vectorized: bool = True,
 ) -> DataFrame:
     """Exact duplicated-substring statistics — the span-granular dedup
     signal of Lee et al. 2022 ("Deduplicating Training Data Makes
@@ -1123,14 +1182,43 @@ def duplicate_spans(
     documents, never one task per corpus.
     """
     toks = tokenize(F.coalesce(F.col(text_col), F.lit("")))
-    grams = df.select(
-        F.col(id_col),
-        F.posexplode(word_ngrams(toks, ngram)).alias("_i", "_g"),
-    ).select(
-        F.col(id_col),
-        (F.col("_i") + 1).alias("_pos"),  # 1-based, matches generate_series
-        md5_long(F.col("_g")).alias("_h"),
-    )
+    if vectorized:
+        # one Arrow pass to (id, pos, digest) — the interpreted
+        # transform-lambda + posexplode + per-gram md5 expression chain is
+        # the decontaminate-measured ~4x tax; the expression form below
+        # remains the oracle-parity definition
+        import hashlib
+
+        import pandas as pd
+
+        from plumberapp_spark.functions.text import WS_SPLIT as ws
+
+        id_ddl = df.schema[id_col].dataType.simpleString()
+
+        def gen(batches):
+            for pdf in batches:
+                ids, ps, hs = [], [], []
+                for row_id, text in zip(pdf[id_col], pdf[text_col]):
+                    tk = [t for t in ws.split(text) if t] if text is not None else []
+                    for i in range(len(tk) - ngram + 1):
+                        g = " ".join(tk[i : i + ngram])
+                        ids.append(row_id)
+                        ps.append(i + 1)  # 1-based, matches generate_series
+                        hs.append(int(hashlib.md5(g.encode()).hexdigest()[:14], 16))
+                yield pd.DataFrame({id_col: ids, "_pos": ps, "_h": hs})
+
+        grams = df.select(F.col(id_col), F.col(text_col)).mapInPandas(
+            gen, f"{id_col} {id_ddl}, _pos bigint, _h bigint"
+        )
+    else:
+        grams = df.select(
+            F.col(id_col),
+            F.posexplode(word_ngrams(toks, ngram)).alias("_i", "_g"),
+        ).select(
+            F.col(id_col),
+            (F.col("_i") + 1).cast("bigint").alias("_pos"),  # 1-based
+            md5_long(F.col("_g")).alias("_h"),
+        )
     dup = (
         grams.withColumn("_c", F.count("*").over(Window.partitionBy("_h")))
         .filter(F.col("_c") >= 2)

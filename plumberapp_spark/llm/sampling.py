@@ -225,6 +225,7 @@ def dsir_importance(
     id_col: str = "doc_id",
     n_buckets: int = 8192,
     seed: int = 7,
+    vectorized: bool = True,
 ) -> DataFrame:
     """DSIR data selection (Xie et al. 2023, "Data Selection for
     Language Models via Importance Resampling"): score every corpus doc
@@ -245,21 +246,69 @@ def dsir_importance(
     corpus-sized exchange is the per-doc partial-sum aggregate — one row
     per doc after map-side combine, never the feature stream. Hashing is
     md5-keyed, so the DuckDB oracle reproduces buckets bit-for-bit.
+
+    ``vectorized=True`` (default) generates each side's (id, bucket,
+    count) rows in one Arrow pass — tokenize + bigram + hash + per-doc
+    Counter in Python — instead of the interpreted transform-lambda +
+    explode + per-feature md5 expression chain (the decontaminate
+    measurement class: ~4x at sf0.1, growing with scale); the expression
+    form remains the oracle-parity definition.
     """
     from plumberapp_spark.functions.hashing import stable_bucket
     from plumberapp_spark.functions.text import tokenize, word_ngrams
 
     def _features(frame: DataFrame, with_id: bool) -> DataFrame:
-        toks = tokenize(F.coalesce(F.col(text_col), F.lit("")))
-        feats = F.explode(F.concat(toks, word_ngrams(toks, 2))).alias("_f")
-        cols = [F.col(id_col), feats] if with_id else [feats]
-        return frame.select(*cols).select(
-            *([F.col(id_col)] if with_id else []),
-            stable_bucket(F.col("_f"), n_buckets, seed).alias("_b"),
-        )
+        if not vectorized:
+            toks = tokenize(F.coalesce(F.col(text_col), F.lit("")))
+            feats = F.explode(F.concat(toks, word_ngrams(toks, 2))).alias("_f")
+            cols = [F.col(id_col), feats] if with_id else [feats]
+            return frame.select(*cols).select(
+                *([F.col(id_col)] if with_id else []),
+                stable_bucket(F.col("_f"), n_buckets, seed).alias("_b"),
+                F.lit(1).cast("bigint").alias("_c"),
+            )
+
+        import hashlib
+        from collections import Counter
+
+        import pandas as pd
+
+        from plumberapp_spark.functions.text import WS_SPLIT as ws
+
+        pre = f"s{seed}:"
+        id_ddl = frame.schema[id_col].dataType.simpleString()
+
+        def gen(batches):
+            for pdf in batches:
+                ids, bs, cs = [], [], []
+                rows = (
+                    zip(pdf[id_col], pdf[text_col])
+                    if with_id
+                    else ((None, t) for t in pdf[text_col])
+                )
+                for row_id, text in rows:
+                    toks = [t for t in ws.split(text) if t] if text is not None else []
+                    feats = toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+                    counts = Counter(
+                        int(hashlib.md5((pre + f).encode()).hexdigest()[:14], 16)
+                        % n_buckets
+                        for f in feats
+                    )
+                    for b, n in counts.items():
+                        ids.append(row_id)
+                        bs.append(b)
+                        cs.append(n)
+                out = {"_b": bs, "_c": cs}
+                if with_id:
+                    out = {id_col: ids, **out}
+                yield pd.DataFrame(out)
+
+        schema = (f"{id_col} {id_ddl}, " if with_id else "") + "_b bigint, _c bigint"
+        cols = [id_col, text_col] if with_id else [text_col]
+        return frame.select(*cols).mapInPandas(gen, schema)
 
     def _dist(feats: DataFrame, name: str, tot_name: str):
-        cnt = feats.groupBy("_b").agg(F.count("*").alias("_c"))
+        cnt = feats.groupBy("_b").agg(F.sum("_c").alias("_c"))
         # the total is the n_buckets-row aggregate re-aggregated — its
         # subplan is identical to cnt's, so Catalyst reuses the exchange
         # instead of re-scanning the corpus
@@ -282,6 +331,7 @@ def dsir_importance(
         .crossJoin(F.broadcast(tgt_tot))
         .select(
             F.col(id_col),
+            F.col("_c"),
             (
                 F.coalesce(F.col("_lt"), F.log(1.0 / (F.col("_tt") + n_buckets)))
                 - F.coalesce(F.col("_lr"), F.log(1.0 / (F.col("_rt") + n_buckets)))
@@ -289,8 +339,10 @@ def dsir_importance(
         )
         .groupBy(id_col)
         .agg(
-            F.count("*").cast("bigint").alias("n_features"),
-            F.round(F.avg("_ratio"), 6).alias("mean_log_ratio"),
+            F.sum("_c").cast("bigint").alias("n_features"),
+            F.round(F.sum(F.col("_c") * F.col("_ratio")) / F.sum("_c"), 6).alias(
+                "mean_log_ratio"
+            ),
         )
     )
     return (

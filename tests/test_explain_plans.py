@@ -220,15 +220,29 @@ def test_decontamination_broadcasts_benchmark_side(spark):
 
 
 def test_bloom_decontamination_never_shuffles_corpus(spark):
-    """q81's whole point: the corpus meets the Bloom sketch in a one-row
-    broadcast join — no exchange in the plan is keyed on the corpus (the
-    only exchanges are the benchmark-side position distinct + the
-    single-row sketch aggregate), and no corpus doc_id partitioning
-    exists anywhere."""
+    """q81's whole point: the corpus pass is scan -> Arrow probe ->
+    project with the bitset in the closure — ZERO exchanges of any kind
+    (the eval-sized position collect happens before the plan runs)."""
     plan = formatted_plan(build(spark, "q81_bloom_decontamination"))
+    assert ") Exchange" not in plan
+    assert "hashpartitioning(doc_id" not in plan
+
+
+def test_bloom_expression_route_broadcasts_sketch(spark):
+    """The lazy oracle-parity form (vectorized=False): the corpus meets
+    the one-row sketch in a broadcast join; no exchange keyed on the
+    corpus; membership test pure codegen-side (no Python)."""
+    from plumberapp_spark.llm.dedup import bloom_decontaminate
+    from plumberapp_spark.session import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    bench = docs.filter("doc_id % 100 = 0")
+    plan = formatted_plan(
+        bloom_decontaminate(docs, bench, n_bits=1 << 18, n_hashes=3, vectorized=False)
+    )
     assert "BroadcastNestedLoopJoin" in plan  # the one-row sketch join
     assert "hashpartitioning(doc_id" not in plan
-    assert "BatchEvalPython" not in plan  # membership test is pure codegen
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
 
 
 def test_duplicate_spans_exchange_is_digest_width(spark):

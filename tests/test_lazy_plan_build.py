@@ -48,6 +48,9 @@ EAGER_ALLOWED = {
     # q79 scores via unigram_logprob_score, so it inherits q77's bounded
     # vocabulary collect (plus its route-probe stats lookups)
     "q79_perplexity_buckets": "vocab_size-row vocabulary collect (q77 contract)",
+    # Bloom sketch: the eval-set-sized position collect builds the bitset
+    # shipped in the Arrow prober's closure (same bounded contract)
+    "q81_bloom_decontamination": "position-set collect (bounded eval-set contract)",
     # Structured Streaming queries start and drain their micro-batches
     "q52_streaming_window_counts": "micro-batch execution is the query",
     "q55_stateful_rate_monitor": "micro-batch execution is the query",

@@ -69,6 +69,23 @@ def test_bloom_tiny_filter_forces_false_positives(spark):
     assert exact < bloom
 
 
+def test_bloom_vectorized_matches_expression_route(spark):
+    """The Arrow-probe fast path and the lazy expression form are the
+    same function: identical (id, count, flag) rows."""
+    docs = _docs(spark).limit(150)
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    kw = dict(ngram=5, n_bits=1 << 16, n_hashes=3)
+    fast = {
+        r["doc_id"]: (r["n_flagged_ngrams"], r["flagged"])
+        for r in bloom_decontaminate(docs, bench, vectorized=True, **kw).collect()
+    }
+    lazy = {
+        r["doc_id"]: (r["n_flagged_ngrams"], r["flagged"])
+        for r in bloom_decontaminate(docs, bench, vectorized=False, **kw).collect()
+    }
+    assert fast == lazy
+
+
 def test_bloom_empty_benchmark_flags_nothing(spark):
     docs = _docs(spark).limit(50)
     bench = docs.filter(F.lit(False))
@@ -268,3 +285,24 @@ def test_streaming_bloom_dedup_drops_planted_duplicates(spark, tmp_path):
     assert not any(out[100 + i] for i in range(10)), "a re-delivery survived"
     # 30 docs x 3 bits in 4x16384 cells: false positives ~impossible here
     assert all(out[i] for i in range(20))
+
+
+def test_duplicate_spans_vectorized_matches_expression_route(spark):
+    docs = _docs(spark).limit(200)
+    fast = {r["doc_id"]: r for r in duplicate_spans(docs, ngram=6, vectorized=True).collect()}
+    lazy = {r["doc_id"]: r for r in duplicate_spans(docs, ngram=6, vectorized=False).collect()}
+    assert fast == lazy
+
+
+def test_dsir_vectorized_matches_expression_route(spark):
+    docs = _docs(spark).limit(200)
+    target = docs.filter(F.col("lang") == "en")
+    fast = {
+        r["doc_id"]: r
+        for r in dsir_importance(docs, target, n_buckets=2048, vectorized=True).collect()
+    }
+    lazy = {
+        r["doc_id"]: r
+        for r in dsir_importance(docs, target, n_buckets=2048, vectorized=False).collect()
+    }
+    assert fast == lazy
