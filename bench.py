@@ -112,6 +112,15 @@ PRIMARY_INPUT = {
     "q75_pii_redaction": "documents",
     "q76_line_dedup": "documents",
     "q77_unigram_logprob": "documents",
+    "q78_lp_bandwidth_bound": "events",
+    "q79_perplexity_buckets": "documents",
+    "q80_tfidf_search": "documents",
+    "q81_bloom_decontamination": "documents",
+    "q82_domain_mixture": "documents",
+    "q83_bm25_search": "documents",
+    "q84_duplicate_spans": "documents",
+    "q85_dsir_selection": "documents",
+    "q86_streaming_bloom_dedup": "documents",
 }
 
 RATE_TABLES = ("lineitem", "orders", "events", "documents", "embeddings", "customer")
