@@ -1340,3 +1340,105 @@ def bm25_topk(
             F.col("rank").cast("bigint").alias("rank"),
         )
     )
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram: int = 8,
+) -> DataFrame:
+    """The removal transform behind :func:`duplicate_spans`'s statistics
+    — Lee et al. 2022's ExactSubstr DEDUPLICATION at ``ngram``-token
+    resolution: every duplicated gram occurrence except its global first
+    (min doc id, then min position within that doc) is removed, i.e. the
+    tokens its positions cover are cut from the text. Overlap caveat
+    (same as the paper's span cuts): a token covered by both a kept
+    first occurrence and a removable occurrence is still cut.
+
+    Output: ``(id, clean_text, n_tokens, n_removed)`` for EVERY corpus
+    doc (clean docs pass through, empty docs yield '').
+
+    Scale shape: gram occurrences cross one constant-width digest
+    exchange where windowed count/min aggregates mark removable
+    positions in place (no count join); removable positions explode into
+    a (doc, token-index) removal set whose size is bounded by
+    ngram x duplicated positions; the rebuild joins that skinny set back
+    to the corpus text (one text exchange — proportionate, since this
+    operator REWRITES the corpus) and cuts tokens in one Arrow pass.
+    """
+    import hashlib
+
+    import pandas as pd
+
+    from plumberapp_spark.functions.text import WS_SPLIT as ws
+
+    id_ddl = df.schema[id_col].dataType.simpleString()
+
+    def gen(batches):
+        for pdf in batches:
+            ids, ps, hs = [], [], []
+            for row_id, text in zip(pdf[id_col], pdf[text_col]):
+                tk = [t for t in ws.split(text) if t] if text is not None else []
+                for i in range(len(tk) - ngram + 1):
+                    g = " ".join(tk[i : i + ngram])
+                    ids.append(row_id)
+                    ps.append(i + 1)  # 1-based
+                    hs.append(int(hashlib.md5(g.encode()).hexdigest()[:14], 16))
+            yield pd.DataFrame({id_col: ids, "_pos": ps, "_h": hs})
+
+    grams = df.select(F.col(id_col), F.col(text_col)).mapInPandas(
+        gen, f"{id_col} {id_ddl}, _pos bigint, _h bigint"
+    )
+    w_h = Window.partitionBy("_h")
+    marked = (
+        grams.withColumn("_occ", F.count("*").over(w_h))
+        .withColumn("_fd", F.min(id_col).over(w_h))
+        .withColumn(
+            "_fp",
+            F.min(F.when(F.col(id_col) == F.col("_fd"), F.col("_pos"))).over(w_h),
+        )
+    )
+    removable = marked.filter(
+        (F.col("_occ") >= 2)
+        & ~((F.col(id_col) == F.col("_fd")) & (F.col("_pos") == F.col("_fp")))
+    )
+    rem_sets = (
+        removable.select(
+            F.col(id_col),
+            F.explode(F.sequence(F.col("_pos"), F.col("_pos") + (ngram - 1))).alias(
+                "_ridx"
+            ),
+        )
+        .groupBy(id_col)
+        .agg(F.collect_set("_ridx").alias("_rem"))
+    )
+
+    def rebuild(batches):
+        for pdf in batches:
+            ids, cleans, n_toks, n_rems = [], [], [], []
+            for row_id, text, rem in zip(pdf[id_col], pdf[text_col], pdf["_rem"]):
+                tk = [t for t in ws.split(text) if t] if text is not None else []
+                cut = set(int(i) for i in rem) if rem is not None else set()
+                kept = [t for i, t in enumerate(tk, 1) if i not in cut]
+                ids.append(row_id)
+                cleans.append(" ".join(kept))
+                n_toks.append(len(tk))
+                n_rems.append(len(tk) - len(kept))
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "clean_text": cleans,
+                    "n_tokens": n_toks,
+                    "n_removed": n_rems,
+                }
+            )
+
+    return (
+        df.select(F.col(id_col), F.col(text_col))
+        .join(rem_sets, id_col, "left")
+        .mapInPandas(
+            rebuild,
+            f"{id_col} {id_ddl}, clean_text string, n_tokens bigint, n_removed bigint",
+        )
+    )

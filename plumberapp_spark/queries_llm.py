@@ -1513,3 +1513,54 @@ def q85_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return dsir_importance(docs, docs.filter(F.col("lang") == "en"), n_buckets=4096, seed=7)
+
+
+@register(
+    "q87_remove_duplicate_spans",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+         g AS (SELECT doc_id,
+                      unnest(generate_series(1, len(toks) - 7)) AS pos,
+                      unnest(list_transform(generate_series(1, len(toks) - 7),
+                             i -> array_to_string(toks[i:i+7], ' '))) AS gram
+               FROM t),
+         hsh AS (SELECT doc_id, pos,
+                        ('0x' || substr(md5(gram), 1, 14))::BIGINT AS h
+                 FROM g),
+         f AS (SELECT h AS hh, count(*) AS occ, min(doc_id) AS fd FROM hsh GROUP BY 1),
+         fp AS (SELECT hsh.h AS hh, min(hsh.pos) AS fp
+                FROM hsh JOIN f ON hsh.h = f.hh AND hsh.doc_id = f.fd GROUP BY 1),
+         rem AS (SELECT hsh.doc_id, hsh.pos
+                 FROM hsh JOIN f ON hsh.h = f.hh JOIN fp ON hsh.h = fp.hh
+                 WHERE f.occ >= 2 AND NOT (hsh.doc_id = f.fd AND hsh.pos = fp.fp)),
+         ridx AS (SELECT DISTINCT doc_id, pos + j AS idx
+                  FROM rem, generate_series(0, 7) AS gs(j)),
+         tok AS (SELECT doc_id,
+                        unnest(generate_series(1, len(toks))) AS idx,
+                        unnest(toks) AS tk
+                 FROM t),
+         clean AS (SELECT tok.doc_id,
+                          string_agg(CASE WHEN ridx.idx IS NULL THEN tk END,
+                                     ' ' ORDER BY tok.idx) AS clean_text,
+                          count(*) AS n_tokens,
+                          count(ridx.idx) AS n_removed
+                   FROM tok LEFT JOIN ridx
+                     ON tok.doc_id = ridx.doc_id AND tok.idx = ridx.idx
+                   GROUP BY 1)
+    SELECT d.doc_id,
+           coalesce(c.clean_text, '') AS clean_text,
+           coalesce(c.n_tokens, 0)::BIGINT AS n_tokens,
+           coalesce(c.n_removed, 0)::BIGINT AS n_removed
+    FROM documents d LEFT JOIN clean c USING (doc_id)
+    """,
+)
+def q87_remove_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ExactSubstr REMOVAL transform (round 6; q84 gives the
+    statistics, this rewrites the corpus): every duplicated 8-gram
+    occurrence except its global first (min doc, then min position) is
+    cut from the text. One digest exchange with windowed count/min
+    marking removable positions in place; the skinny (doc, token-index)
+    removal set joins back to the text for a one-pass Arrow rebuild."""
+    from plumberapp_spark.llm.dedup import remove_duplicate_spans
+
+    return remove_duplicate_spans(load_table(spark, sf_dir, "documents"), ngram=8)

@@ -306,3 +306,33 @@ def test_dsir_vectorized_matches_expression_route(spark):
         for r in dsir_importance(docs, target, n_buckets=2048, vectorized=False).collect()
     }
     assert fast == lazy
+
+
+# ------------------------------------------------------------------
+# Duplicate-span removal
+# ------------------------------------------------------------------
+
+
+def test_remove_duplicate_spans_keeps_first_occurrence(spark):
+    from plumberapp_spark.llm.dedup import remove_duplicate_spans
+
+    text = "a b c d e f g h i j"
+    rows = [(0, text), (1, text), (2, "p q r s t u v w x y")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in remove_duplicate_spans(df, ngram=4).collect()}
+    assert out[0]["clean_text"] == text and out[0]["n_removed"] == 0
+    assert out[1]["clean_text"] == "" and out[1]["n_removed"] == 10
+    assert out[2]["clean_text"] == rows[2][1] and out[2]["n_removed"] == 0
+
+
+def test_remove_duplicate_spans_partial_overlap(spark):
+    from plumberapp_spark.llm.dedup import remove_duplicate_spans
+
+    # doc1 repeats only doc0's middle run; the unique flanks survive
+    shared = "s1 s2 s3 s4 s5 s6"
+    rows = [(0, f"a1 a2 {shared} a3 a4"), (1, f"b1 b2 {shared} b3 b4")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in remove_duplicate_spans(df, ngram=4).collect()}
+    assert out[0]["n_removed"] == 0  # first occurrence kept whole
+    assert out[1]["clean_text"] == "b1 b2 b3 b4"
+    assert out[1]["n_removed"] == 6
