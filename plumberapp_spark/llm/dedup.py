@@ -315,6 +315,39 @@ def _signature_arrays(
     )
 
 
+def _band_stack(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_perm: int,
+    bands: int,
+    ngram: int,
+) -> DataFrame:
+    """(id, band_key) rows: one md5 band digest per band per doc, NULL
+    signatures (fewer than ``ngram`` tokens) dropped before banding —
+    the shared front half of every LSH variant."""
+    if num_perm % bands != 0:
+        raise ValueError(
+            f"num_perm ({num_perm}) must be divisible by bands ({bands}): "
+            "trailing permutations would be paid for but never banded"
+        )
+    rows_per_band = num_perm // bands
+    sig = _signature_arrays(df, text_col, id_col, num_perm, ngram).filter(
+        F.col("_sig").isNotNull()
+    )
+    band_cols = []
+    for b in range(bands):
+        parts = [
+            F.col("_sig")[b * rows_per_band + r].cast("string") for r in range(rows_per_band)
+        ]
+        band_cols.append(F.md5(F.concat_ws("_", F.lit(str(b)), *parts)).alias(f"band_{b}"))
+    banded = sig.select(F.col(id_col), *band_cols)
+    return banded.select(
+        F.col(id_col),
+        F.explode(F.array(*[F.col(f"band_{b}") for b in range(bands)])).alias("band_key"),
+    )
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     text_col: str,
@@ -340,26 +373,7 @@ def minhash_lsh_candidates(
     sorted bucket id set — an explicit recall-for-boundedness trade for
     boilerplate-text corpora, off by default so results stay oracle-exact.
     """
-    if num_perm % bands != 0:
-        raise ValueError(
-            f"num_perm ({num_perm}) must be divisible by bands ({bands}): "
-            "trailing permutations would be paid for but never banded"
-        )
-    rows_per_band = num_perm // bands
-    sig = _signature_arrays(df, text_col, id_col, num_perm, ngram).filter(
-        F.col("_sig").isNotNull()
-    )
-    band_cols = []
-    for b in range(bands):
-        parts = [
-            F.col("_sig")[b * rows_per_band + r].cast("string") for r in range(rows_per_band)
-        ]
-        band_cols.append(F.md5(F.concat_ws("_", F.lit(str(b)), *parts)).alias(f"band_{b}"))
-    banded = sig.select(F.col(id_col), *band_cols)
-    stacked = banded.select(
-        F.col(id_col),
-        F.explode(F.array(*[F.col(f"band_{b}") for b in range(bands)])).alias("band_key"),
-    )
+    stacked = _band_stack(df, text_col, id_col, num_perm, bands, ngram)
     # Bucket-then-pair instead of a band-key self-join: a self-join would
     # execute the (expensive) signature lineage twice and shuffle both
     # sides; grouping runs it once, and pairs are generated row-locally
@@ -1442,3 +1456,86 @@ def remove_duplicate_spans(
             f"{id_col} {id_ddl}, clean_text string, n_tokens bigint, n_removed bigint",
         )
     )
+
+
+def minhash_lsh_against(
+    new: DataFrame,
+    ingested: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 8,
+    bands: int = 4,
+    ngram: int = 3,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Cross-corpus LSH: near-dup candidate pairs between a NEW batch and
+    an already-ingested corpus — the fuzzy sibling of :func:`dedup_against`
+    (which catches only exact digests) and the incremental-ingestion
+    counterpart of :func:`minhash_lsh_candidates`. Only cross-side pairs
+    are emitted: new-vs-new and ingested-vs-ingested collisions are not
+    this operator's business.
+
+    Returns distinct ``(new_id, ingested_id)`` rows.
+
+    Scale shape: both sides reduce to (id, band-digest) rows that meet in
+    ONE band-key groupBy (the signature lineages run once per side, the
+    exchange payload is fixed-width digests), and pairs are generated
+    row-locally inside each bucket as the bounded cross product of the
+    bucket's per-side id sets — no self-join, nothing quadratic outside a
+    bucket. Run exact :func:`dedup_against` first on duplicate-heavy
+    batches (the dedup_then_lsh composition law); ``max_bucket_size``
+    truncates both per-side sets for boilerplate buckets.
+    """
+    stacked = _band_stack(new, text_col, id_col, num_perm, bands, ngram).select(
+        F.col(id_col), "band_key", F.lit(True).alias("_is_new")
+    ).unionByName(
+        _band_stack(ingested, text_col, id_col, num_perm, bands, ngram).select(
+            F.col(id_col), "band_key", F.lit(False).alias("_is_new")
+        )
+    )
+    buckets = (
+        stacked.groupBy("band_key")
+        .agg(
+            F.sort_array(
+                F.collect_set(F.when(F.col("_is_new"), F.col(id_col)))
+            ).alias("_new_ids"),
+            F.sort_array(
+                F.collect_set(F.when(~F.col("_is_new"), F.col(id_col)))
+            ).alias("_ing_ids"),
+        )
+        .filter((F.size("_new_ids") > 0) & (F.size("_ing_ids") > 0))
+    )
+    if max_bucket_size is not None:
+        buckets = buckets.withColumn(
+            "_new_ids", F.slice("_new_ids", 1, max_bucket_size)
+        ).withColumn("_ing_ids", F.slice("_ing_ids", 1, max_bucket_size))
+    pair = F.explode(
+        F.flatten(
+            F.transform(
+                F.col("_new_ids"),
+                lambda n: F.transform(
+                    F.col("_ing_ids"),
+                    lambda i: F.struct(n.alias("new_id"), i.alias("ingested_id")),
+                ),
+            )
+        )
+    )
+    return buckets.select(pair.alias("p")).select("p.new_id", "p.ingested_id").distinct()
+
+
+def dedup_against_fuzzy(
+    new: DataFrame,
+    ingested: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 8,
+    bands: int = 4,
+    ngram: int = 3,
+) -> DataFrame:
+    """NEW docs surviving fuzzy incremental dedup: anti-join against the
+    :func:`minhash_lsh_against` candidate set (compose after the exact
+    :func:`dedup_against` pass for the full ingestion gate)."""
+    hits = minhash_lsh_against(
+        new, ingested, text_col, id_col, num_perm, bands, ngram
+    ).select(F.col("new_id").alias(id_col))
+    return new.join(hits, id_col, "left_anti")

@@ -1564,3 +1564,39 @@ def q87_remove_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     from plumberapp_spark.llm.dedup import remove_duplicate_spans
 
     return remove_duplicate_spans(load_table(spark, sf_dir, "documents"), ngram=8)
+
+
+@register(
+    "q88_incremental_fuzzy_dedup",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+         s AS (SELECT doc_id, list_distinct({_ngrams('toks', 3)}) AS sh FROM t),
+         hs AS (SELECT doc_id,
+                list_transform(sh, s -> ('0x' || substr(md5(s), 1, 14))::BIGINT) AS h FROM s),
+         sig AS (SELECT doc_id,
+           {",".join(f'''
+           list_min(list_transform(h, x -> (x * {2 * p + 1} + {p * 0x9E3779B9}) % 2305843009213693951)) AS mh_{p}''' for p in range(8))}
+         FROM hs),
+         band AS (SELECT doc_id,
+           {",".join(f'''
+           md5(concat_ws('_', '{b}', mh_{2 * b}::VARCHAR, mh_{2 * b + 1}::VARCHAR)) AS band_{b}''' for b in range(4))}
+         FROM sig WHERE mh_0 IS NOT NULL),
+         stack AS (SELECT doc_id, unnest([band_0, band_1, band_2, band_3]) AS band_key FROM band)
+    SELECT DISTINCT n.doc_id AS new_id, i.doc_id AS ingested_id
+    FROM stack n JOIN stack i USING (band_key)
+    WHERE n.doc_id % 3 != 0 AND i.doc_id % 3 = 0
+    """,
+)
+def q88_incremental_fuzzy_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy incremental ingestion dedup (round 6): the 'new' slice
+    (doc_id % 3 != 0) LSH-checked against everything already ingested —
+    q68's exact digest anti-join catches re-deliveries; this catches the
+    near-duplicates it misses. Both sides reduce to fixed-width band
+    digests meeting in one groupBy; pairs are generated row-locally as
+    the per-bucket cross product of the two sides' id sets."""
+    from plumberapp_spark.llm.dedup import minhash_lsh_against
+
+    docs = load_table(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") % 3 != 0)
+    ingested = docs.filter(F.col("doc_id") % 3 == 0)
+    return minhash_lsh_against(new, ingested, "text", "doc_id", num_perm=8, bands=4, ngram=3)

@@ -336,3 +336,39 @@ def test_remove_duplicate_spans_partial_overlap(spark):
     assert out[0]["n_removed"] == 0  # first occurrence kept whole
     assert out[1]["clean_text"] == "b1 b2 b3 b4"
     assert out[1]["n_removed"] == 6
+
+
+# ------------------------------------------------------------------
+# Incremental fuzzy dedup
+# ------------------------------------------------------------------
+
+
+def test_fuzzy_dedup_against_consistency(spark):
+    """Cross-side pairs = whole-corpus LSH pairs restricted to the split;
+    survivors = new minus flagged new ids."""
+    from plumberapp_spark.llm.dedup import (
+        dedup_against_fuzzy,
+        minhash_lsh_against,
+        minhash_lsh_candidates,
+    )
+
+    docs = _docs(spark)
+    new = docs.filter(F.col("doc_id") % 3 != 0)
+    ingested = docs.filter(F.col("doc_id") % 3 == 0)
+    cross = {
+        (r["new_id"], r["ingested_id"])
+        for r in minhash_lsh_against(new, ingested).collect()
+    }
+    whole = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_candidates(docs, "text", "doc_id").collect()
+    }
+    expected = {
+        (a, b) for a, b in ((a, b) if a % 3 != 0 else (b, a) for a, b in whole)
+        if a % 3 != 0 and b % 3 == 0
+    }
+    assert cross == expected
+    survivors = {r["doc_id"] for r in dedup_against_fuzzy(new, ingested).collect()}
+    flagged = {a for a, _ in cross}
+    new_ids = {r["doc_id"] for r in new.select("doc_id").collect()}
+    assert survivors == new_ids - flagged
