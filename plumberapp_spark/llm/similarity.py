@@ -1098,3 +1098,205 @@ def semantic_dedup(
     return cells.groupBy("cell").applyInPandas(
         dedup_cell, f"{id_col} {id_ddl}, cell {id_ddl}, kept boolean"
     )
+
+
+def build_ivf_index(
+    corpus: DataFrame,
+    path: str,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize an IVF index on disk: ``{path}/centroids`` (n rows)
+    plus ``{path}/cells`` — the corpus with its argmax-cosine cell
+    assignment, PARTITIONED BY the cell — so that a later
+    :func:`ivf_topk_indexed` probe reads only the probed cells'
+    partitions: ``nprobe / n_centroids`` of the corpus touches IO,
+    enforced by parquet partition pruning rather than a runtime filter.
+    This is the index-once-query-many serving contract (the ANN
+    counterpart of ``sources.bucketing.ensure_bucketed_tables``).
+
+    Assignment rule is bit-identical to :func:`ivf_topk`'s (argmax of
+    round-6 cosines over the c_id-ascending centroid matrix, ties to the
+    first/smaller id), so the indexed search returns exactly what the
+    direct operator returns."""
+    import numpy as np
+    import pandas as pd
+
+    spark = corpus.sparkSession
+    narrow = corpus.select(F.col(id_col), F.col(vec_col))
+    cent_rows = (
+        narrow.orderBy(F.md5(F.col(id_col).cast("string")), id_col)
+        .limit(n_centroids)
+        .collect()
+    )
+    order = np.argsort(np.array([r[0] for r in cent_rows]))
+    c_mat = np.array([list(cent_rows[i][1]) for i in order], dtype=np.float64)
+    c_norm = np.sqrt((c_mat * c_mat).sum(axis=1))
+    spark.createDataFrame(
+        [cent_rows[i] for i in order], schema=narrow.schema
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+
+    bc = spark.sparkContext.broadcast((c_mat, c_norm))
+    id_ddl = corpus.schema[id_col].dataType.simpleString()
+    vec_ddl = corpus.schema[vec_col].dataType.simpleString()
+
+    def assign(batches):
+        c_mat_, c_norm_ = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vecs = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            v_norm = np.sqrt((vecs * vecs).sum(axis=1))
+            denom = v_norm[:, None] * c_norm_[None, :]
+            sims = np.zeros((vecs.shape[0], c_mat_.shape[0]))
+            np.divide(vecs @ c_mat_.T, denom, out=sims, where=denom > 0)
+            cells = np.argmax(np.round(sims, 6), axis=1)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    vec_col: pdf[vec_col],
+                    "_cell": cells.astype("int32"),
+                }
+            )
+
+    narrow.mapInPandas(
+        assign, f"{id_col} {id_ddl}, {vec_col} {vec_ddl}, _cell int"
+    ).write.partitionBy("_cell").mode("overwrite").parquet(f"{path}/cells")
+
+
+def ensure_ivf_index(
+    spark,
+    sf_dir: str,
+    table: str = "embeddings",
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """Build-once path contract for :func:`build_ivf_index`, keyed like
+    ``sources.bucketing.bucketed_name``: the index lives under the
+    session warehouse as ``ivf_{table}_{sfdir}_{n}`` and is rebuilt only
+    if its cells' ``_SUCCESS`` marker is missing."""
+    import os
+    import re
+    from urllib.parse import urlparse
+
+    from plumberapp_spark.session import load_table
+
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", "")).path or "spark-warehouse"
+    tag = re.sub(r"[^0-9A-Za-z]+", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1])
+    path = os.path.join(wh, f"ivf_{table}_{tag}_{n_centroids}")
+    if not os.path.exists(os.path.join(path, "cells", "_SUCCESS")):
+        build_ivf_index(
+            load_table(spark, sf_dir, table), path, n_centroids, id_col, vec_col
+        )
+    return path
+
+
+def ivf_topk_indexed(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    max_broadcast_queries: int = 100_000,
+) -> DataFrame:
+    """IVF search over a :func:`build_ivf_index` on-disk index:
+    output-identical to :func:`ivf_topk` on the same corpus/params, but
+    the corpus scan touches ONLY the probed cells' parquet partitions
+    (partition pruning on ``_cell``) — at 100 TB with n_centroids sized
+    to the cluster that is the difference between scanning everything
+    per query batch and scanning ``nprobe/n_centroids`` of it."""
+    import numpy as np
+    import pandas as pd
+
+    def _cos_matrix(a, a_norm, b, b_norm):
+        denom = a_norm[:, None] * b_norm[None, :]
+        out = np.zeros((a.shape[0], b.shape[0]))
+        np.divide(a @ b.T, denom, out=out, where=denom > 0)
+        return np.round(out, 6)
+
+    cent_rows = spark.read.parquet(f"{path}/centroids").collect()
+    order = np.argsort(np.array([r[0] for r in cent_rows]))
+    c_mat = np.array([list(cent_rows[i][1]) for i in order], dtype=np.float64)
+    c_norm = np.sqrt((c_mat * c_mat).sum(axis=1))
+
+    q_rows = (
+        queries.select(F.col(id_col), F.col(vec_col))
+        .limit(max_broadcast_queries + 1)
+        .collect()
+    )
+    if len(q_rows) > max_broadcast_queries:
+        raise ValueError(
+            f"ivf_topk_indexed: query side exceeds the broadcastable contract "
+            f"(> {max_broadcast_queries} rows); swap sides or pre-partition"
+        )
+    q_ids = np.array([r[0] for r in q_rows])
+    q_mat = np.array([list(r[1]) for r in q_rows], dtype=np.float64)
+    q_norm = np.sqrt((q_mat * q_mat).sum(axis=1))
+
+    q_cell_sims = _cos_matrix(q_mat, q_norm, c_mat, c_norm)
+    cell_to_qpos: dict = {}
+    for qi in range(len(q_ids)):
+        for ci in np.argsort(-q_cell_sims[qi], kind="stable")[:nprobe]:
+            cell_to_qpos.setdefault(int(ci), []).append(qi)
+    probed = sorted(cell_to_qpos)
+
+    cells_df = spark.read.parquet(f"{path}/cells").filter(
+        F.col("_cell").isin([int(c) for c in probed])
+    )
+    bc = spark.sparkContext.broadcast((q_mat, q_norm, q_ids, cell_to_qpos))
+    id_ddl = cells_df.schema[id_col].dataType.simpleString()
+    out_schema = f"{query_id_col} {id_ddl}, neighbor_id {id_ddl}, cos_sim double"
+
+    def search(batches):
+        q_mat_, q_norm_, q_ids_, cell_to_qpos_ = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vecs = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            ids = pdf[id_col].to_numpy()
+            v_norm = np.sqrt((vecs * vecs).sum(axis=1))
+            cells = pdf["_cell"].to_numpy()
+            out_q, out_n, out_s = [], [], []
+            for ci, qpos in cell_to_qpos_.items():
+                rows = np.nonzero(cells == ci)[0]
+                if not len(rows):
+                    continue
+                sims = _cos_matrix(vecs[rows], v_norm[rows], q_mat_[qpos], q_norm_[qpos])
+                for j, qi in enumerate(qpos):
+                    mask = ids[rows] != q_ids_[qi]
+                    cand_ids = ids[rows][mask]
+                    cand_sims = sims[:, j][mask]
+                    if not len(cand_ids):
+                        continue
+                    top = np.lexsort((cand_ids, -cand_sims))[:k]
+                    out_q.append(np.full(len(top), q_ids_[qi]))
+                    out_n.append(cand_ids[top])
+                    out_s.append(cand_sims[top])
+            if out_q:
+                yield pd.DataFrame(
+                    {
+                        query_id_col: np.concatenate(out_q),
+                        "neighbor_id": np.concatenate(out_n),
+                        "cos_sim": np.concatenate(out_s),
+                    }
+                )
+
+    partial = cells_df.mapInPandas(search, out_schema)
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            query_id_col,
+            "neighbor_id",
+            "cos_sim",
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+    )

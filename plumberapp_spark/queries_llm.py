@@ -1600,3 +1600,54 @@ def q88_incremental_fuzzy_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     new = docs.filter(F.col("doc_id") % 3 != 0)
     ingested = docs.filter(F.col("doc_id") % 3 == 0)
     return minhash_lsh_against(new, ingested, "text", "doc_id", num_perm=8, bands=4, ngram=3)
+
+
+@register(
+    "q89_ivf_indexed_topk",
+    # identical result contract to q54 (same centroids/assignment/probe/
+    # re-rank rules), so the oracle is q54's verbatim — what changes is
+    # WHERE the corpus comes from: a persisted, cell-partitioned index
+    oracle="""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         cent AS (SELECT vec_id AS c_id, e AS ce FROM v
+                  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+         sim AS (SELECT v.vec_id, cent.c_id,
+                        round(list_dot_product(v.e, cent.ce) /
+                              (sqrt(list_dot_product(v.e, v.e)) * sqrt(list_dot_product(cent.ce, cent.ce))), 6) AS s
+                 FROM v CROSS JOIN cent),
+         ranked AS (SELECT vec_id, c_id,
+                           row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, c_id) AS rn
+                    FROM sim),
+         vc AS (SELECT vec_id, c_id AS cell FROM ranked WHERE rn = 1),
+         qc AS (SELECT vec_id AS query_id, c_id AS cell FROM ranked
+                WHERE rn <= 2 AND vec_id % 50 = 0),
+         cand AS (SELECT qc.query_id, vc.vec_id AS neighbor_id
+                  FROM vc JOIN qc ON vc.cell = qc.cell
+                  WHERE vc.vec_id != qc.query_id),
+         scored AS (SELECT cand.query_id, cand.neighbor_id,
+                           round(list_dot_product(a.e, b.e) /
+                                 (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 6) AS cos_sim
+                    FROM cand
+                    JOIN v a ON a.vec_id = cand.query_id
+                    JOIN v b ON b.vec_id = cand.neighbor_id),
+         out AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+                 FROM scored)
+    SELECT query_id, neighbor_id, cos_sim, CAST(rank AS BIGINT) AS rank
+    FROM out WHERE rank <= 5
+    """,
+)
+def q89_ivf_indexed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF search over a PERSISTED cell-partitioned index (round 6): the
+    index-once-query-many serving contract. ensure_ivf_index materializes
+    centroids + cell-partitioned corpus under the session warehouse
+    (build-once, like ensure_bucketed_tables); the probe then reads ONLY
+    the probed cells' parquet partitions — nprobe/n_centroids of the
+    corpus at any scale, enforced by partition pruning. Output is
+    bit-identical to q54's direct ivf_topk."""
+    from plumberapp_spark.llm.similarity import ensure_ivf_index, ivf_topk_indexed
+
+    path = ensure_ivf_index(spark, sf_dir, "embeddings", n_centroids=16)
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_topk_indexed(
+        spark, path, emb.filter(F.col("vec_id") % 50 == 0), k=5, nprobe=2
+    )

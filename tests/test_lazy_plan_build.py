@@ -51,6 +51,9 @@ EAGER_ALLOWED = {
     # Bloom sketch: the eval-set-sized position collect builds the bitset
     # shipped in the Arrow prober's closure (same bounded contract)
     "q81_bloom_decontamination": "position-set collect (bounded eval-set contract)",
+    # persisted-IVF: index materialization (build-once, bucketed-tables
+    # contract) + centroid/query-matrix collects (IVF contract)
+    "q89_ivf_indexed_topk": "index materialization + bounded collects",
     # Structured Streaming queries start and drain their micro-batches
     "q52_streaming_window_counts": "micro-batch execution is the query",
     "q55_stateful_rate_monitor": "micro-batch execution is the query",

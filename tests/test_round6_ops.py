@@ -372,3 +372,44 @@ def test_fuzzy_dedup_against_consistency(spark):
     flagged = {a for a, _ in cross}
     new_ids = {r["doc_id"] for r in new.select("doc_id").collect()}
     assert survivors == new_ids - flagged
+
+
+# ------------------------------------------------------------------
+# Persisted IVF index
+# ------------------------------------------------------------------
+
+
+def test_ivf_indexed_matches_direct(spark, tmp_path):
+    from plumberapp_spark.llm.similarity import (
+        build_ivf_index,
+        ivf_topk,
+        ivf_topk_indexed,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") % 40 == 0)
+    path = str(tmp_path / "ivf")
+    build_ivf_index(emb, path, n_centroids=8)
+    direct = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["cos_sim"])
+        for r in ivf_topk(emb, queries, k=5, n_centroids=8, nprobe=2).collect()
+    }
+    indexed = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["cos_sim"])
+        for r in ivf_topk_indexed(spark, path, queries, k=5, nprobe=2).collect()
+    }
+    assert indexed == direct
+
+
+def test_ivf_indexed_scan_is_partition_pruned(spark, tmp_path):
+    """The probe must read only the probed cells' partitions: the cells
+    scan carries a PartitionFilters entry on _cell and the number of
+    files read is below the total partition count."""
+    from plumberapp_spark.llm.similarity import build_ivf_index, ivf_topk_indexed
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    path = str(tmp_path / "ivf")
+    build_ivf_index(emb, path, n_centroids=8)
+    out = ivf_topk_indexed(spark, path, emb.filter("vec_id = 0"), k=5, nprobe=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "_cell" in plan
