@@ -1651,3 +1651,50 @@ def q89_ivf_indexed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk_indexed(
         spark, path, emb.filter(F.col("vec_id") % 50 == 0), k=5, nprobe=2
     )
+
+
+@register(
+    "q90_corpus_report",
+    oracle=f"""
+    WITH base AS (SELECT doc_id, source AS domain, lang,
+                         len({TOKS}) AS n_tok,
+                         md5(coalesce(text, '')) AS dg
+                  FROM documents),
+         dup AS (SELECT doc_id,
+                        min(doc_id) OVER (PARTITION BY dg) != doc_id AS is_dup
+                 FROM base),
+         corp AS (SELECT doc_id, list_distinct({_ngrams('(' + TOKS + ')', 5)}) AS shs
+                  FROM documents),
+         bench AS (SELECT DISTINCT unnest(shs) AS sh FROM corp WHERE doc_id % 100 = 0),
+         flat AS (SELECT doc_id, unnest(shs) AS sh FROM corp),
+         ov AS (SELECT doc_id, count(*) AS n FROM flat JOIN bench USING (sh) GROUP BY 1),
+         flags AS (SELECT b.doc_id, coalesce(ov.n, 0) >= 1 AS contaminated
+                   FROM base b LEFT JOIN ov USING (doc_id)),
+         per AS (SELECT base.domain,
+                        count(*)::BIGINT AS n_docs,
+                        sum(base.n_tok)::BIGINT AS n_tokens,
+                        round(avg(CASE WHEN dup.is_dup THEN 1.0 ELSE 0.0 END), 6) AS dup_rate,
+                        round(avg(CASE WHEN flags.contaminated THEN 1.0 ELSE 0.0 END), 6) AS contamination_rate,
+                        count(DISTINCT base.lang)::BIGINT AS n_langs
+                 FROM base JOIN dup USING (doc_id) JOIN flags USING (doc_id)
+                 GROUP BY 1),
+         lc AS (SELECT domain, lang, count(*) AS c FROM base GROUP BY 1, 2),
+         top AS (SELECT domain, lang AS top_lang
+                 FROM (SELECT *, row_number() OVER (PARTITION BY domain
+                                   ORDER BY c DESC, lang) AS r FROM lc)
+                 WHERE r = 1)
+    SELECT per.*, top.top_lang FROM per JOIN top USING (domain)
+    """,
+)
+def q90_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus data card (round 6): volume, global exact-dup
+    rate (q14 semantics), eval-contamination rate (q67 semantics, eval
+    slice doc_id % 100 = 0), language spread and modal language — the
+    governance rollup a curation pipeline publishes per ingestion
+    source, composed from the SAME operator definitions the standalone
+    queries use."""
+    from plumberapp_spark.llm.report import corpus_report
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 100 == 0)
+    return corpus_report(docs, bench)

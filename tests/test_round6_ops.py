@@ -413,3 +413,29 @@ def test_ivf_indexed_scan_is_partition_pruned(spark, tmp_path):
     out = ivf_topk_indexed(spark, path, emb.filter("vec_id = 0"), k=5, nprobe=2)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "_cell" in plan
+
+
+# ------------------------------------------------------------------
+# Corpus report
+# ------------------------------------------------------------------
+
+
+def test_corpus_report_on_planted_fixture(spark):
+    from plumberapp_spark.llm.report import corpus_report
+
+    rows = [
+        (0, "a b c d e f", "en", "s1"),
+        (1, "a b c d e f", "en", "s1"),   # exact dup of 0
+        (2, "g h i j k l", "fr", "s1"),
+        (3, "m n o p q r", "en", "s2"),
+        (4, "s t u v w x", "de", "s2"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang", "source"])
+    bench = df.filter("doc_id = 3")  # contaminates s2 only
+    out = {r["domain"]: r for r in corpus_report(df, bench, ngram=3).collect()}
+    s1, s2 = out["s1"], out["s2"]
+    assert s1["n_docs"] == 3 and s1["n_tokens"] == 18
+    assert s1["dup_rate"] == round(1 / 3, 6) and s1["contamination_rate"] == 0.0
+    assert s1["n_langs"] == 2 and s1["top_lang"] == "en"
+    assert s2["dup_rate"] == 0.0 and s2["contamination_rate"] == 0.5
+    assert s2["top_lang"] == "de"  # 1-1 tie -> lexicographically smallest
