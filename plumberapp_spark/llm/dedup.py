@@ -593,20 +593,71 @@ def ngram_jaccard_pairs(
     )
 
 
+def term_frequencies(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    vectorized: bool = True,
+    with_doc_len: bool = False,
+) -> DataFrame:
+    """``(id, tk, _tf)`` — one row per (doc, distinct token) with its
+    in-doc count. ``vectorized=True`` (default) produces COMPLETE
+    per-doc counts in one Arrow pass (tokenize + Counter), which both
+    skips the interpreted tokenize HOF and ELIMINATES the (id, tk)
+    groupBy exchange the explode form needs — the extraction is
+    exchange-free, and downstream consumers (df(t) window, doc-length
+    rollup) pay only their own exchanges. The explode+groupBy form is
+    the oracle-parity definition."""
+    if not vectorized:
+        tf = (
+            df.select(F.col(id_col), F.explode(tokenize(F.col(text_col))).alias("tk"))
+            .groupBy(id_col, "tk")
+            .agg(F.count("*").alias("_tf"))
+        )
+        if with_doc_len:
+            tf = tf.withColumn("_dl", F.sum("_tf").over(Window.partitionBy(id_col)))
+        return tf
+
+    from collections import Counter
+
+    import pandas as pd
+
+    from plumberapp_spark.functions.text import WS_SPLIT as ws
+
+    id_ddl = df.schema[id_col].dataType.simpleString()
+
+    def gen(batches):
+        for pdf in batches:
+            ids, tks, cs, dls = [], [], [], []
+            for row_id, text in zip(pdf[id_col], pdf[text_col]):
+                toks = [t for t in ws.split(text) if t] if text is not None else []
+                for tk, n in Counter(toks).items():
+                    ids.append(row_id)
+                    tks.append(tk)
+                    cs.append(n)
+                    dls.append(len(toks))
+            out = {id_col: ids, "tk": tks, "_tf": cs}
+            if with_doc_len:
+                out["_dl"] = dls
+            yield pd.DataFrame(out)
+
+    schema = f"{id_col} {id_ddl}, tk string, _tf bigint"
+    if with_doc_len:
+        schema += ", _dl bigint"
+    return df.select(F.col(id_col), F.col(text_col)).mapInPandas(gen, schema)
+
+
 def _tfidf_weights(
     df: DataFrame, text_col: str, id_col: str
 ) -> tuple[DataFrame, DataFrame]:
     """Shared tf-idf lineage: ``(weights, norms)`` where weights =
     ``(id, tk, _tf, _df, _w)`` with ``_w = tf · ln(N / df)`` (natural
     log, N = total corpus docs) and norms = ``(id, _nrm)`` over ALL of a
-    doc's tokens. df(t) rides the SAME hash partitioning the (id, tk)
-    groupBy produced (window on tk — one exchange, the capped-Jaccard
-    shape); the corpus-size scalar broadcasts as a one-row aggregate."""
-    tf = (
-        df.select(F.col(id_col), F.explode(tokenize(F.col(text_col))).alias("tk"))
-        .groupBy(id_col, "tk")
-        .agg(F.count("*").alias("_tf"))
-    )
+    doc's tokens. df(t) rides one window exchange on the token (the
+    capped-Jaccard shape) over the exchange-free Arrow tf extraction
+    (:func:`term_frequencies`); the corpus-size scalar broadcasts as a
+    one-row aggregate."""
+    tf = term_frequencies(df, text_col, id_col)
     n_docs = df.groupBy().agg(F.count("*").alias("_nd"))
     wts = (
         tf.withColumn("_df", F.count("*").over(Window.partitionBy("tk")))
@@ -1300,19 +1351,20 @@ def bm25_topk(
 
     Returns ``(query_id, neighbor_id, bm25, rank)``.
     """
-    tf = (
-        df.select(F.col(id_col), F.explode(tokenize(F.col(text_col))).alias("tk"))
-        .groupBy(id_col, "tk")
-        .agg(F.count("*").alias("_tf"))
+    # _dl rides along in the Arrow pass — no doc-length groupBy+join; the
+    # corpus-mean doc length derives from the tf lineage (exact integer
+    # sum / doc count, bit-equal to avg(len(toks)) over all docs since
+    # empty docs contribute 0 tokens to both forms)
+    tf = term_frequencies(df, text_col, id_col, with_doc_len=True)
+    nd = df.groupBy().agg(F.count("*").alias("_nd"))
+    scalars = (
+        tf.groupBy()
+        .agg(F.sum("_tf").alias("_tt"))
+        .crossJoin(F.broadcast(nd))
+        .select("_nd", (F.col("_tt") / F.col("_nd")).alias("_avgdl"))
     )
-    scalars = df.groupBy().agg(
-        F.count("*").alias("_nd"),
-        F.avg(F.size(tokenize(F.coalesce(F.col(text_col), F.lit(""))))).alias("_avgdl"),
-    )
-    dl = tf.groupBy(id_col).agg(F.sum("_tf").alias("_dl"))
     wts = (
         tf.withColumn("_df", F.count("*").over(Window.partitionBy("tk")))
-        .join(dl, id_col)
         .crossJoin(F.broadcast(scalars))
         .withColumn(
             "_w",
