@@ -439,3 +439,31 @@ def test_corpus_report_on_planted_fixture(spark):
     assert s1["n_langs"] == 2 and s1["top_lang"] == "en"
     assert s2["dup_rate"] == 0.0 and s2["contamination_rate"] == 0.5
     assert s2["top_lang"] == "de"  # 1-1 tie -> lexicographically smallest
+
+
+# ------------------------------------------------------------------
+# Training-shard sink
+# ------------------------------------------------------------------
+
+
+def test_write_training_shards_roundtrip_and_balance(spark, tmp_path):
+    from plumberapp_spark.sources.sinks import write_training_shards
+
+    docs = _docs(spark)
+    path = str(tmp_path / "shards")
+    manifest = write_training_shards(docs, path, n_shards=4).collect()
+    assert sorted(r["shard"] for r in manifest) == [0, 1, 2, 3]
+    assert sum(r["n_docs"] for r in manifest) == docs.count()
+    # roundtrip: nothing lost, shard column present and matching manifest
+    back = spark.read.parquet(f"{path}/data")
+    assert back.count() == docs.count()
+    per = {r["shard"]: r["cnt"] for r in back.groupBy("shard").count().withColumnRenamed("count", "cnt").collect()}
+    assert per == {r["shard"]: r["n_docs"] for r in manifest}
+    # md5 bucketing: no shard is pathologically empty or dominant
+    counts = [r["n_docs"] for r in manifest]
+    assert min(counts) > 0 and max(counts) < 2.5 * min(counts)
+    # determinism: same input -> same assignment
+    m2 = write_training_shards(docs, str(tmp_path / "s2"), n_shards=4).collect()
+    assert {(r["shard"], r["n_docs"], r["n_tokens"]) for r in m2} == {
+        (r["shard"], r["n_docs"], r["n_tokens"]) for r in manifest
+    }
