@@ -1591,3 +1591,46 @@ def dedup_against_fuzzy(
         new, ingested, text_col, id_col, num_perm, bands, ngram
     ).select(F.col("new_id").alias(id_col))
     return new.join(hits, id_col, "left_anti")
+
+
+def select_cluster_representatives(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 8,
+    bands: int = 4,
+    ngram: int = 3,
+) -> DataFrame:
+    """Keep-best near-dup resolution: :func:`near_dup_clusters`'s
+    components with the RETENTION decision a curation pipeline actually
+    needs — per cluster, the longest document wins (token count, ties to
+    the smaller id), everything else is marked for drop. "Longest"
+    stands in for any deterministic row-local quality key; swap the
+    order column to change the policy without touching the machinery.
+
+    Output: ``(id, cluster_label, cluster_size, n_tokens,
+    is_representative)`` — one row per exact-dedup survivor.
+
+    Scale shape: inherits near_dup_clusters' profile (digest exchange,
+    banded LSH bucket groupBy, iterative min-label rounds bounded by the
+    component diameter); the added selection is one window PARTITIONED
+    BY cluster — parallelism is the number of clusters, and cluster
+    sizes are near-dup-small by construction.
+    """
+    from plumberapp_spark.functions.text import tokenize
+
+    clusters = near_dup_clusters(df, text_col, id_col, num_perm, bands, ngram)
+    toks = df.select(
+        F.col(id_col),
+        F.size(tokenize(F.coalesce(F.col(text_col), F.lit("")))).cast("bigint").alias(
+            "n_tokens"
+        ),
+    )
+    w = Window.partitionBy("cluster_label").orderBy(
+        F.col("n_tokens").desc(), F.col(id_col)
+    )
+    return (
+        clusters.join(toks, id_col)
+        .withColumn("is_representative", F.row_number().over(w) == 1)
+        .select(id_col, "cluster_label", "cluster_size", "n_tokens", "is_representative")
+    )

@@ -1698,3 +1698,60 @@ def q90_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     bench = docs.filter(F.col("doc_id") % 100 == 0)
     return corpus_report(docs, bench)
+
+
+@register(
+    "q91_cluster_representatives",
+    # q63's recursive-CTE component oracle extended with the retention
+    # decision: per cluster, longest doc (ties to smaller id) wins
+    oracle=f"""
+    WITH RECURSIVE
+         d AS (SELECT min(doc_id) AS doc_id, min(text) AS text
+               FROM documents GROUP BY md5(text)),
+         t AS (SELECT doc_id, {TOKS} AS toks FROM d),
+         s AS (SELECT doc_id, list_distinct({_ngrams('toks', 3)}) AS sh FROM t),
+         hs AS (SELECT doc_id,
+                list_transform(sh, s -> ('0x' || substr(md5(s), 1, 14))::BIGINT) AS h FROM s),
+         sig AS (SELECT doc_id,
+           {",".join(f'''
+           list_min(list_transform(h, x -> (x * {2 * p + 1} + {p * 0x9E3779B9}) % 2305843009213693951)) AS mh_{p}''' for p in range(8))}
+         FROM hs),
+         band AS (SELECT doc_id,
+           {",".join(f'''
+           md5(concat_ws('_', '{b}', mh_{2 * b}::VARCHAR, mh_{2 * b + 1}::VARCHAR)) AS band_{b}''' for b in range(4))}
+         FROM sig WHERE mh_0 IS NOT NULL),
+         stack AS (SELECT doc_id, unnest([band_0, band_1, band_2, band_3]) AS band_key FROM band),
+         pairs AS (SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+                   FROM stack l JOIN stack r USING (band_key)
+                   WHERE l.doc_id < r.doc_id),
+         edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                   UNION SELECT id_b, id_a FROM pairs),
+         reach(node, lab) AS (
+             SELECT doc_id, doc_id FROM d
+             UNION
+             SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.node),
+         labels AS (SELECT node AS doc_id, min(lab) AS cluster_label
+                    FROM reach GROUP BY node),
+         sizes AS (SELECT cluster_label, count(*) AS cluster_size
+                   FROM labels GROUP BY 1),
+         tc AS (SELECT d.doc_id, len(list_filter(string_split_regex(coalesce(d.text, ''), '\s+'), x -> x != '')) AS n_tokens FROM d),
+         ranked2 AS (SELECT l.doc_id, l.cluster_label, s.cluster_size, tc.n_tokens,
+                            row_number() OVER (PARTITION BY l.cluster_label
+                              ORDER BY tc.n_tokens DESC, l.doc_id) AS rn
+                     FROM labels l JOIN sizes s USING (cluster_label)
+                               JOIN tc ON tc.doc_id = l.doc_id)
+    SELECT doc_id, cluster_label, cluster_size, CAST(n_tokens AS BIGINT) AS n_tokens,
+           rn = 1 AS is_representative
+    FROM ranked2
+    """,
+)
+def q91_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-best near-dup resolution (round 6): q63's connected
+    components plus the retention decision — per cluster the longest doc
+    (ties to the smaller id) is the representative; the rest are drops.
+    One cluster-partitioned window on top of the component machinery."""
+    from plumberapp_spark.llm.dedup import select_cluster_representatives
+
+    return select_cluster_representatives(
+        load_table(spark, sf_dir, "documents"), "text", "doc_id", num_perm=8, bands=4, ngram=3
+    )

@@ -39,6 +39,7 @@ EAGER_ALLOWED = {
     # driver-side algorithms over plan-sized collected inputs
     "q49_topo_depth": "collect plan-sized edge list for driver BFS",
     "q63_near_dup_clusters": "iterative min-label propagation (bounded rounds)",
+    "q91_cluster_representatives": "iterative min-label propagation (q63 contract)",
     "q47_lp_throughput": "collect plan-sized metrics vector for the LP",
     "q48_min_cost_milp": "collect plan-sized metrics vector for the MILP",
     "q78_lp_bandwidth_bound": "collect plan-sized metrics vector for the LP (q47 contract)",

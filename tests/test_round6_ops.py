@@ -467,3 +467,23 @@ def test_write_training_shards_roundtrip_and_balance(spark, tmp_path):
     assert {(r["shard"], r["n_docs"], r["n_tokens"]) for r in m2} == {
         (r["shard"], r["n_docs"], r["n_tokens"]) for r in manifest
     }
+
+
+# ------------------------------------------------------------------
+# Cluster representatives
+# ------------------------------------------------------------------
+
+
+def test_cluster_representatives_one_per_cluster_longest_wins(spark):
+    from plumberapp_spark.llm.dedup import select_cluster_representatives
+
+    out = select_cluster_representatives(_docs(spark)).collect()
+    by_cluster: dict = {}
+    for r in out:
+        by_cluster.setdefault(r["cluster_label"], []).append(r)
+    for label, rows in by_cluster.items():
+        reps = [r for r in rows if r["is_representative"]]
+        assert len(reps) == 1, f"cluster {label} has {len(reps)} representatives"
+        best = max(rows, key=lambda r: (r["n_tokens"], -r["doc_id"]))
+        assert reps[0]["doc_id"] == best["doc_id"]
+        assert all(r["cluster_size"] == len(rows) for r in rows)
