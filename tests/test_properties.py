@@ -498,3 +498,56 @@ def test_duplicate_spans_matches_python_reference(spark, docs, ngram):
         for r in duplicate_spans(df, ngram=ngram).collect()
     }
     assert got == expected
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["w1", "w2", "w3", "w4", "w5"]), min_size=1, max_size=8),
+        min_size=2,
+        max_size=7,
+    ),
+)
+@settings(max_examples=15, deadline=None)
+def test_bm25_matches_python_reference_random(spark, docs):
+    """bm25_topk (q83) vs an independent driver-side BM25 on random
+    corpora: same scores (round 6), same ranking, zero-overlap docs
+    absent."""
+    import math
+
+    from plumberapp_spark.llm.dedup import bm25_topk
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {}
+    for r in bm25_topk(df, df.filter("doc_id = 0"), k=len(rows)).collect():
+        got[r["neighbor_id"]] = (r["bm25"], r["rank"])
+
+    n = len(docs)
+    avgdl = sum(len(t) for t in docs) / n
+    dfreq: dict = {}
+    for t in docs:
+        for tk in set(t):
+            dfreq[tk] = dfreq.get(tk, 0) + 1
+    scores = {}
+    qterms = set(docs[0])
+    for i, t in enumerate(docs):
+        if i == 0:
+            continue
+        s, hit = 0.0, False
+        for tk in qterms:
+            tf = t.count(tk)
+            if tf == 0:
+                continue
+            hit = True
+            idf = math.log(1 + (n - dfreq[tk] + 0.5) / (dfreq[tk] + 0.5))
+            s += idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * len(t) / avgdl))
+        if hit:
+            scores[i] = round(s, 6)
+    want_rank = {
+        i: r + 1
+        for r, (i, _) in enumerate(
+            sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
+        )
+    }
+    assert {i: s for i, (s, _) in got.items()} == scores
+    assert {i: rk for i, (_, rk) in got.items()} == want_rank
