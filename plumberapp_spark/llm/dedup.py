@@ -1634,3 +1634,55 @@ def select_cluster_representatives(
         .withColumn("is_representative", F.row_number().over(w) == 1)
         .select(id_col, "cluster_label", "cluster_size", "n_tokens", "is_representative")
     )
+
+
+def crossmodal_candidates(
+    docs: DataFrame,
+    embeddings: DataFrame,
+    text_id: str = "doc_id",
+    vec_id: str = "vec_id",
+    text_col: str = "text",
+    vec_col: str = "embedding",
+    num_perm: int = 8,
+    bands: int = 4,
+    ngram: int = 3,
+    k_pairs: int = 50,
+) -> DataFrame:
+    """Cross-modal near-dup candidate union: a pair of ids is a
+    candidate if the LEXICAL route (MinHash LSH over the text) or the
+    SEMANTIC route (top ``k_pairs`` closest embedding pairs — a budgeted
+    review queue, q21's form) proposes it; flags record which evidence
+    fired. Documents and embeddings share the id space (the repo's
+    multimodal-column convention: one id, many modalities).
+
+    Output: ``(id_a, id_b, text_dup, embedding_dup, cos_sim)`` with
+    ``id_a < id_b``; cos_sim is NULL on text-only rows.
+
+    Scale shape: each route keeps its own documented profile (band-key
+    groupBy / grid-cell matmuls); the union is a full outer join on the
+    pair key, whose size is bounded by the two candidate sets — both
+    tiny relative to the corpus by construction.
+    """
+    from plumberapp_spark.llm.similarity import near_dup_pairs_cosine
+
+    text_pairs = minhash_lsh_candidates(
+        docs, text_col, text_id, num_perm, bands, ngram
+    ).select(F.col("id_a"), F.col("id_b"), F.lit(True).alias("text_dup"))
+    emb_pairs = near_dup_pairs_cosine(
+        embeddings, threshold=-1.0, id_col=vec_id, vec_col=vec_col, k=k_pairs
+    ).select(
+        F.col("id_a"),
+        F.col("id_b"),
+        F.lit(True).alias("embedding_dup"),
+        F.col("cos_sim"),
+    )
+    return (
+        text_pairs.join(emb_pairs, ["id_a", "id_b"], "full_outer")
+        .select(
+            "id_a",
+            "id_b",
+            F.coalesce(F.col("text_dup"), F.lit(False)).alias("text_dup"),
+            F.coalesce(F.col("embedding_dup"), F.lit(False)).alias("embedding_dup"),
+            "cos_sim",
+        )
+    )

@@ -1755,3 +1755,52 @@ def q91_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     return select_cluster_representatives(
         load_table(spark, sf_dir, "documents"), "text", "doc_id", num_perm=8, bands=4, ngram=3
     )
+
+
+@register(
+    "q92_crossmodal_candidates",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+         s AS (SELECT doc_id, list_distinct({_ngrams('toks', 3)}) AS sh FROM t),
+         hs AS (SELECT doc_id,
+                list_transform(sh, s -> ('0x' || substr(md5(s), 1, 14))::BIGINT) AS h FROM s),
+         sig AS (SELECT doc_id,
+           {",".join(f'''
+           list_min(list_transform(h, x -> (x * {2 * p + 1} + {p * 0x9E3779B9}) % 2305843009213693951)) AS mh_{p}''' for p in range(8))}
+         FROM hs),
+         band AS (SELECT doc_id,
+           {",".join(f'''
+           md5(concat_ws('_', '{b}', mh_{2 * b}::VARCHAR, mh_{2 * b + 1}::VARCHAR)) AS band_{b}''' for b in range(4))}
+         FROM sig WHERE mh_0 IS NOT NULL),
+         stack AS (SELECT doc_id, unnest([band_0, band_1, band_2, band_3]) AS band_key FROM band),
+         tp AS (SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+                FROM stack l JOIN stack r USING (band_key)
+                WHERE l.doc_id < r.doc_id),
+         v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         cp AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                       round(list_dot_product(a.e, b.e) /
+                             (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 6) AS cos_sim
+                FROM v a, v b WHERE a.vec_id < b.vec_id),
+         ep AS (SELECT id_a, id_b, cos_sim FROM cp
+                ORDER BY cos_sim DESC, id_a, id_b LIMIT 50)
+    SELECT coalesce(tp.id_a, ep.id_a) AS id_a,
+           coalesce(tp.id_b, ep.id_b) AS id_b,
+           tp.id_a IS NOT NULL AS text_dup,
+           ep.id_a IS NOT NULL AS embedding_dup,
+           ep.cos_sim
+    FROM tp FULL OUTER JOIN ep ON tp.id_a = ep.id_a AND tp.id_b = ep.id_b
+    """,
+)
+def q92_crossmodal_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal near-dup candidate union (round 6): lexical MinHash
+    LSH pairs (q17's route) full-outer-unioned with the top-50 closest
+    embedding pairs (q21's route) over the shared id space, with
+    per-route evidence flags — the review queue a multimodal curation
+    pipeline feeds from both signals."""
+    from plumberapp_spark.llm.dedup import crossmodal_candidates
+
+    return crossmodal_candidates(
+        load_table(spark, sf_dir, "documents"),
+        load_table(spark, sf_dir, "embeddings"),
+        k_pairs=50,
+    )

@@ -36,6 +36,7 @@ EAGER_ALLOWED = {
     # grid pair search sizes its blocking grid from a collected stats row
     "q21_embedding_near_dup_pairs": "grid sizing stats (one tiny agg)",
     "q53_embedding_pairs_blocked": "grid sizing stats (one tiny agg)",
+    "q92_crossmodal_candidates": "grid sizing stats (q21 contract, embedding route)",
     # driver-side algorithms over plan-sized collected inputs
     "q49_topo_depth": "collect plan-sized edge list for driver BFS",
     "q63_near_dup_clusters": "iterative min-label propagation (bounded rounds)",

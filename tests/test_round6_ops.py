@@ -487,3 +487,26 @@ def test_cluster_representatives_one_per_cluster_longest_wins(spark):
         best = max(rows, key=lambda r: (r["n_tokens"], -r["doc_id"]))
         assert reps[0]["doc_id"] == best["doc_id"]
         assert all(r["cluster_size"] == len(rows) for r in rows)
+
+
+# ------------------------------------------------------------------
+# Cross-modal candidates
+# ------------------------------------------------------------------
+
+
+def test_crossmodal_candidates_union_semantics(spark):
+    from plumberapp_spark.llm.dedup import (
+        crossmodal_candidates,
+        minhash_lsh_candidates,
+    )
+    from plumberapp_spark.llm.similarity import near_dup_pairs_cosine
+
+    docs = _docs(spark)
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    out = crossmodal_candidates(docs, emb, k_pairs=20).collect()
+    text = {(r["id_a"], r["id_b"]) for r in minhash_lsh_candidates(docs, "text", "doc_id").collect()}
+    sem = {(r["id_a"], r["id_b"]) for r in near_dup_pairs_cosine(emb, threshold=-1.0, k=20).collect()}
+    got = {(r["id_a"], r["id_b"]): (r["text_dup"], r["embedding_dup"]) for r in out}
+    assert set(got) == text | sem
+    for pair, (td, ed) in got.items():
+        assert td == (pair in text) and ed == (pair in sem)
