@@ -121,6 +121,12 @@ PRIMARY_INPUT = {
     "q84_duplicate_spans": "documents",
     "q85_dsir_selection": "documents",
     "q86_streaming_bloom_dedup": "documents",
+    "q87_remove_duplicate_spans": "documents",
+    "q88_incremental_fuzzy_dedup": "documents",
+    "q89_ivf_indexed_topk": "embeddings",
+    "q90_corpus_report": "documents",
+    "q91_cluster_representatives": "documents",
+    "q92_crossmodal_candidates": "documents",
 }
 
 RATE_TABLES = ("lineitem", "orders", "events", "documents", "embeddings", "customer")
