@@ -127,6 +127,7 @@ PRIMARY_INPUT = {
     "q90_corpus_report": "documents",
     "q91_cluster_representatives": "documents",
     "q92_crossmodal_candidates": "documents",
+    "q93_streaming_decontamination": "documents",
 }
 
 RATE_TABLES = ("lineitem", "orders", "events", "documents", "embeddings", "customer")

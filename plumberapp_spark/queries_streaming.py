@@ -281,3 +281,48 @@ def q86_streaming_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     query.awaitTermination()
     return spark.table(sink)
+
+
+def _q81_oracle() -> str:
+    import plumberapp_spark.queries_llm  # noqa: F401 — populates REGISTRY
+    from plumberapp_spark.registry import REGISTRY
+
+    return REGISTRY["q81_bloom_decontamination"].oracle
+
+
+@register("q93_streaming_decontamination", oracle=_q81_oracle())
+def q93_streaming_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time decontamination (round 6): q81's Bloom membership
+    probe applied to a DOCUMENT STREAM — the sketch is a static bitset
+    in the Arrow prober's closure, so the streaming plan is STATELESS
+    (no state store at all, unlike q86): each micro-batch is flagged
+    row-locally against the same 32 KB of bits, which is exactly what
+    makes eval-overlap filtering deployable at the ingest point of a
+    100 TB/day feed. The bounded replay is therefore bit-identical to
+    the batch operator: the oracle is q81's verbatim."""
+    from plumberapp_spark.llm.dedup import bloom_decontaminate
+
+    ensure_read_confs(spark)
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    stream = (
+        spark.readStream.schema(schema).format("parquet").load(f"{sf_dir}/documents.*")
+    )
+    bench = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.col("doc_id") % 100 == 0
+    )
+    flagged = bloom_decontaminate(
+        stream, bench, "text", "doc_id", ngram=5, n_bits=1 << 18, n_hashes=3
+    )
+    sink = "q93_sink_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    for q in spark.streams.active:
+        if q.name == sink:
+            q.stop()
+    query = (
+        flagged.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(sink)

@@ -62,6 +62,7 @@ EAGER_ALLOWED = {
     "q57_streaming_exact_dedup": "micro-batch execution is the query",
     "q66_streaming_quality_monitor": "micro-batch execution is the query",
     "q86_streaming_bloom_dedup": "micro-batch execution is the query",
+    "q93_streaming_decontamination": "micro-batch execution is the query",
 }
 
 
