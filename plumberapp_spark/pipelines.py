@@ -215,6 +215,89 @@ def curation_pipeline(
     )
 
 
+def curation_pipeline_v2(
+    spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001", budget: int = 256
+) -> Pipeline:
+    """The round-6 full curation composition: everything
+    :func:`curation_pipeline` does PLUS the ingestion-gate stages a
+    production corpus build runs — Bloom-sketch eval decontamination
+    (drop), ExactSubstr span removal (rewrite), and DSIR target-likeness
+    selection (drop) — all on the Pipeline IR so the profiler/advisor
+    ranks the new stages alongside the old ones.
+
+    Stage semantics (all library operators, each with its own oracle
+    query): decontaminate_drop removes q81-flagged docs (eval slice =
+    doc_id % 100 == 0); despan rewrites text through
+    remove_duplicate_spans (q87); the gate/dedup/near-dup/pack stages
+    are v1's; dsir_select keeps docs whose q85 target-likeness score
+    (vs the English slice) is at or above the corpus mean — the
+    corpus-adaptive form of q85's rule (the absolute ``> 0`` flag
+    saturates to empty on small fixtures where Laplace smoothing mass
+    dominates the target counts; the mean threshold keeps the
+    better-than-average half at any scale, as one broadcast scalar).
+    """
+    from plumberapp_spark.functions.text import token_count
+    from plumberapp_spark.llm.dedup import (
+        bloom_decontaminate,
+        exact_text_survivors,
+        minhash_lsh_candidates,
+        remove_duplicate_spans,
+    )
+    from plumberapp_spark.llm.sampling import dsir_importance, pack_by_token_budget
+    from plumberapp_spark.llm.textqa import quality_filter
+    from plumberapp_spark.session import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+
+    def decontaminate_drop(df: DataFrame) -> DataFrame:
+        bench = df.filter(F.col("doc_id") % 100 == 0)
+        flags = bloom_decontaminate(df, bench, ngram=5, n_bits=1 << 18, n_hashes=3)
+        clean = flags.filter(~F.col("flagged")).select("doc_id")
+        return df.join(clean, "doc_id", "left_semi")
+
+    def despan(df: DataFrame) -> DataFrame:
+        cleaned = remove_duplicate_spans(df, ngram=8).select(
+            "doc_id", F.col("clean_text").alias("text")
+        )
+        return cleaned.join(df.select("doc_id", "lang"), "doc_id")
+
+    def gate(df: DataFrame) -> DataFrame:
+        kept = quality_filter(df).filter(F.col("keep")).select("doc_id")
+        return df.join(kept, "doc_id", "left_semi")
+
+    def dsir_select(df: DataFrame) -> DataFrame:
+        scores = dsir_importance(df, df.filter(F.col("lang") == "en"))
+        thresh = scores.groupBy().agg(F.avg("mean_log_ratio").alias("_t"))
+        keep = (
+            scores.crossJoin(F.broadcast(thresh))
+            .filter(F.col("mean_log_ratio") >= F.col("_t"))
+            .select("doc_id")
+        )
+        return df.join(keep, "doc_id", "left_semi")
+
+    def near_dup_drop(df: DataFrame) -> DataFrame:
+        pairs = minhash_lsh_candidates(df, "text", "doc_id", num_perm=8, bands=4, ngram=3)
+        losers = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+        return df.join(losers, "doc_id", "left_anti")
+
+    def pack(df: DataFrame) -> DataFrame:
+        toks = df.select("doc_id", token_count(F.col("text")).alias("n_toks"))
+        return pack_by_token_budget(toks, "doc_id", "n_toks", budget, n_buckets=1)
+
+    return (
+        Pipeline.from_dataframe(docs, desc="documents")
+        .map(decontaminate_drop, desc="decontaminate_drop")
+        .map(despan, desc="despan_rewrite")
+        .map(gate, desc="quality_gate")
+        # dsir_select sits before exact_dedup: the survivors projection
+        # drops the lang column the target slice is defined on
+        .map(dsir_select, desc="dsir_select")
+        .map(lambda df: exact_text_survivors(df, "text", "doc_id"), desc="exact_dedup")
+        .map(near_dup_drop, desc="near_dup_drop")
+        .map(pack, desc=f"pack_{budget}")
+    )
+
+
 ALL_PIPELINES = {
     "resnet": resnet_pipeline,
     "ssd": ssd_pipeline,
@@ -222,4 +305,5 @@ ALL_PIPELINES = {
     "gnmt": gnmt_pipeline,
     "transformer": transformer_pipeline,
     "curation": curation_pipeline,
+    "curation_v2": curation_pipeline_v2,
 }

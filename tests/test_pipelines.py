@@ -115,3 +115,22 @@ def test_curation_pipeline(spark):
         off += r["n_toks"]
     model = PipelineProfiler(spark).profile(p, sample_rows=200)
     assert model.bottleneck_node() is not None
+
+
+def test_curation_pipeline_v2(spark):
+    # decontaminate -> despan rewrite -> gate -> exact dedup -> near-dup
+    # drop -> DSIR select -> packing, all on the Pipeline IR
+    p = pipelines.curation_pipeline_v2(spark)
+    df = p.to_df(spark)
+    rows = sorted(df.collect(), key=lambda r: r["doc_id"])
+    assert set(df.columns) == {"doc_id", "n_toks", "token_offset", "bin_id"}
+    assert 0 < len(rows) < 500
+    off = 0
+    for r in rows:
+        assert r["token_offset"] == off and r["bin_id"] == off // 256
+        off += r["n_toks"]
+    # the v2 ingestion gates drop strictly more than v1's pipeline keeps
+    v1 = pipelines.curation_pipeline(spark).to_df(spark).count()
+    assert len(rows) <= v1
+    model = PipelineProfiler(spark).profile(p, sample_rows=200)
+    assert model.bottleneck_node() is not None
