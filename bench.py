@@ -132,6 +132,20 @@ PRIMARY_INPUT = {
 
 RATE_TABLES = ("lineitem", "orders", "events", "documents", "embeddings", "customer")
 
+# Queries that run the Structured Streaming engine (micro-batch planner +
+# checkpoint + state store per run). Their fixed engine cost (~2-3 s)
+# dwarfs any sub-second batch oracle regardless of plan quality, so
+# BASELINE.md grades them on bounded-state design instead of wall ratio
+# and the substantive geomean excludes them (VERDICT r6 #5).
+STREAMING_QUERIES = (
+    "q52_streaming_window_counts",
+    "q55_stateful_rate_monitor",
+    "q57_streaming_exact_dedup",
+    "q66_streaming_quality_monitor",
+    "q86_streaming_bloom_dedup",
+    "q93_streaming_decontamination",
+)
+
 
 def run_query(spark, name: str, sf_dir: str) -> float | None:
     """One timed noop-write of a query; None (never an exception) on
@@ -245,6 +259,8 @@ def main() -> None:
         names = [n for n in names if n in wanted]
     cold: dict[str, float | None] = {}
     timings: dict[str, float | None] = {}
+    spread: dict[str, float] = {}
+    warm_max: dict[str, float] = {}
     rates: dict[str, float] = {}
     failed: list[str] = []
     # True cold pass (reference pa/gen_util.py:548-555): drop the OS page
@@ -305,6 +321,13 @@ def main() -> None:
             continue
         dt = min(warm)
         timings[name] = round(dt, 3)
+        # run-spread (max/min over the warm reps) is the drift signal:
+        # SCALE.md §9 documents the same HEAD measuring 1.086 vs 1.52
+        # geomean in different host phases — a spread near 1.0 means the
+        # min is trustworthy, a 2-3x spread flags a degraded-host phase
+        # that round-over-round comparisons must discount (VERDICT r6 #6)
+        spread[name] = round(max(warm) / max(min(warm), 1e-9), 2)
+        warm_max[name] = round(max(warm), 3)
         src = PRIMARY_INPUT.get(name)
         if src in input_rows:
             rates[name] = round(input_rows[src] / max(dt, 1e-9))
@@ -331,7 +354,14 @@ def main() -> None:
         "cold_sec": cold,
         "cold_mode": "dropped_page_caches" if caches_dropped else "warm_page_cache",
         "input_rows": input_rows,
+        "warm_spread": spread,
         "failed": failed,
+        # BASELINE.md streaming-overhead carve-out (VERDICT r6 #5): these
+        # run the full Structured Streaming machinery (micro-batch planner,
+        # checkpointing, state store) against sub-second batch oracles, so
+        # their wall is engine floor, not plan quality — graded on state
+        # growth, excluded from the substantive geomean below.
+        "streaming_queries": STREAMING_QUERIES,
     }
     if mem_pressure is not None:
         detail["memory_pressure"] = {"target_used_fraction": mem_target, "ballast_bytes": held}
@@ -353,11 +383,28 @@ def main() -> None:
         # VERDICT r3: pin the >=0.1 s oracle set IN the artifact so the
         # substantive geomean (real work, not Spark's fixed per-query floor
         # vs microsecond DuckDB scans) is reproducible from the file alone.
-        substantive = sorted(n for n, d in duck.items() if d >= 0.1)
+        substantive = sorted(
+            n for n, d in duck.items() if d >= 0.1 and n not in STREAMING_QUERIES
+        )
         detail["substantive_oracles"] = substantive
         detail["vs_duckdb_geomean_substantive"] = _geomean(
             [detail["vs_duckdb"][n] for n in substantive if n in detail["vs_duckdb"]]
         )
+        # drift bracket (VERDICT r6 #6): the same geomean computed from the
+        # WORST warm rep per query — [min-based, max-based] bounds what any
+        # single-sample protocol could have reported on this host today.
+        # A committed geomean is only comparable across rounds inside its
+        # bracket.
+        detail["vs_duckdb_geomean_substantive_bracket"] = [
+            detail["vs_duckdb_geomean_substantive"],
+            _geomean(
+                [
+                    round(warm_max[n] / max(duck[n], 1e-9), 2)
+                    for n in substantive
+                    if n in warm_max
+                ]
+            ),
+        ]
 
     with open(Path(__file__).resolve().parent / "BENCH_local.json", "w") as f:
         json.dump(detail, f, indent=1)
@@ -386,6 +433,7 @@ def main() -> None:
         "n_failed": len(failed),
         "vs_duckdb_geomean": detail.get("vs_duckdb_geomean"),
         "vs_duckdb_geomean_substantive": detail.get("vs_duckdb_geomean_substantive"),
+        "geomean_bracket": detail.get("vs_duckdb_geomean_substantive_bracket"),
         "detail": "BENCH_local.json",
     }
     line = json.dumps(headline, separators=(",", ":"))

@@ -38,8 +38,13 @@ from plumberapp_spark.registry import REGISTRY
 # With this rotation the union of CORRECTNESS_r01..r05 covers all 71
 # registered queries. Everything in the tail stays registered, benched,
 # and oracle-checked by tests/test_queries_oracle.py at sf0.001 every run.
-# q55 enters the cap as a rows-only row by design: per-batch rates depend
-# on micro-batch boundaries (no oracle_sql entry; reason in its docstring).
+# Round-7 rotation (VERDICT r6 item 1): q78, q86, q93 have never had a
+# driver CORRECTNESS row in any round, and q55's round-6 exact oracle has
+# never been driver-run (its last driver row, r5, was an err). All four
+# are PROMOTED to the front of the registry so they land inside the cap.
+# Displaced into the tail: q17, q20, q23, q25 — VERDICT r6's named set,
+# each driver-green in at least two prior rounds. With this rotation the
+# union of CORRECTNESS_r01..r07 covers all 93 registered queries.
 _TAIL = (
     # driver-green r1+r2+r3+r4 (rotated out for the first time):
     "q01_pricing_summary",
@@ -74,10 +79,27 @@ _TAIL = (
     "q21_embedding_near_dup_pairs",
     "q32_convergence_lag",
     "q33_plateau_detection",
+    # displaced by the round-7 promotion of q78/q86/q93/q55 (driver-green
+    # in >=2 rounds: q17 r2/r6, q20 r2/r6, q23 r3/r6, q25 r4/r6):
+    "q17_minhash_lsh_pairs",
+    "q20_embedding_topk",
+    "q23_language_id",
+    "q25_multimodal_features",
 )
 for _name in _TAIL:
     if _name in REGISTRY:
         REGISTRY[_name] = REGISTRY.pop(_name)
+
+# Promote the never-driver-checked four to the front of the registry so
+# they sit inside the driver's first-50 CORRECTNESS cap (VERDICT r6 #1).
+_PROMOTE = (
+    "q78_lp_bandwidth_bound",
+    "q55_stateful_rate_monitor",
+    "q86_streaming_bloom_dedup",
+    "q93_streaming_decontamination",
+)
+for _name in [n for n in list(REGISTRY) if n not in _PROMOTE]:
+    REGISTRY[_name] = REGISTRY.pop(_name)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -605,7 +605,7 @@ def term_frequencies(
     per-doc counts in one Arrow pass (tokenize + Counter), which both
     skips the interpreted tokenize HOF and ELIMINATES the (id, tk)
     groupBy exchange the explode form needs — the extraction is
-    exchange-free, and downstream consumers (df(t) window, doc-length
+    exchange-free, and downstream consumers (df(t) rollup, doc-length
     rollup) pay only their own exchanges. The explode+groupBy form is
     the oracle-parity definition."""
     if not vectorized:
@@ -647,20 +647,39 @@ def term_frequencies(
     return df.select(F.col(id_col), F.col(text_col)).mapInPandas(gen, schema)
 
 
+def _doc_frequencies(tf: DataFrame) -> DataFrame:
+    """``(tk, _df)`` — document frequency per token from a
+    :func:`term_frequencies` relation (one row per (doc, distinct
+    token), so a plain count per token IS df(t)).
+
+    This is the skew-safe form of ``count(*) over (partition by tk)``:
+    a window forces EVERY (doc, token) row of a hot token into one task
+    with no remedy, while groupBy is map-side partial (each input
+    partition emits at most one row per distinct token it saw) and the
+    join back rides AQE — broadcast when the vocab relation is small
+    (always at test scale; the df side is vocab-sized, not
+    corpus-sized), skew-split when a stopword token is hot at 100 TB.
+    No explicit broadcast hint: a web-scale vocab (typos, unicode junk)
+    can outgrow the driver, and the hint would OOM where AQE degrades
+    gracefully to a vocab-keyed exchange."""
+    return tf.groupBy("tk").agg(F.count("*").alias("_df"))
+
+
 def _tfidf_weights(
     df: DataFrame, text_col: str, id_col: str
 ) -> tuple[DataFrame, DataFrame]:
     """Shared tf-idf lineage: ``(weights, norms)`` where weights =
     ``(id, tk, _tf, _df, _w)`` with ``_w = tf · ln(N / df)`` (natural
     log, N = total corpus docs) and norms = ``(id, _nrm)`` over ALL of a
-    doc's tokens. df(t) rides one window exchange on the token (the
-    capped-Jaccard shape) over the exchange-free Arrow tf extraction
+    doc's tokens. df(t) is a vocab-sized groupBy-count joined back on
+    the token (:func:`_doc_frequencies` — the hot-token-skew-safe form)
+    over the exchange-free Arrow tf extraction
     (:func:`term_frequencies`); the corpus-size scalar broadcasts as a
     one-row aggregate."""
     tf = term_frequencies(df, text_col, id_col)
     n_docs = df.groupBy().agg(F.count("*").alias("_nd"))
     wts = (
-        tf.withColumn("_df", F.count("*").over(Window.partitionBy("tk")))
+        tf.join(_doc_frequencies(tf), "tk")
         .crossJoin(F.broadcast(n_docs))
         .withColumn("_w", F.col("_tf") * F.log(F.col("_nd") / F.col("_df")))
     )
@@ -806,28 +825,39 @@ def connected_components(
     nodes: DataFrame,
     id_col: str = "doc_id",
     max_iters: int = 50,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Connected components over an undirected pair graph: every node
     gets ``cluster_label`` = the MINIMUM node id reachable through the
     edges (the unique fixpoint — deterministic, engine-independent), plus
     ``cluster_size``. Nodes with no edges are singleton clusters.
 
-    Iterative min-label propagation: each round every node takes
-    ``min(own label, min of neighbors' labels)``; converged when no label
+    Min-label propagation WITH pointer jumping (path halving, the
+    Shiloach–Vishkin shortcut): each round every node takes
+    ``min(own label, min of neighbors' labels)`` and then jumps to that
+    label's OWN label — reach more than doubles per round, so
+    convergence is O(log diameter) rounds instead of diameter (the
+    round-7 fix for the per-round fixed cost dominating long chains;
+    measured on a planted diameter-8 chain: 9 rounds → 4). The jump
+    preserves the fixpoint exactly: a node's label is always a reachable
+    node id, and that node's label is a smaller reachable id, so every
+    intermediate state remains "min of some reachable subset" and the
+    fixpoint (min over the whole component) is unchanged — hashes are
+    bit-identical to the plain propagation. Converged when no label
     changed. Edges and labels are persisted and label lineage is
     truncated per round (``localCheckpoint``) so the plan does not grow
     with iterations; the convergence probe is one tiny count per round.
 
-    Scale posture: rounds = component diameter, each round one join +
-    one groupBy on (src,dst) — the near-dup graphs this serves (LSH
-    candidate pairs over exact-dedup survivors) have small, dense
-    components, so diameter stays in the single digits. For adversarial
-    long-chain graphs the classic large-star/small-star alternation
-    (Kiveris et al., "Connected Components in MapReduce") halves rounds
-    to O(log n); not needed for the dedup workload this backs.
+    Scale posture: each round one edge join + one groupBy on the edge
+    key plus one labels-sized self-join (the jump — strictly smaller
+    than the edge join). The near-dup graphs this serves (LSH candidate
+    pairs over exact-dedup survivors) have small, dense components
+    (log-rounds ≈ 2–3); adversarial long chains are the case the jump
+    exists for.
 
     ``edges`` must have columns ``id_a``/``id_b``; ``nodes`` one row per
-    node carrying ``id_col``.
+    node carrying ``id_col``. ``stats``, when given, receives
+    ``{"rounds": N}`` for round-count instrumentation.
     """
     spark = nodes.sparkSession
     sym = (
@@ -837,21 +867,42 @@ def connected_components(
     )
     labels = nodes.select(F.col(id_col).alias("_node"), F.col(id_col).alias("_label"))
     labels = labels.localCheckpoint(eager=True)
+    rounds = 0
     for _ in range(max_iters):
+        rounds += 1
         nbr_min = (
             sym.join(labels, sym["_src"] == labels["_node"])
             .groupBy("_dst")
             .agg(F.min("_label").alias("_nbr_label"))
         )
-        new_labels = (
+        cand = (
             labels.join(nbr_min, labels["_node"] == nbr_min["_dst"], "left")
             .select(
                 "_node",
+                "_label",
                 F.least(
                     F.col("_label"), F.coalesce(F.col("_nbr_label"), F.col("_label"))
-                ).alias("_label"),
-                (F.col("_nbr_label") < F.col("_label")).alias("_changed"),
+                ).alias("_cand"),
             )
+        )
+        # pointer jump: follow the candidate label to ITS label (always
+        # <= and in the same component), collapsing two propagation hops
+        # into one round
+        jump = labels.select(
+            F.col("_node").alias("_jn"), F.col("_label").alias("_jl")
+        )
+        new_labels = (
+            cand.join(jump, cand["_cand"] == jump["_jn"], "left")
+            .select(
+                "_node",
+                F.least(
+                    F.col("_cand"), F.coalesce(F.col("_jl"), F.col("_cand"))
+                ).alias("_new"),
+                (F.least(
+                    F.col("_cand"), F.coalesce(F.col("_jl"), F.col("_cand"))
+                ) < F.col("_label")).alias("_changed"),
+            )
+            .withColumnRenamed("_new", "_label")
         )
         new_labels = new_labels.localCheckpoint(eager=True)
         changed = new_labels.filter(F.col("_changed")).count()
@@ -866,6 +917,8 @@ def connected_components(
             "star-contraction for this graph)"
         )
     sym.unpersist()
+    if stats is not None:
+        stats["rounds"] = rounds
     sizes = labels.groupBy("_label").agg(F.count("*").alias("cluster_size"))
     return (
         labels.join(sizes, on="_label")
@@ -1341,8 +1394,9 @@ def bm25_topk(
     ``idf = ln(1 + (N - df + 0.5)/(df + 0.5))``, tf saturation ``k1``,
     length normalization ``b`` against the corpus mean doc length) —
     :func:`tfidf_topk`'s ranking-function sibling, sharing its whole
-    scale shape: weights are one linear lineage with df(t) computed by a
-    window on the token (one exchange); the query side reduces to
+    scale shape: weights are one linear lineage with df(t) a vocab-sized
+    groupBy-count joined back on the token (skew-safe vs the window
+    form; :func:`_doc_frequencies`); the query side reduces to
     (query, DISTINCT term) and broadcasts under the ANN small-side
     contract; the two-stage partial top-k caps what the global rank sees
     at k rows per (query, partition). Scores are rounded to 6 decimals
@@ -1364,7 +1418,7 @@ def bm25_topk(
         .select("_nd", (F.col("_tt") / F.col("_nd")).alias("_avgdl"))
     )
     wts = (
-        tf.withColumn("_df", F.count("*").over(Window.partitionBy("tk")))
+        tf.join(_doc_frequencies(tf), "tk")
         .crossJoin(F.broadcast(scalars))
         .withColumn(
             "_w",

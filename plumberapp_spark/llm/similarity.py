@@ -843,6 +843,26 @@ def near_dup_pairs_cosine(
     return out
 
 
+# Persisted frames from the most recent ann_recall_report call. The report
+# is lazy (the caller owns materialization), so the frames cannot be
+# unpersisted inside the call itself; instead each NEW call releases the
+# previous call's frames, and release_recall_caches() frees the last ones.
+# Net effect: at most one report's caches are ever live, fixing the
+# unbounded accumulation a long-lived session would otherwise see.
+_RECALL_CACHES: list = []
+
+
+def release_recall_caches() -> None:
+    """Unpersist the shared frames cached by the last ann_recall_report
+    call. Safe to call any time after the report has been materialized
+    (or abandoned); a no-op when nothing is cached."""
+    while _RECALL_CACHES:
+        try:
+            _RECALL_CACHES.pop().unpersist(blocking=False)
+        except Exception:
+            pass  # session already stopped — nothing to free
+
+
 def ann_recall_report(
     corpus: DataFrame,
     queries: DataFrame,
@@ -888,9 +908,13 @@ def ann_recall_report(
     is one constant-width id column (ids only, never vectors), so the
     cache is cheap even at corpus scale while saving a full grid pair
     search per reference. Measured at sf0.1: ~5.3 s → ~3.8 s warm.
+    Cache lifetime: each call releases the PREVIOUS call's frames, and
+    :func:`release_recall_caches` frees the last ones explicitly — at
+    most one report's caches are live in a long-running session.
     """
     from pyspark import StorageLevel
 
+    release_recall_caches()  # free the previous report's shared frames
     ivf_kwargs = {"n_centroids": 16, "nprobe": 2, **(ivf_kwargs or {})}
     lsh_kwargs = {"dim": 64, "num_planes": 4, **(lsh_kwargs or {})}
     semdedup_kwargs = {"tau": 0.32, "n_centroids": 16, **(semdedup_kwargs or {})}
@@ -900,6 +924,7 @@ def ann_recall_report(
         .select(query_id_col, "neighbor_id")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    _RECALL_CACHES.append(exact_ids)
     n_true = exact_ids.agg(F.count("*").alias("n_true"))
 
     rows = []
@@ -925,6 +950,7 @@ def ann_recall_report(
                 .distinct()
                 .persist(StorageLevel.MEMORY_AND_DISK)
             )
+            _RECALL_CACHES.append(true_drops)
             approx_drops = (
                 semantic_dedup(corpus, tau, n_centroids=nc, id_col=id_col, vec_col=vec_col)
                 .filter(~F.col("kept"))
@@ -939,7 +965,7 @@ def ann_recall_report(
                     F.lit(f"tau={tau},centroids={nc}").alias("param"),
                     F.col("n_true"),
                     F.col("n_hit"),
-                    F.round(F.col("n_hit") / F.col("n_true"), 6).alias("recall"),
+                    F.round(F.try_divide(F.col("n_hit"), F.col("n_true")), 6).alias("recall"),
                 )
             )
             continue
@@ -957,7 +983,7 @@ def ann_recall_report(
                 F.lit(param).alias("param"),
                 F.col("n_true"),
                 F.col("n_hit"),
-                F.round(F.col("n_hit") / F.col("n_true"), 6).alias("recall"),
+                F.round(F.try_divide(F.col("n_hit"), F.col("n_true")), 6).alias("recall"),
             )
         )
     out = rows[0]
@@ -1175,18 +1201,24 @@ def ensure_ivf_index(
 ) -> str:
     """Build-once path contract for :func:`build_ivf_index`, keyed like
     ``sources.bucketing.bucketed_name``: the index lives under the
-    session warehouse as ``ivf_{table}_{sfdir}_{n}`` and is rebuilt only
-    if its cells' ``_SUCCESS`` marker is missing."""
+    session warehouse as ``ivf_{table}_{sfdir}_{n}`` and is rebuilt when
+    its cells' ``_SUCCESS`` marker is missing OR older than the source
+    table (``session._path_mtime``, which catches in-place part-file
+    rewrites) — a regenerated embeddings table never serves a stale
+    index (ADVICE r6)."""
     import os
     import re
     from urllib.parse import urlparse
 
-    from plumberapp_spark.session import load_table
+    from plumberapp_spark.session import _path_mtime, load_table
 
     wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", "")).path or "spark-warehouse"
     tag = re.sub(r"[^0-9A-Za-z]+", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1])
     path = os.path.join(wh, f"ivf_{table}_{tag}_{n_centroids}")
-    if not os.path.exists(os.path.join(path, "cells", "_SUCCESS")):
+    marker = os.path.join(path, "cells", "_SUCCESS")
+    source_mtime = _path_mtime(f"{sf_dir}/{table}.parquet")
+    stale = not os.path.exists(marker) or os.stat(marker).st_mtime < source_mtime
+    if stale:
         build_ivf_index(
             load_table(spark, sf_dir, table), path, n_centroids, id_col, vec_col
         )

@@ -258,3 +258,152 @@ def write_report(
         for name, val in (baselines or {}).items():
             w.writerow([f"baseline:{name}", "", val])
     return svg_path, csv_path
+
+
+def roofline_chart(
+    n_jobs: float,
+    latency_r: float,
+    x_cpu_bound: float,
+    n_star: float,
+    nodes_rates: Sequence[tuple[float, str]] | None = None,
+    x_disk_bound: float | None = None,
+    ylim: float | str | None = None,
+    title: str = "Pipeline roofline",
+) -> str:
+    """The reference's roofline plot (pa/plotting_util.py:27-75
+    ``generate_roofline``) in the engine's stdlib-SVG idiom: operational
+    law X = N/R up to the knee at N* (jobs needed to saturate), flat at
+    N*/R beyond it; dashed horizontals for the LP compute bound and the
+    optional disk bound; vertical markers at the CURRENT parallelism N
+    and the saturation point N*; optional per-node ceiling lines
+    (``(bound, name)`` pairs — the benchmark sweep's output), drawn in
+    fixed-slot categorical colors, worst first like the reference's
+    red-to-purple ramp. All inputs are driver-side scalars produced by
+    the q30 roofline rollup / Q2 LP — nothing here touches data.
+
+    Returns the SVG text; see :func:`write_roofline` for the file +
+    companion-CSV form."""
+    max_n = max(n_star * 2.0, n_jobs + 1.0)
+    if ylim is None:
+        y_hi = 2.0 * x_cpu_bound
+    elif ylim == "all":
+        y_hi = max([b for b, _ in (nodes_rates or [])] + [x_cpu_bound]) + 1.0
+    else:
+        y_hi = float(ylim)
+    nodes = [
+        (b, name) for b, name in (nodes_rates or []) if b < y_hi
+    ]
+    if len(nodes) > _MAX_SERIES:
+        nodes = sorted(nodes)[:_MAX_SERIES]  # worst (lowest ceiling) first
+
+    px_w, px_h = _W - _ML - _MR, _H - _MT - _MB
+    x_lo, x_hi_ = 0.0, max_n
+    y_lo = 0.0
+
+    def sx(x: float) -> float:
+        return _ML + (x - x_lo) / (x_hi_ - x_lo) * px_w
+
+    def sy(y: float) -> float:
+        return _MT + (1 - (y - y_lo) / (y_hi - y_lo)) * px_h
+
+    o = io.StringIO()
+    o.write(
+        f'<svg xmlns="http://www.w3.org/2000/svg" width="{_W}" height="{_H}" '
+        f'viewBox="0 0 {_W} {_H}" font-family="system-ui, sans-serif">\n'
+        f'<rect width="{_W}" height="{_H}" fill="{_SURFACE}"/>\n'
+        f'<text x="{_ML}" y="24" font-size="15" font-weight="600" '
+        f'fill="{_TEXT}">{_esc(title)}</text>\n'
+    )
+    for t in _ticks(y_lo, y_hi):
+        y = sy(t)
+        o.write(f'<line x1="{_ML}" y1="{y:.1f}" x2="{_W - _MR}" y2="{y:.1f}" stroke="{_GRID}" stroke-width="1"/>\n')
+        o.write(f'<text x="{_ML - 8}" y="{y + 4:.1f}" font-size="11" text-anchor="end" fill="{_TEXT_2}">{_fmt(t)}</text>\n')
+    for t in _ticks(x_lo, x_hi_, n=6):
+        o.write(f'<text x="{sx(t):.1f}" y="{_H - _MB + 18}" font-size="11" text-anchor="middle" fill="{_TEXT_2}">{_fmt(t)}</text>\n')
+    o.write(
+        f'<text x="{_ML + px_w / 2:.0f}" y="{_H - 26}" font-size="12" text-anchor="middle" fill="{_TEXT_2}">N (jobs in system)</text>\n'
+        f'<text x="16" y="{_MT + px_h / 2:.0f}" font-size="12" text-anchor="middle" fill="{_TEXT_2}" '
+        f'transform="rotate(-90 16 {_MT + px_h / 2:.0f})">X (minibatches/second)</text>\n'
+    )
+    # the roofline itself: rising segment X=N/R to the knee, then flat
+    knee_y = n_star / latency_r
+    o.write(
+        f'<path d="M{sx(0):.1f},{sy(0):.1f} L{sx(n_star):.1f},{sy(min(knee_y, y_hi)):.1f} '
+        f'L{sx(max_n):.1f},{sy(min(knee_y, y_hi)):.1f}" fill="none" '
+        f'stroke="{_TEXT}" stroke-width="2"/>\n'
+    )
+    # LP compute bound + optional disk bound: dashed neutral horizontals
+    for val, name, dash in (
+        (x_cpu_bound, f"LP Compute Bound ({x_cpu_bound:.1f})", "6 4"),
+        *(((x_disk_bound, f"Disk Bound ({x_disk_bound:.1f})", "2 3"),) if x_disk_bound else ()),
+    ):
+        y = sy(min(val, y_hi))
+        o.write(
+            f'<line x1="{_ML}" y1="{y:.1f}" x2="{_W - _MR}" y2="{y:.1f}" '
+            f'stroke="{_BASELINE}" stroke-width="1.5" stroke-dasharray="{dash}"/>\n'
+            f'<text x="{_W - _MR - 4}" y="{y - 5:.1f}" font-size="11" '
+            f'text-anchor="end" fill="{_TEXT_2}">{_esc(name)}</text>\n'
+        )
+    # per-node ceilings (the sweep's per-op bounds), fixed-slot colors
+    for i, (bound, name) in enumerate(nodes):
+        y = sy(bound)
+        c = _SERIES_COLORS[i % _MAX_SERIES]
+        o.write(
+            f'<line x1="{_ML}" y1="{y:.1f}" x2="{_W - _MR}" y2="{y:.1f}" '
+            f'stroke="{c}" stroke-width="1.5" stroke-dasharray="4 3"/>\n'
+            f'<text x="{_ML + 4}" y="{y - 4:.1f}" font-size="11" fill="{c}">{_esc(name)} ({_fmt(round(bound, 2))})</text>\n'
+        )
+    # current N and saturation N*: vertical drop lines + star markers
+    for x_val, y_val, name, color in (
+        (n_jobs, min(n_jobs / latency_r, x_cpu_bound), f"N={n_jobs:.2f}", _SERIES_COLORS[0]),
+        (n_star, knee_y, f"N*={n_star:.2f}", _TEXT),
+    ):
+        y_clip = min(y_val, y_hi)
+        o.write(
+            f'<line x1="{sx(x_val):.1f}" y1="{sy(0):.1f}" x2="{sx(x_val):.1f}" y2="{sy(y_clip):.1f}" '
+            f'stroke="{color}" stroke-width="1.5" stroke-dasharray="5 4"/>\n'
+            f'<path d="M{sx(x_val):.1f},{sy(y_clip) - 7:.1f} l2.1,4.2 4.6,.7 -3.3,3.2 .8,4.6 '
+            f'-4.2,-2.2 -4.2,2.2 .8,-4.6 -3.3,-3.2 4.6,-.7 z" fill="{color}">'
+            f'<title>{_esc(name)}: X={_fmt(round(y_val, 3))}</title></path>\n'
+            f'<text x="{sx(x_val) + 6:.1f}" y="{_H - _MB - 6}" font-size="11" fill="{_TEXT_2}">{_esc(name)}</text>\n'
+        )
+    o.write("</svg>\n")
+    return o.getvalue()
+
+
+def write_roofline(
+    path: str,
+    n_jobs: float,
+    latency_r: float,
+    x_cpu_bound: float,
+    n_star: float,
+    nodes_rates: Sequence[tuple[float, str]] | None = None,
+    x_disk_bound: float | None = None,
+    ylim: float | str | None = None,
+    title: str = "Pipeline roofline",
+) -> tuple[str, str]:
+    """File form of :func:`roofline_chart`: writes ``<path>.svg`` plus
+    the companion ``<path>.csv`` of every plotted bound (the accessible
+    table view, same contract as :func:`write_report`)."""
+    base = path[:-4] if path.endswith(".svg") else path
+    svg_path, csv_path = base + ".svg", base + ".csv"
+    with open(svg_path, "w") as f:
+        f.write(
+            roofline_chart(
+                n_jobs, latency_r, x_cpu_bound, n_star,
+                nodes_rates=nodes_rates, x_disk_bound=x_disk_bound,
+                ylim=ylim, title=title,
+            )
+        )
+    with open(csv_path, "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["kind", "name", "value"])
+        w.writerow(["point", "N", n_jobs])
+        w.writerow(["point", "N_star", n_star])
+        w.writerow(["scalar", "latency_R", latency_r])
+        w.writerow(["bound", "X_cpu", x_cpu_bound])
+        if x_disk_bound is not None:
+            w.writerow(["bound", "X_disk", x_disk_bound])
+        for bound, name in nodes_rates or []:
+            w.writerow(["node_ceiling", name, bound])
+    return svg_path, csv_path

@@ -257,7 +257,13 @@ def q86_streaming_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     are md5-determined, so the bounded replay has an EXACT relational
     oracle: kept(d) <=> d is the min doc_id setting one of its (shard,
     position) cells (add-always == add-if-kept because a dropped doc's
-    bits are already set)."""
+    bits are already set).
+
+    ORACLE CONTRACT: the min-doc_id-wins tie-break holds only when the
+    replay runs as a single micro-batch (the per-batch sort cannot fix
+    cross-batch arrival order). maxFilesPerTrigger is deliberately left
+    unset so availableNow drains every file in one batch; the
+    single-data-batch assumption is ENFORCED below, not assumed."""
     ensure_read_confs(spark)
     schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
     stream = (
@@ -280,6 +286,12 @@ def q86_streaming_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     query.awaitTermination()
+    data_batches = [p for p in query.recentProgress if p["numInputRows"] > 0]
+    if len(data_batches) > 1:
+        raise RuntimeError(
+            f"q86 oracle contract violated: replay split into {len(data_batches)} "
+            "data micro-batches; min-doc_id tie-break is only exact single-batch"
+        )
     return spark.table(sink)
 
 

@@ -194,7 +194,9 @@ def _bloom_dedup_fn(n_bits: int, n_hashes: int):
     ) -> Iterator[pd.DataFrame]:
         import hashlib
 
-        bits = bytearray(state.get[0]) if state.exists else bytearray(n_bits // 8)
+        bits = (
+            bytearray(state.get[0]) if state.exists else bytearray((n_bits + 7) // 8)
+        )
         chunks = [pdf for pdf in pdfs]
         pdf = pd.concat(chunks) if chunks else pd.DataFrame(columns=["doc_id", "text"])
         # arrival order within the batch is partition order; sort by id so
