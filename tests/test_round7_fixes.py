@@ -155,3 +155,46 @@ def test_roofline_chart_svg(tmp_path):
     with open(svg_path) as f:
         written = f.read()
     assert written.startswith("<svg") and "N*=8.00" in written
+
+
+def test_per_node_ceiling_sweep(spark):
+    """profiler.benchmark_all_nodes (benchmark_util.py:41-60 analog):
+    take+cache sandwich before the node, truncation at it, parallelism
+    grid for parallelizable ops, per-op ceiling table out."""
+    from plumberapp_spark.metrics.profiler import (
+        benchmark_all_nodes,
+        ceiling_table,
+        node_benchmark_pipeline,
+    )
+    from plumberapp_spark.pipelines import resnet_pipeline
+
+    p = resnet_pipeline(spark, n=400, batch=32)
+    # structure: the measured plan is rooted AT the node, its input is
+    # take(N) -> cache
+    some_node = next(n for n in p.nodes() if n.op == "map")
+    bp = node_benchmark_pipeline(p, some_node.name, take_amount=50)
+    assert bp.root.name == some_node.name
+    assert bp.root.inputs[0].cached
+    assert bp.root.inputs[0].op == "cache"
+    assert bp.root.inputs[0].inputs[0].op == "take"
+    assert bp.root.inputs[0].inputs[0].params == {"n": 50}
+    # the original plan is untouched (clone semantics)
+    assert p.find(some_node.name).inputs[0].op != "cache"
+
+    rows = benchmark_all_nodes(
+        spark,
+        p,
+        parallelism_grid=[2, 4],
+        take_amount=50,
+        time_limit_s=0.3,
+        include=[some_node.name, p.root.name],
+    )
+    by_name: dict = {}
+    for r in rows:
+        assert r["element_rate"] > 0
+        by_name.setdefault(r["name"], []).append(r["parallelism"])
+    # the map node swept the grid; the root got one row (grid or single)
+    assert sorted(by_name[some_node.name]) == [2, 4]
+    ceil = ceiling_table(rows)
+    assert set(ceil) == set(by_name)
+    assert all(v > 0 for v in ceil.values())
