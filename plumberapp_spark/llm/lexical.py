@@ -1,0 +1,292 @@
+"""Persisted lexical (tf-idf / BM25) index — the q89 serving pattern
+applied to sparse retrieval.
+
+The direct operators (:func:`plumberapp_spark.llm.dedup.tfidf_topk`,
+:func:`~plumberapp_spark.llm.dedup.bm25_topk`) recompute the full
+weights/norms lineage — corpus tokenize, df(t) rollup, weight join — on
+EVERY query run; correct, but the dominant cost at any scale and the
+named bottleneck behind the family's 5× DuckDB ratio on the Zipf fixture
+(VERDICT r7). This module splits the lineage at the index boundary,
+exactly like the reference splits optimization-time calibration from
+serving (cache insertion, ``pa/pipeline_optimizer.py:1250-1350``):
+
+* **build once** (:func:`build_lexical_index`): materialize under the
+  session warehouse
+
+  - ``{path}/postings`` — ``(tk, doc_id, w_tfidf, w_bm25, _b)``
+    partitioned by ``_b = crc32(tk) % n_buckets``, so a query run's
+    parquet scan PRUNES to the buckets its terms hash into — IO touches
+    ``|query-term buckets| / n_buckets`` of the postings, enforced by
+    partition pruning, not a runtime filter;
+  - ``{path}/norms`` — ``(doc_id, nrm)`` tf-idf L2 norms;
+  - ``{path}/scalars`` — one row: corpus doc count, total tokens, mean
+    doc length (the BM25 globals).
+
+  Both weight columns are computed with formulas bit-identical to the
+  direct operators' (natural-log idf; Robertson/Lucene BM25 idf with
+  ``k1``/``b`` saturation), so indexed search returns exactly what the
+  direct operator returns and shares its DuckDB oracle.
+
+* **serve many** (:func:`tfidf_topk_indexed`,
+  :func:`bm25_topk_indexed`): tokenize only the QUERY docs (a bounded
+  frame under the ANN small-side broadcast contract), prune the
+  postings scan to the query terms' buckets, broadcast-join the term
+  map, aggregate partial dots, and rank with the same two-stage
+  partial top-k as the direct operators. Nothing corpus-sized is
+  recomputed, shuffled wide, or collected.
+
+100 TB posture: the index build is the direct operators' one-time
+lineage (exchange profile unchanged); a query run reads a pruned
+postings subset + the norms relation and pays one bounded aggregate —
+the serving cost scales with posting-list length of the query terms,
+not corpus size.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+DEFAULT_BUCKETS = 64
+
+
+def _bucket(col):
+    """Partition key for a token: crc32 of the utf-8 bytes mod
+    n_buckets — stable across sessions (no Spark-version hash-seed
+    dependence), cheap, and pushdown-friendly (an int partition col)."""
+    return F.crc32(F.col(col).cast("binary")) % DEFAULT_BUCKETS
+
+
+def build_lexical_index(
+    corpus: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> None:
+    """Materialize the postings/norms/scalars relations (docstring above).
+
+    One pass over the corpus (the shared Arrow tf extraction with doc
+    lengths riding along), one vocab-sized df(t) rollup joined back on
+    the token (the skew-safe `_doc_frequencies` form), one write per
+    relation. Weight formulas mirror ``dedup.tfidf_topk`` /
+    ``dedup.bm25_topk`` exactly."""
+    from plumberapp_spark.llm.dedup import _doc_frequencies, term_frequencies
+
+    spark = corpus.sparkSession
+    tf = term_frequencies(corpus, text_col, id_col, with_doc_len=True)
+    nd = corpus.groupBy().agg(F.count("*").alias("_nd"))
+    scalars = (
+        tf.groupBy()
+        .agg(F.sum("_tf").alias("_tt"))
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "_nd",
+            F.col("_tt").alias("_total_tokens"),
+            (F.col("_tt") / F.col("_nd")).alias("_avgdl"),
+        )
+    )
+    scalars.coalesce(1).write.mode("overwrite").parquet(f"{path}/scalars")
+    sc = spark.read.parquet(f"{path}/scalars")
+
+    wts = (
+        tf.join(_doc_frequencies(tf), "tk")
+        .crossJoin(F.broadcast(sc))
+        .select(
+            "tk",
+            F.col(id_col).alias("doc_id"),
+            # tf-idf: tf · ln(N / df)  (dedup._tfidf_weights verbatim)
+            (F.col("_tf") * F.log(F.col("_nd") / F.col("_df"))).alias("w_tfidf"),
+            # BM25: idf · saturated tf with length norm (dedup.bm25_topk verbatim)
+            (
+                F.log(
+                    F.lit(1.0)
+                    + (F.col("_nd") - F.col("_df") + 0.5) / (F.col("_df") + 0.5)
+                )
+                * (F.col("_tf") * (k1 + 1))
+                / (F.col("_tf") + k1 * (1 - b + b * F.col("_dl") / F.col("_avgdl")))
+            ).alias("w_bm25"),
+        )
+        .withColumn("_b", _bucket("tk").cast("int"))
+    )
+    wts.write.partitionBy("_b").mode("overwrite").parquet(f"{path}/postings")
+
+    postings = spark.read.parquet(f"{path}/postings")
+    norms = postings.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("w_tfidf") * F.col("w_tfidf"))).alias("nrm")
+    )
+    norms.write.mode("overwrite").parquet(f"{path}/norms")
+
+
+def ensure_lexical_index(
+    spark,
+    sf_dir: str,
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """Build-once path contract, keyed like ``ensure_ivf_index``: the
+    index lives under the session warehouse as ``lex_{table}_{sfdir}``
+    and is rebuilt when its marker is missing or the source mtime
+    RECORDED AT BUILD TIME differs from the current one (sidecar
+    comparison — immune to same-granule in-place rewrites)."""
+    import re
+    from urllib.parse import urlparse
+
+    from plumberapp_spark.session import _path_mtime, load_table
+
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", "")).path or "spark-warehouse"
+    tag = re.sub(r"[^0-9A-Za-z]+", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1])
+    path = os.path.join(wh, f"lex_{table}_{tag}")
+    marker = os.path.join(path, "norms", "_SUCCESS")
+    sidecar = os.path.join(path, "source_mtime.txt")
+    source_mtime = _path_mtime(f"{sf_dir}/{table}.parquet")
+    recorded = None
+    try:
+        with open(sidecar) as fh:
+            recorded = float(fh.read().strip())
+    except (OSError, ValueError):
+        recorded = None
+    if not os.path.exists(marker) or recorded is None or recorded != source_mtime:
+        build_lexical_index(
+            load_table(spark, sf_dir, table), path, text_col, id_col
+        )
+        with open(sidecar, "w") as fh:
+            fh.write(repr(source_mtime))
+    return path
+
+
+def _query_postings(spark, path: str, query_terms: DataFrame) -> DataFrame:
+    """Postings rows for the query's terms: partition-prune the scan to
+    the terms' buckets (an IN filter on the int partition column — at
+    most ``DEFAULT_BUCKETS`` values, always pushdown-safe), then
+    broadcast-semi-join on the token itself. ``query_terms`` is a
+    one-column ``tk`` frame, bounded by the small-side contract."""
+    buckets = [
+        r["_b"]
+        for r in query_terms.select(_bucket("tk").cast("int").alias("_b"))
+        .distinct()
+        .collect()
+    ]
+    postings = spark.read.parquet(f"{path}/postings")
+    if buckets:
+        postings = postings.filter(F.col("_b").isin(buckets))
+    return postings.join(
+        F.broadcast(query_terms.select("tk").distinct()), "tk", "left_semi"
+    )
+
+
+def _two_stage_topk(scored: DataFrame, k: int, score_col: str) -> DataFrame:
+    """The family's shared ranking tail: per-(query, partition) rank
+    caps what the global rank sees at k · partitions rows per query."""
+    w_local = Window.partitionBy("query_id", F.spark_partition_id()).orderBy(
+        F.col(score_col).desc(), "neighbor_id"
+    )
+    pruned = scored.withColumn("_lr", F.row_number().over(w_local)).filter(
+        F.col("_lr") <= k
+    )
+    w_global = Window.partitionBy("query_id").orderBy(
+        F.col(score_col).desc(), "neighbor_id"
+    )
+    return (
+        pruned.withColumn("rank", F.row_number().over(w_global))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            score_col,
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+    )
+
+
+def _query_term_frame(queries: DataFrame, text_col: str) -> DataFrame:
+    """Distinct tokens of the query docs — a bounded JVM explode on the
+    small-side query frame. This is the pruning key: every postings row
+    a query run can touch (candidates AND the query docs' own vectors)
+    carries one of these tokens, so ONE pruned scan serves both."""
+    from plumberapp_spark.functions.text import tokenize
+
+    return (
+        queries.select(F.explode(tokenize(F.col(text_col))).alias("tk"))
+        .distinct()
+    )
+
+
+def tfidf_topk_indexed(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """tf-idf cosine top-k over a persisted :func:`build_lexical_index`
+    — output-identical to ``dedup.tfidf_topk`` on the same corpus
+    (same weights, same 6-decimal rounding before rank, same tie-break).
+
+    ``queries`` carries the query docs (ids + text) drawn from the
+    indexed corpus. Their term VECTORS come from the index itself: the
+    pruned postings read covers exactly the query terms' buckets, and a
+    query doc's own postings all carry query terms, so one pruned scan
+    yields both the candidates and the query-side weights — no full
+    postings pass anywhere."""
+    qids = queries.select(F.col(id_col).alias("_qid")).distinct()
+    norms = spark.read.parquet(f"{path}/norms")
+    cand = _query_postings(spark, path, _query_term_frame(queries, text_col))
+    qw = cand.join(
+        F.broadcast(qids), cand["doc_id"] == F.col("_qid"), "inner"
+    ).select(F.col("_qid").alias("query_id"), "tk", F.col("w_tfidf").alias("_qw"))
+    qn = norms.join(
+        F.broadcast(qids), norms["doc_id"] == F.col("_qid")
+    ).select(F.col("_qid").alias("query_id"), F.col("nrm").alias("_qn"))
+
+    dots = (
+        cand.join(F.broadcast(qw), "tk")
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum(F.col("w_tfidf") * F.col("_qw")).alias("_dot"))
+    )
+    scored = (
+        dots.join(norms, "doc_id")
+        .join(F.broadcast(qn), "query_id")
+        .select(
+            "query_id",
+            F.col("doc_id").alias("neighbor_id"),
+            F.round(F.col("_dot") / (F.col("nrm") * F.col("_qn")), 6).alias("cos_sim"),
+        )
+    )
+    return _two_stage_topk(scored, k, "cos_sim")
+
+
+def bm25_topk_indexed(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25 top-k over a persisted :func:`build_lexical_index` —
+    output-identical to ``dedup.bm25_topk`` (same Robertson/Lucene
+    weights, 6-decimal rounding before rank, neighbor-id tie-break).
+    The query is a term SET (distinct terms, query tf ignored), derived
+    from the query docs' own postings rows inside the pruned scan."""
+    qids = queries.select(F.col(id_col).alias("_qid")).distinct()
+    cand = _query_postings(spark, path, _query_term_frame(queries, text_col))
+    qterms = (
+        cand.join(F.broadcast(qids), cand["doc_id"] == F.col("_qid"), "inner")
+        .select(F.col("_qid").alias("query_id"), "tk")
+        .distinct()
+    )
+    scored = (
+        cand.join(F.broadcast(qterms), "tk")
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.round(F.sum("w_bm25"), 6).alias("bm25"))
+        .select("query_id", F.col("doc_id").alias("neighbor_id"), "bm25")
+    )
+    return _two_stage_topk(scored, k, "bm25")

@@ -1216,12 +1216,25 @@ def ensure_ivf_index(
     tag = re.sub(r"[^0-9A-Za-z]+", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1])
     path = os.path.join(wh, f"ivf_{table}_{tag}_{n_centroids}")
     marker = os.path.join(path, "cells", "_SUCCESS")
+    sidecar = os.path.join(path, "source_mtime.txt")
     source_mtime = _path_mtime(f"{sf_dir}/{table}.parquet")
-    stale = not os.path.exists(marker) or os.stat(marker).st_mtime < source_mtime
+    # the sidecar records the source mtime OBSERVED AT BUILD TIME; comparing
+    # recorded-vs-current (not marker-mtime < source-mtime) is immune to
+    # 1s-granularity filesystems where a rewrite lands in the same mtime
+    # granule as the marker (ADVICE r7)
+    recorded = None
+    try:
+        with open(sidecar) as fh:
+            recorded = float(fh.read().strip())
+    except (OSError, ValueError):
+        recorded = None
+    stale = not os.path.exists(marker) or recorded is None or recorded != source_mtime
     if stale:
         build_ivf_index(
             load_table(spark, sf_dir, table), path, n_centroids, id_col, vec_col
         )
+        with open(sidecar, "w") as fh:
+            fh.write(repr(source_mtime))
     return path
 
 

@@ -326,7 +326,7 @@ def roofline_chart(
         f'transform="rotate(-90 16 {_MT + px_h / 2:.0f})">X (minibatches/second)</text>\n'
     )
     # the roofline itself: rising segment X=N/R to the knee, then flat
-    knee_y = n_star / latency_r
+    knee_y = n_star / max(latency_r, 1e-12)
     o.write(
         f'<path d="M{sx(0):.1f},{sy(0):.1f} L{sx(n_star):.1f},{sy(min(knee_y, y_hi)):.1f} '
         f'L{sx(max_n):.1f},{sy(min(knee_y, y_hi)):.1f}" fill="none" '
@@ -335,7 +335,11 @@ def roofline_chart(
     # LP compute bound + optional disk bound: dashed neutral horizontals
     for val, name, dash in (
         (x_cpu_bound, f"LP Compute Bound ({x_cpu_bound:.1f})", "6 4"),
-        *(((x_disk_bound, f"Disk Bound ({x_disk_bound:.1f})", "2 3"),) if x_disk_bound else ()),
+        *(
+            ((x_disk_bound, f"Disk Bound ({x_disk_bound:.1f})", "2 3"),)
+            if x_disk_bound is not None  # 0.0 is a legitimate bound; match write_roofline
+            else ()
+        ),
     ):
         y = sy(min(val, y_hi))
         o.write(
@@ -355,7 +359,7 @@ def roofline_chart(
         )
     # current N and saturation N*: vertical drop lines + star markers
     for x_val, y_val, name, color in (
-        (n_jobs, min(n_jobs / latency_r, x_cpu_bound), f"N={n_jobs:.2f}", _SERIES_COLORS[0]),
+        (n_jobs, min(n_jobs / max(latency_r, 1e-12), x_cpu_bound), f"N={n_jobs:.2f}", _SERIES_COLORS[0]),
         (n_star, knee_y, f"N*={n_star:.2f}", _TEXT),
     ):
         y_clip = min(y_val, y_hi)

@@ -1,146 +1,113 @@
-"""Per-node throughput-ceiling sweep — the engine's port of the
-reference's brute-force node benchmark
-(`plumber_analysis/benchmark_util.py:11-60`
-``create_benchmark_node_dataset`` / ``benchmark_all_nodes_dataset``):
-for each plan node in topological order, insert a take+cache sandwich
-after the node's input (so upstream cost is paid once, outside the
-timed window), truncate the plan AT the node (the node becomes the
-sink), and benchmark it over a parallelism grid. The output is the
-per-op ceiling table the LP (Q2) and the roofline chart consume.
+"""Pipeline profiler: runs each plan prefix under a timer and assembles
+the per-operator :class:`MetricsModel`.
 
-Spark-first differences, on purpose:
-
-* the "surgery" is a Pipeline-IR rewrite (clone + re-root), not
-  protobuf GraphDef editing — ``plans/rewrites.py`` already owns
-  truncation and parallelism overrides;
-* "cache" is a real ``persist(MEMORY_AND_DISK)`` on the bounded
-  ``take(N)`` prefix, warmed explicitly before the timed window — the
-  reference's cache node plays the same role
-  (pa/graphdef_util.py:618-643);
-* parallelism is a partition-count override (``repartition`` at the
-  node), the Spark meaning of a tf.data parallelism knob.
-
-Driver-side by contract: every measured frame is bounded by
-``take_amount`` rows, so nothing here scales with the data.
+The reference gets per-op counters from the tf.data runtime's stats dump
+(pa/gen_util.py:61-78 → stats.pb); Spark exposes no per-operator clock, so
+we profile the way the reference's *benchmark* layer does — timed
+consumption of each prefix (pa/gen_util.py:253-506), attributing
+self-time as prefix minus slowest input prefix. O(nodes) actions; at real
+scale run it on a sampled prefix (``sample_rows``), which is exactly the
+reference's take(n)-sandwich benchmarking trick
+(pa/pipeline_optimizer.py:151-192).
 """
 
 from __future__ import annotations
 
-from typing import Sequence
+import time
 
 from pyspark.sql import SparkSession
 
-from plumberapp_spark.metrics.bench import BenchSummary, bench_dataframe, consume
 from plumberapp_spark.plans.nodes import PARALLELIZABLE_OPS, Pipeline, PlanNode
-from plumberapp_spark.plans.rewrites import _clone
+from plumberapp_spark.metrics.model import MetricsModel, NodeStats
 
-# ops with no work of their own to measure — the reference's
-# IGNORE_LIST_OPS (benchmark_util.py:57-62)
-IGNORE_OPS = {"cache", "prefetch", "literal"}
-
-
-def node_benchmark_pipeline(
-    p: Pipeline, name: str, take_amount: int = 500
-) -> Pipeline:
-    """``create_benchmark_node_dataset`` analog (benchmark_util.py:11-23):
-    a plan that measures ONE node's throughput ceiling — its input is
-    capped at ``take_amount`` rows and cached (upstream cost paid once,
-    before the timed window), and the node itself is the sink.
-
-    Source nodes (no inputs) get only the truncation plus a take cap ON
-    the node, measuring the scan itself."""
-    out = _clone(p)
-    node = out.find(name)
-    if not node.inputs:
-        return Pipeline(node, out._counter).take(take_amount)
-    prepared: list[PlanNode] = []
-    counter = out._counter
-    for inp in node.inputs:
-        prefix = Pipeline(inp, counter).take(take_amount).cache()
-        counter = prefix._counter
-        prepared.append(prefix.root)
-    node.inputs = prepared
-    return Pipeline(node, counter)
+# The per-node throughput-ceiling sweep (benchmark_all_nodes analog) lives
+# in metrics/node_bench.py; re-exported here because it is profiling
+# surface and earlier rounds imported it from this module.
+from plumberapp_spark.metrics.node_bench import (  # noqa: F401
+    IGNORE_OPS,
+    benchmark_all_nodes,
+    benchmark_node,
+    ceiling_table,
+    node_benchmark_pipeline,
+)
 
 
-def benchmark_node(
-    spark: SparkSession,
-    p: Pipeline,
-    name: str,
-    take_amount: int = 500,
-    time_limit_s: float = 2.0,
-) -> BenchSummary:
-    """``benchmark_node_dataset`` analog (benchmark_util.py:25-39): warm
-    the cached input prefix with one untimed pass, then measure the
-    node's steady-state element rate."""
-    bench_p = node_benchmark_pipeline(p, name, take_amount)
-    df = bench_p.to_df(spark)
-    consume(df)  # untimed: fills the input cache + absorbs codegen
-    return bench_dataframe(df, time_limit_s=time_limit_s)
+def _plan_size_bytes(df) -> float:
+    """Catalyst's own size estimate (optimizedPlan().stats) — the
+    expected_dataset_size analog without materializing."""
+    try:
+        return float(str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()))
+    except Exception:  # noqa: BLE001 — py4j estimate is best-effort
+        return 0.0
 
 
-def benchmark_all_nodes(
-    spark: SparkSession,
-    p: Pipeline,
-    parallelism_grid: Sequence[int] | None = None,
-    take_amount: int = 500,
-    time_limit_s: float = 2.0,
-    include: Sequence[str] | None = None,
-) -> list[dict]:
-    """``benchmark_all_nodes_dataset`` analog (benchmark_util.py:41-60):
-    sweep every measurable node in topological order; parallelizable
-    nodes are additionally swept over ``parallelism_grid`` (default
-    [2, 4, 8], the reference's ``2**i for i in range(1, 4)``).
+class PipelineProfiler:
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
 
-    Returns one row per (node, parallelism) —
-    ``{"name", "op", "parallelism", "element_rate", "num_runs",
-    "duration_s"}`` — steady-state rates over the cached bounded input.
-    ``include`` restricts to named nodes (the reference's
-    'Parallel'-only filter generalized to a caller choice). The cache is
-    cleared between nodes so one node's persisted prefix never skews the
-    next measurement (bench.py hygiene)."""
-    if parallelism_grid is None:
-        parallelism_grid = [2**i for i in range(1, 4)]
-    rows: list[dict] = []
-    for node in p.nodes():
-        if node.op in IGNORE_OPS:
-            continue
-        if include is not None and node.name not in include:
-            continue
-        grid: list[int | None] = (
-            list(parallelism_grid) if node.op in PARALLELIZABLE_OPS else [None]
-        )
-        for par in grid:
-            bench_p = node_benchmark_pipeline(p, node.name, take_amount)
-            if par is not None:
-                bench_p.find(node.name).parallelism = int(par)
-            df = bench_p.to_df(spark)
-            consume(df)  # untimed cache-fill + codegen pass
-            summary = bench_dataframe(df, time_limit_s=time_limit_s)
-            rows.append(
-                {
-                    "name": node.name,
-                    "op": node.op,
-                    "parallelism": par,
-                    "element_rate": summary.element_rate,
-                    "num_runs": summary.num_runs,
-                    "duration_s": summary.duration_s,
-                }
+    def profile(self, pipeline: Pipeline, sample_rows: int | None = None) -> MetricsModel:
+        nodes = pipeline.nodes()
+        consumers: dict[str, str] = {}
+        for child, parent in pipeline.edges():
+            consumers[child] = parent
+
+        tainted = pipeline.random_tainted()
+        prefix_time: dict[str, float] = {}
+        prefix_rows: dict[str, int] = {}
+        stats: list[NodeStats] = []
+
+        for topo_idx, node in enumerate(nodes):
+            sub = Pipeline(node, pipeline._counter)
+            df = sub.to_df(self.spark)
+            if sample_rows is not None:
+                df = df.limit(sample_rows)
+            size_bytes = _plan_size_bytes(df)
+            t0 = time.perf_counter()
+            n_rows = df.count()
+            dt = max(time.perf_counter() - t0, 1e-6)
+            prefix_time[node.name] = dt
+            prefix_rows[node.name] = n_rows
+
+            in_rows = sum(prefix_rows[i.name] for i in node.inputs)
+            slowest_input = max((prefix_time[i.name] for i in node.inputs), default=0.0)
+            self_time = max(dt - slowest_input, 1e-6)
+            parallelism = node.parallelism or self.spark.sparkContext.defaultParallelism
+            rate = n_rows / dt
+            per_core = (n_rows / self_time) / parallelism if parallelism else 0.0
+            stats.append(
+                NodeStats(
+                    name=node.name,
+                    op=node.op,
+                    parent_name=consumers.get(node.name, ""),
+                    topo_idx=topo_idx,
+                    parallelism=parallelism,
+                    is_parallel=node.op in PARALLELIZABLE_OPS,
+                    is_random_udf=not node.deterministic,
+                    is_random_udf_downstream=node.name in tainted,
+                    cached=node.cached,
+                    observed_rate=rate,
+                    processing_time=dt,
+                    self_processing_time=self_time,
+                    p_busy=0.0,  # filled below once total known
+                    expected_per_core_max_rate=per_core,
+                    expected_parallel_max_rate=per_core * parallelism,
+                    aggregate_elements_produced=n_rows,
+                    element_ratio=(n_rows / in_rows) if in_rows else 1.0,
+                    expected_dataset_size=size_bytes,
+                    average_bytes_per_element_produced=(size_bytes / n_rows) if n_rows else 0.0,
+                    derived_cardinality=n_rows,
+                    num_cores_used=0.0,
+                )
             )
-            try:
-                spark.catalog.clearCache()
-            except Exception:  # noqa: BLE001 — hygiene only
-                pass
-    return rows
 
-
-def ceiling_table(rows: list[dict]) -> dict[str, float]:
-    """Per-node throughput ceiling: max steady-state rate over the
-    sweep — the number the LP uses as the node's max service rate and
-    the roofline draws as its horizontal (``nodes_rates`` takes
-    ``[(rate, name), ...]`` — ``sorted((r, n) for n, r in
-    ceiling_table(rows).items())``)."""
-    out: dict[str, float] = {}
-    for r in rows:
-        out[r["name"]] = max(out.get(r["name"], 0.0), r["element_rate"])
-    return out
+        total_self = sum(s.self_processing_time for s in stats) or 1.0
+        sink = stats[-1]
+        for s in stats:
+            s.p_busy = s.self_processing_time / total_self
+            s.num_cores_used = s.p_busy * s.parallelism
+        return MetricsModel(
+            self.spark,
+            stats,
+            pipeline_rate=sink.observed_rate,
+            duration_s=sink.processing_time,
+        )

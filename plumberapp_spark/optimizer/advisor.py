@@ -136,11 +136,62 @@ class Optimizer:
         model = PipelineProfiler(self.spark).profile(pipeline, sample_rows=sample_rows)
         return self.advise_from_model(pipeline, model)
 
-    def advise_from_model(self, pipeline: Pipeline, model: MetricsModel) -> Advice:
+    def advise_calibrated(
+        self,
+        pipeline: Pipeline,
+        sample_rows: int | None = None,
+        parallelism_grid: list[int] | None = None,
+        take_amount: int = 500,
+        time_limit_s: float = 2.0,
+    ) -> Advice:
+        """Calibrate-then-solve (the reference's flow: a measured
+        ``benchmark_all_nodes`` sweep feeds the solver's rates,
+        pa/pipeline_optimizer_wrapper.py:365-459 → convex_solver): run
+        the per-node ceiling sweep, convert cells to per-core service
+        rates, and solve the Q2 LP on the MEASURED rates instead of the
+        profiler's prefix-difference estimates. The profiler still
+        supplies structure (topology, parallelizability, cache taint);
+        only the rate column is overridden."""
+        from plumberapp_spark.metrics.node_bench import (
+            benchmark_all_nodes,
+            per_core_rates,
+        )
+
+        model = PipelineProfiler(self.spark).profile(pipeline, sample_rows=sample_rows)
+        rows = benchmark_all_nodes(
+            self.spark,
+            pipeline,
+            parallelism_grid=parallelism_grid,
+            take_amount=take_amount,
+            time_limit_s=time_limit_s,
+        )
+        return self.advise_from_model(
+            pipeline, model, rate_overrides=per_core_rates(rows)
+        )
+
+    def advise_from_model(
+        self,
+        pipeline: Pipeline,
+        model: MetricsModel,
+        rate_overrides: dict[str, float] | None = None,
+    ) -> Advice:
         advice = Advice()
         advice.bottleneck = model.bottleneck_node().name
 
         all_rates = {s.name: s.expected_per_core_max_rate for s in model.stats}
+        if rate_overrides:
+            # calibrated ceilings replace estimates ONLY for nodes the
+            # model knows — a sweep row for a node outside the plan is a
+            # caller error we surface rather than silently solve with
+            unknown = sorted(set(rate_overrides) - set(all_rates))
+            if unknown:
+                raise ValueError(f"rate_overrides for nodes not in the model: {unknown}")
+            calibrated = {n: r for n, r in rate_overrides.items() if r > 0}
+            all_rates.update(calibrated)
+            advice.notes.append(
+                "calibrated per-core rates from node sweep: "
+                + ", ".join(f"{n}={r:.3g}" for n, r in sorted(calibrated.items()))
+            )
         sequential = {s.name for s in model.stats if not s.is_parallel}
         if all_rates:
             bw_bound = None

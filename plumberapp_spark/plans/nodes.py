@@ -281,9 +281,15 @@ class Pipeline:
 
     # -- materialization ---------------------------------------------------
 
-    def to_df(self, spark: SparkSession) -> DataFrame:
+    def to_df(
+        self, spark: SparkSession, persisted_out: list | None = None
+    ) -> DataFrame:
         """Materialize the plan: topo-recursive build, persist at cached
         nodes, repartition where parallelism overrides are set.
+
+        ``persisted_out``: optional list the builder appends every
+        DataFrame it persists to, so a caller can unpersist exactly its
+        own caches without touching unrelated session caches.
 
         This is S7 (``ResumeDataset``, ``pa/graphdef_util.py:456-483``,
         ``pa/pipeline_optimizer.py:28-41``): where the reference
@@ -301,6 +307,8 @@ class Pipeline:
                 df = df.repartition(node.parallelism)
             if node.cached:
                 df = df.persist(StorageLevel.MEMORY_AND_DISK)
+                if persisted_out is not None:
+                    persisted_out.append(df)
             memo[id(node)] = df
             return df
 

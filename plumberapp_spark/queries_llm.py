@@ -1734,7 +1734,7 @@ def q90_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                     FROM reach GROUP BY node),
          sizes AS (SELECT cluster_label, count(*) AS cluster_size
                    FROM labels GROUP BY 1),
-         tc AS (SELECT d.doc_id, len(list_filter(string_split_regex(coalesce(d.text, ''), '\s+'), x -> x != '')) AS n_tokens FROM d),
+         tc AS (SELECT d.doc_id, len(list_filter(string_split_regex(coalesce(d.text, ''), '\\s+'), x -> x != '')) AS n_tokens FROM d),
          ranked2 AS (SELECT l.doc_id, l.cluster_label, s.cluster_size, tc.n_tokens,
                             row_number() OVER (PARTITION BY l.cluster_label
                               ORDER BY tc.n_tokens DESC, l.doc_id) AS rn
@@ -1803,4 +1803,85 @@ def q92_crossmodal_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "documents"),
         load_table(spark, sf_dir, "embeddings"),
         k_pairs=50,
+    )
+
+
+# -- round 8: persisted-index serving paths (the q89 pattern applied to
+# the retrieval and LM-scoring families — VERDICT r7 items 4/5) ----------
+
+from plumberapp_spark.registry import REGISTRY as _REG
+
+
+@register(
+    "q94_tfidf_indexed_search",
+    # identical result contract to q80 (same weights, rounding, ties), so
+    # the oracle is q80's verbatim — what changes is WHERE the weights
+    # come from: a persisted token-bucket-partitioned postings index
+    oracle=_REG["q80_tfidf_search"].oracle,
+)
+def q94_tfidf_indexed_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tf-idf top-10 over a PERSISTED lexical index (round 8): the
+    index-once-serve-many contract for sparse retrieval. The corpus
+    weights/norms lineage — q80's dominant cost, recomputed per run —
+    is paid once at build (ensure_lexical_index); a query run tokenizes
+    only the 5 query docs, partition-prunes the postings scan to the
+    query terms' crc32 buckets, and pays one bounded aggregate +
+    two-stage top-k. Output is bit-identical to q80."""
+    from plumberapp_spark.llm.lexical import ensure_lexical_index, tfidf_topk_indexed
+
+    path = ensure_lexical_index(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents")
+    return tfidf_topk_indexed(spark, path, docs.filter(F.col("doc_id") < 5), k=10)
+
+
+@register(
+    "q95_bm25_indexed_search",
+    oracle=_REG["q83_bm25_search"].oracle,
+)
+def q95_bm25_indexed_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 over the same persisted lexical index (round 8): the
+    postings row carries both weight columns, so one build serves both
+    ranking functions. Query runs touch only the query terms' buckets.
+    Output is bit-identical to q83."""
+    from plumberapp_spark.llm.lexical import bm25_topk_indexed, ensure_lexical_index
+
+    path = ensure_lexical_index(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents")
+    return bm25_topk_indexed(spark, path, docs.filter(F.col("doc_id") < 5), k=10)
+
+
+@register(
+    "q96_unigram_logprob_indexed",
+    oracle=_REG["q77_unigram_logprob"].oracle,
+)
+def q96_unigram_logprob_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q77's LM scoring over a PERSISTED unigram LM (round 8): the
+    corpus-derived fit (explode → token-count exchange → top-k merge) is
+    paid once at build (ensure_unigram_lm); a serving run is ONE
+    join-free Arrow pass with the 1000-row vocabulary in the closure.
+    Output is bit-identical to q77."""
+    from plumberapp_spark.llm.textqa import (
+        ensure_unigram_lm,
+        unigram_logprob_score_indexed,
+    )
+
+    path = ensure_unigram_lm(spark, sf_dir, "documents")
+    return unigram_logprob_score_indexed(
+        spark, path, load_table(spark, sf_dir, "documents")
+    )
+
+
+@register(
+    "q97_perplexity_buckets_indexed",
+    oracle=_REG["q79_perplexity_buckets"].oracle,
+)
+def q97_perplexity_buckets_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q79's CCNet terciles over the persisted LM (round 8): indexed
+    scoring + the shared distributed ranking tail. Output is
+    bit-identical to q79."""
+    from plumberapp_spark.llm.textqa import ensure_unigram_lm, perplexity_buckets_indexed
+
+    path = ensure_unigram_lm(spark, sf_dir, "documents")
+    return perplexity_buckets_indexed(
+        spark, path, load_table(spark, sf_dir, "documents")
     )

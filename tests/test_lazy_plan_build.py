@@ -56,6 +56,13 @@ EAGER_ALLOWED = {
     # persisted-IVF: index materialization (build-once, bucketed-tables
     # contract) + centroid/query-matrix collects (IVF contract)
     "q89_ivf_indexed_topk": "index materialization + bounded collects",
+    # round-8 persisted-index serving paths: index/LM materialization
+    # (build-once warehouse contract) + bounded collects (bucket list /
+    # vocab_size-row LM load)
+    "q94_tfidf_indexed_search": "index materialization + bucket-list collect",
+    "q95_bm25_indexed_search": "index materialization + bucket-list collect",
+    "q96_unigram_logprob_indexed": "LM materialization + vocab collect",
+    "q97_perplexity_buckets_indexed": "LM materialization + vocab collect",
     # Structured Streaming queries start and drain their micro-batches
     "q52_streaming_window_counts": "micro-batch execution is the query",
     "q55_stateful_rate_monitor": "micro-batch execution is the query",
