@@ -51,6 +51,10 @@ from pyspark.sql import functions as F
 
 DEFAULT_BUCKETS = 64
 
+# bumped whenever the on-disk layout changes (sidecar-recorded; a
+# mismatch forces a rebuild instead of serving an incompatible schema)
+INDEX_FORMAT = 2
+
 
 def _bucket(col):
     """Partition key for a token: crc32 of the utf-8 bytes mod
@@ -112,13 +116,31 @@ def build_lexical_index(
         )
         .withColumn("_b", _bucket("tk").cast("int"))
     )
-    wts.write.partitionBy("_b").mode("overwrite").parquet(f"{path}/postings")
+    wts.write.partitionBy("_b").mode("overwrite").parquet(f"{path}/postings0")
 
-    postings = spark.read.parquet(f"{path}/postings")
-    norms = postings.groupBy("doc_id").agg(
+    # denormalize the doc's tf-idf L2 norm INTO every postings row: one
+    # extra doc-keyed exchange at BUILD time buys the serving path a
+    # join-free cosine — dots aggregate first(nrm) instead of joining a
+    # corpus-sized norms relation per query run
+    postings0 = spark.read.parquet(f"{path}/postings0")
+    norms = postings0.groupBy("doc_id").agg(
         F.sqrt(F.sum(F.col("w_tfidf") * F.col("w_tfidf"))).alias("nrm")
     )
     norms.write.mode("overwrite").parquet(f"{path}/norms")
+    (
+        postings0.join(spark.read.parquet(f"{path}/norms"), "doc_id")
+        .select("tk", "doc_id", "w_tfidf", "w_bm25", "nrm", "_b")
+        # compact to one file per bucket: a pruned serving read opens
+        # |query buckets| files, not |buckets| x |shuffle partitions|
+        .repartition("_b")
+        .write.partitionBy("_b")
+        .mode("overwrite")
+        .parquet(f"{path}/postings")
+    )
+    # drop the norm-less intermediate
+    import shutil as _shutil
+
+    _shutil.rmtree(f"{path}/postings0", ignore_errors=True)
 
 
 def ensure_lexical_index(
@@ -141,21 +163,34 @@ def ensure_lexical_index(
     wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", "")).path or "spark-warehouse"
     tag = re.sub(r"[^0-9A-Za-z]+", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1])
     path = os.path.join(wh, f"lex_{table}_{tag}")
-    marker = os.path.join(path, "norms", "_SUCCESS")
+    # postings is the LAST relation the build writes, so its marker is
+    # the build-complete signal (norms alone would accept a build that
+    # died before the denormalized postings landed)
+    marker = os.path.join(path, "postings", "_SUCCESS")
     sidecar = os.path.join(path, "source_mtime.txt")
     source_mtime = _path_mtime(f"{sf_dir}/{table}.parquet")
-    recorded = None
+    recorded, rec_format = None, None
     try:
         with open(sidecar) as fh:
-            recorded = float(fh.read().strip())
-    except (OSError, ValueError):
+            parts = fh.read().split()
+            recorded = float(parts[0])
+            rec_format = int(parts[1]) if len(parts) > 1 else 1
+    except (OSError, ValueError, IndexError):
         recorded = None
-    if not os.path.exists(marker) or recorded is None or recorded != source_mtime:
+    stale = (
+        not os.path.exists(marker)
+        or recorded is None
+        or recorded != source_mtime
+        # an index built by an older layout (e.g. pre-denormalized-norm
+        # postings) must rebuild, not AnalysisException at serve time
+        or rec_format != INDEX_FORMAT
+    )
+    if stale:
         build_lexical_index(
             load_table(spark, sf_dir, table), path, text_col, id_col
         )
         with open(sidecar, "w") as fh:
-            fh.write(repr(source_mtime))
+            fh.write(f"{source_mtime!r} {INDEX_FORMAT}")
     return path
 
 
@@ -233,30 +268,33 @@ def tfidf_topk_indexed(
     pruned postings read covers exactly the query terms' buckets, and a
     query doc's own postings all carry query terms, so one pruned scan
     yields both the candidates and the query-side weights — no full
-    postings pass anywhere."""
+    postings pass anywhere. Postings rows carry the doc norm
+    (denormalized at build), so the cosine needs NO norms join: the
+    aggregate picks the doc norm up with ``first(nrm)`` and the query
+    norm rides the broadcast term map."""
     qids = queries.select(F.col(id_col).alias("_qid")).distinct()
-    norms = spark.read.parquet(f"{path}/norms")
     cand = _query_postings(spark, path, _query_term_frame(queries, text_col))
     qw = cand.join(
         F.broadcast(qids), cand["doc_id"] == F.col("_qid"), "inner"
-    ).select(F.col("_qid").alias("query_id"), "tk", F.col("w_tfidf").alias("_qw"))
-    qn = norms.join(
-        F.broadcast(qids), norms["doc_id"] == F.col("_qid")
-    ).select(F.col("_qid").alias("query_id"), F.col("nrm").alias("_qn"))
-
-    dots = (
+    ).select(
+        F.col("_qid").alias("query_id"),
+        "tk",
+        F.col("w_tfidf").alias("_qw"),
+        F.col("nrm").alias("_qn"),
+    )
+    scored = (
         cand.join(F.broadcast(qw), "tk")
         .filter(F.col("doc_id") != F.col("query_id"))
         .groupBy("query_id", "doc_id")
-        .agg(F.sum(F.col("w_tfidf") * F.col("_qw")).alias("_dot"))
-    )
-    scored = (
-        dots.join(norms, "doc_id")
-        .join(F.broadcast(qn), "query_id")
+        .agg(
+            F.sum(F.col("w_tfidf") * F.col("_qw")).alias("_dot"),
+            F.first("nrm").alias("_nrm"),
+            F.first("_qn").alias("_qn2"),
+        )
         .select(
             "query_id",
             F.col("doc_id").alias("neighbor_id"),
-            F.round(F.col("_dot") / (F.col("nrm") * F.col("_qn")), 6).alias("cos_sim"),
+            F.round(F.col("_dot") / (F.col("_nrm") * F.col("_qn2")), 6).alias("cos_sim"),
         )
     )
     return _two_stage_topk(scored, k, "cos_sim")

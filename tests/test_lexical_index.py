@@ -133,3 +133,24 @@ def test_unigram_lm_indexed_matches_direct(spark, tmp_path):
     assert _rows(perplexity_buckets_indexed(spark, path, docs), bcols) == _rows(
         perplexity_buckets(docs), bcols
     )
+
+
+def test_lexical_index_rebuilds_on_format_bump(spark, tmp_path, monkeypatch):
+    """A layout change (INDEX_FORMAT bump) must force a rebuild — an
+    old-layout index served into the new reader is an AnalysisException
+    at serve time (hit live when the denormalized-norm column landed)."""
+    import plumberapp_spark.llm.lexical as lex
+
+    sf_dir = str(tmp_path / "sfF")
+    os.makedirs(sf_dir)
+    src = f"{SF_DIR}/documents.parquet"
+    if os.path.isdir(src):
+        shutil.copytree(src, f"{sf_dir}/documents.parquet")
+    else:
+        shutil.copy(src, f"{sf_dir}/documents.parquet")
+    path = lex.ensure_lexical_index(spark, sf_dir, "documents")
+    marker = os.path.join(path, "postings", "_SUCCESS")
+    built1 = os.stat(marker).st_mtime
+    monkeypatch.setattr(lex, "INDEX_FORMAT", lex.INDEX_FORMAT + 1)
+    lex.ensure_lexical_index(spark, sf_dir, "documents")
+    assert os.stat(marker).st_mtime > built1, "format bump did not rebuild"
