@@ -31,7 +31,8 @@ def timed_rate(df) -> tuple[float, float]:
 
 
 def main() -> None:
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 20_000
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    n = int(args[0]) if args else 20_000
     spark = get_spark("demo_optimize")
 
     print(f"== build: GNMT-analog pipeline over {n} sentence pairs")
@@ -47,6 +48,12 @@ def main() -> None:
     opt = Optimizer(spark)
     advice = opt.advise_from_model(pipe, model)
     print(f"== bottleneck: {advice.bottleneck}")
+    # calibrate-then-solve (round 8): the measured per-node ceiling sweep
+    # replaces the profiler's rate estimates in the LP — pass
+    # --calibrate to run it (a few seconds of node benchmarks)
+    if "--calibrate" in sys.argv:
+        print("== calibrate: per-node ceiling sweep -> measured LP rates")
+        advice = opt.advise_calibrated(pipe, take_amount=300, time_limit_s=1.0)
     if advice.lp:
         print(f"== LP: min_rate={advice.lp.min_rate:.1f} binding={advice.lp.binding}")
         for name, theta in sorted(advice.lp.thetas.items()):
