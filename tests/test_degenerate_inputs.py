@@ -112,3 +112,52 @@ def test_sampling_and_report_survive_degenerates(spark):
     # ('' shares the coalesced digest with doc 0's NULL — the report's
     # documented NULL==empty convention)
     assert report["s0"]["dup_rate"] == round(2 / 3, 6)
+
+
+def test_persisted_index_family_survives_degenerates(spark, tmp_path):
+    """Round-8 serving paths on NULL/empty/whitespace/one-token docs:
+    index build must not raise, indexed results must equal the direct
+    operators' exactly (including empty-query and no-match cases)."""
+    from plumberapp_spark.llm.dedup import bm25_topk, tfidf_topk
+    from plumberapp_spark.llm.lexical import (
+        bm25_topk_indexed,
+        build_lexical_index,
+        tfidf_topk_indexed,
+    )
+    from plumberapp_spark.llm.textqa import (
+        build_unigram_lm,
+        perplexity_buckets,
+        perplexity_buckets_indexed,
+        unigram_logprob_score,
+        unigram_logprob_score_indexed,
+    )
+
+    docs = _degenerate_docs(spark)
+    lex = str(tmp_path / "lex")
+    build_lexical_index(docs, lex)
+    lm = str(tmp_path / "lm")
+    build_unigram_lm(docs, lm)
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    queries = docs.filter(F.col("doc_id").isin(0, 1, 5))  # NULL, empty, normal
+    assert rows(tfidf_topk_indexed(spark, lex, queries, k=3)) == rows(
+        tfidf_topk(docs, queries, k=3)
+    )
+    assert rows(bm25_topk_indexed(spark, lex, queries, k=3)) == rows(
+        bm25_topk(docs, queries, k=3)
+    )
+    # queries with no corpus overlap at all -> empty, no raise
+    ghost = spark.createDataFrame(
+        [(99, "zzz qqq")], "doc_id long, text string"
+    )
+    assert tfidf_topk_indexed(spark, lex, ghost, k=3).count() == 0
+    assert bm25_topk_indexed(spark, lex, ghost, k=3).count() == 0
+    # LM scoring: NULL/empty docs score NULL, identical to direct
+    assert rows(unigram_logprob_score_indexed(spark, lm, docs)) == rows(
+        unigram_logprob_score(docs)
+    )
+    assert rows(perplexity_buckets_indexed(spark, lm, docs)) == rows(
+        perplexity_buckets(docs)
+    )
