@@ -128,6 +128,11 @@ PRIMARY_INPUT = {
     "q91_cluster_representatives": "documents",
     "q92_crossmodal_candidates": "documents",
     "q93_streaming_decontamination": "documents",
+    "q94_tfidf_indexed_search": "documents",
+    "q95_bm25_indexed_search": "documents",
+    "q96_unigram_logprob_indexed": "documents",
+    "q97_perplexity_buckets_indexed": "documents",
+    "q98_hybrid_search": "documents",
 }
 
 RATE_TABLES = ("lineitem", "orders", "events", "documents", "embeddings", "customer")

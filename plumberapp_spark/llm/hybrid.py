@@ -1,0 +1,93 @@
+"""Hybrid retrieval: lexical (BM25) + dense (embedding cosine) rankings
+fused with Reciprocal Rank Fusion (RRF, Cormack et al. SIGIR '09) — the
+standard production shape for LLM retrieval/curation stacks (every
+major search system fuses a sparse and a dense ranker this way; RRF is
+the fusion that needs no score calibration between routes).
+
+Scale shape: each route is one of the engine's existing bounded
+retrieval operators (``dedup.bm25_topk`` / ``lexical.bm25_topk_indexed``
+for sparse, ``similarity.brute_force_topk`` or the IVF paths for
+dense), so the fusion input is AT MOST ``|queries| x k_route`` rows per
+route — plan-bounded, never corpus-sized. The fusion itself is one
+union + one aggregate + the family's shared two-stage top-k. Nothing
+here adds a corpus-sized exchange to what the routes already pay.
+
+RRF score: ``sum over routes of 1 / (k_rrf + rank_route)``, rounded to
+6 decimals BEFORE ranking with ties broken by neighbor id — the
+engine-independent determinism contract every ranking operator here
+follows (a neighbor absent from a route contributes nothing for it).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from plumberapp_spark.llm.lexical import _two_stage_topk
+
+
+def rrf_fuse(
+    rankings: Sequence[DataFrame],
+    k: int = 10,
+    k_rrf: int = 60,
+) -> DataFrame:
+    """Fuse ranked lists: each input carries ``(query_id, neighbor_id,
+    rank)`` (extra columns ignored); output is ``(query_id, neighbor_id,
+    rrf_score, rank)`` — the top ``k`` fused neighbors per query.
+
+    ``k_rrf`` is RRF's smoothing constant (60 in the original paper and
+    most production defaults): large enough that a rank-1 hit in one
+    route cannot be drowned by mid-list noise in another."""
+    if not rankings:
+        raise ValueError("rrf_fuse needs at least one ranking")
+    parts = [
+        r.select(
+            "query_id",
+            "neighbor_id",
+            (F.lit(1.0) / (F.lit(k_rrf) + F.col("rank"))).alias("_contrib"),
+        )
+        for r in rankings
+    ]
+    allr = parts[0]
+    for p in parts[1:]:
+        allr = allr.unionByName(p)
+    scored = (
+        allr.groupBy("query_id", "neighbor_id")
+        .agg(F.round(F.sum("_contrib"), 6).alias("rrf_score"))
+    )
+    return _two_stage_topk(scored, k, "rrf_score")
+
+
+def hybrid_search(
+    docs: DataFrame,
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    k_route: int = 10,
+    k_rrf: int = 60,
+    text_col: str = "text",
+    doc_id_col: str = "doc_id",
+    vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """BM25 + embedding-cosine hybrid top-k over a shared id space
+    (``documents.doc_id`` == ``embeddings.vec_id``, the q92 cross-modal
+    convention). ``queries`` carries query doc ids (+ text); each route
+    retrieves its own top ``k_route`` (self excluded) and RRF fuses
+    them. Both routes are the engine's bounded operators — broadcast
+    query sides, two-stage ranking — so the composition inherits their
+    scale contracts unchanged."""
+    from plumberapp_spark.llm.dedup import bm25_topk
+    from plumberapp_spark.llm.similarity import brute_force_topk
+
+    sparse = bm25_topk(docs, queries, k=k_route, text_col=text_col, id_col=doc_id_col)
+    qids = queries.select(F.col(doc_id_col).alias("_qid")).distinct()
+    qvecs = embeddings.join(
+        F.broadcast(qids), embeddings[vec_id_col] == F.col("_qid")
+    ).select(vec_id_col, vec_col)
+    dense = brute_force_topk(
+        embeddings, qvecs, k=k_route, id_col=vec_id_col, vec_col=vec_col
+    )
+    return rrf_fuse([sparse, dense], k=k, k_rrf=k_rrf)

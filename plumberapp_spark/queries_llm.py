@@ -1885,3 +1885,68 @@ def q97_perplexity_buckets_indexed(spark: SparkSession, sf_dir: str) -> DataFram
     return perplexity_buckets_indexed(
         spark, path, load_table(spark, sf_dir, "documents")
     )
+
+
+@register(
+    "q98_hybrid_search",
+    # both routes' oracles verbatim (q83's BM25 chain, q20's dense chain)
+    # + the RRF fold — one CTE per stage so the whole derivation replays
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+         tok AS (SELECT doc_id, unnest(toks) AS tk FROM t),
+         tf AS (SELECT doc_id, tk, count(*) AS tf FROM tok GROUP BY 1, 2),
+         dfreq AS (SELECT tk, count(*) AS df FROM tf GROUP BY 1),
+         dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+         sc AS (SELECT count(*) AS nd, avg(len(toks)) AS avgdl FROM t),
+         w AS (SELECT tf.doc_id, tf.tk,
+                      ln(1.0 + (sc.nd - tf2.df + 0.5) / (tf2.df + 0.5))
+                        * (tf.tf * 2.2)
+                        / (tf.tf + 1.2 * (0.25 + (0.75 * dl.dl) / sc.avgdl)) AS w
+               FROM tf JOIN dfreq tf2 USING (tk) JOIN dl USING (doc_id), sc),
+         qt AS (SELECT DISTINCT doc_id AS query_id, tk FROM tf WHERE doc_id < 5),
+         dots AS (SELECT qt.query_id, w.doc_id AS neighbor_id,
+                         round(sum(w.w), 6) AS bm25
+                  FROM w JOIN qt USING (tk)
+                  WHERE w.doc_id != qt.query_id
+                  GROUP BY 1, 2),
+         bran AS (SELECT query_id, neighbor_id,
+                         row_number() OVER (PARTITION BY query_id
+                           ORDER BY bm25 DESC, neighbor_id) AS rank
+                  FROM dots),
+         q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+               FROM embeddings WHERE vec_id < 5),
+         c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+         dscored AS (SELECT query_id, neighbor_id, {_COS} AS cos_sim
+                     FROM c, q WHERE neighbor_id != query_id),
+         dran AS (SELECT query_id, neighbor_id,
+                         row_number() OVER (PARTITION BY query_id
+                           ORDER BY cos_sim DESC, neighbor_id) AS rank
+                  FROM dscored),
+         contrib AS (SELECT query_id, neighbor_id, 1.0 / (60 + rank) AS c
+                     FROM bran WHERE rank <= 10
+                     UNION ALL
+                     SELECT query_id, neighbor_id, 1.0 / (60 + rank)
+                     FROM dran WHERE rank <= 10),
+         fused AS (SELECT query_id, neighbor_id,
+                          round(sum(c), 6) AS rrf_score
+                   FROM contrib GROUP BY 1, 2),
+         outr AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                            ORDER BY rrf_score DESC, neighbor_id) AS rank
+                  FROM fused)
+    SELECT query_id, neighbor_id, rrf_score, rank::BIGINT AS rank
+    FROM outr WHERE rank <= 10
+    """,
+)
+def q98_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid lexical+dense retrieval with Reciprocal Rank Fusion
+    (round 8): BM25 top-10 and embedding-cosine top-10 per query over
+    the shared doc/vec id space, fused as sum(1/(60+rank)) — the
+    calibration-free fusion production retrieval stacks run. Both
+    routes are the engine's bounded operators (broadcast query sides,
+    two-stage ranking); the fold touches at most |queries| x k_route
+    rows per route."""
+    from plumberapp_spark.llm.hybrid import hybrid_search
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    return hybrid_search(docs, emb, docs.filter(F.col("doc_id") < 5), k=10, k_route=10)
