@@ -133,6 +133,7 @@ PRIMARY_INPUT = {
     "q96_unigram_logprob_indexed": "documents",
     "q97_perplexity_buckets_indexed": "documents",
     "q98_hybrid_search": "documents",
+    "q99_hybrid_indexed_search": "documents",
 }
 
 RATE_TABLES = ("lineitem", "orders", "events", "documents", "embeddings", "customer")

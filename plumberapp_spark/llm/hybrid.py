@@ -91,3 +91,40 @@ def hybrid_search(
         embeddings, qvecs, k=k_route, id_col=vec_id_col, vec_col=vec_col
     )
     return rrf_fuse([sparse, dense], k=k, k_rrf=k_rrf)
+
+
+def hybrid_search_indexed(
+    spark,
+    lex_path: str,
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    k_route: int = 10,
+    k_rrf: int = 60,
+    text_col: str = "text",
+    doc_id_col: str = "doc_id",
+    vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """:func:`hybrid_search` with the sparse route served from a
+    persisted :func:`~plumberapp_spark.llm.lexical.build_lexical_index`
+    — the BM25 weights lineage is paid once at build, a query run
+    partition-prunes to its terms' buckets. The dense route stays the
+    EXACT brute-force operator (not IVF) so the fused output is
+    bit-identical to :func:`hybrid_search` on the same corpus and the
+    two share one oracle; swap in ``ivf_topk_indexed`` when approximate
+    dense recall is acceptable and the corpus outgrows the exact arm."""
+    from plumberapp_spark.llm.lexical import bm25_topk_indexed
+    from plumberapp_spark.llm.similarity import brute_force_topk
+
+    sparse = bm25_topk_indexed(
+        spark, lex_path, queries, k=k_route, text_col=text_col, id_col=doc_id_col
+    )
+    qids = queries.select(F.col(doc_id_col).alias("_qid")).distinct()
+    qvecs = embeddings.join(
+        F.broadcast(qids), embeddings[vec_id_col] == F.col("_qid")
+    ).select(vec_id_col, vec_col)
+    dense = brute_force_topk(
+        embeddings, qvecs, k=k_route, id_col=vec_id_col, vec_col=vec_col
+    )
+    return rrf_fuse([sparse, dense], k=k, k_rrf=k_rrf)

@@ -1950,3 +1950,25 @@ def q98_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     emb = load_table(spark, sf_dir, "embeddings")
     return hybrid_search(docs, emb, docs.filter(F.col("doc_id") < 5), k=10, k_route=10)
+
+
+@register(
+    "q99_hybrid_indexed_search",
+    # output-identical to q98 (indexed sparse route serves the SAME BM25
+    # weights; dense route stays exact), so the oracle is q98's verbatim
+    oracle=_REG["q98_hybrid_search"].oracle,
+)
+def q99_hybrid_indexed_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q98's hybrid retrieval with the sparse route served from the
+    persisted lexical index (round 8) — the full index-once-serve-many
+    composition: BM25 postings partition-pruned to the query terms'
+    buckets, exact dense arm, RRF fold. Bit-identical to q98."""
+    from plumberapp_spark.llm.hybrid import hybrid_search_indexed
+    from plumberapp_spark.llm.lexical import ensure_lexical_index
+
+    path = ensure_lexical_index(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    return hybrid_search_indexed(
+        spark, path, emb, docs.filter(F.col("doc_id") < 5), k=10, k_route=10
+    )

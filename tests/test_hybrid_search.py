@@ -84,3 +84,21 @@ def test_hybrid_search_composes_both_routes(spark):
                 assert top["neighbor_id"] in qboth or top["rrf_score"] >= round(
                     2 / 70, 6
                 ), "a strong single-route hit may only win with a dominating score"
+
+
+def test_hybrid_indexed_matches_direct(spark, tmp_path):
+    """hybrid_search_indexed over a fresh lexical index == hybrid_search
+    — the indexed sparse route serves identical BM25 weights and the
+    dense arm is shared, so the fused output is bit-identical."""
+    from plumberapp_spark.llm.hybrid import hybrid_search, hybrid_search_indexed
+    from plumberapp_spark.llm.lexical import build_lexical_index
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    queries = docs.filter(F.col("doc_id") < 3)
+    path = str(tmp_path / "lex")
+    build_lexical_index(docs, path)
+    cols = ["query_id", "neighbor_id", "rrf_score", "rank"]
+    direct = sorted(tuple(r) for r in hybrid_search(docs, emb, queries, k=10).select(*cols).collect())
+    indexed = sorted(tuple(r) for r in hybrid_search_indexed(spark, path, emb, queries, k=10).select(*cols).collect())
+    assert indexed == direct
