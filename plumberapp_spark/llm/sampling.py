@@ -200,7 +200,7 @@ def domain_mixture(
         .cast("bigint")
         .alias("n_tokens"),
     )
-    everything = Window.partitionBy(F.lit(0))  # literal key: domain-count frame, silences the benign WindowExec warning
+    everything = Window.partitionBy()  # domain-count frame: single-partition window is fine
     return (
         per.withColumn("_tot", F.sum("n_tokens").over(everything))
         .withColumn("_wu", F.pow(F.col("n_tokens") / F.col("_tot"), alpha))

@@ -111,7 +111,7 @@ def with_row_idx(
     w = Window.partitionBy("__bucket").orderBy(*order_cols)
     local = bucketed.withColumn("__local_rn", F.row_number().over(w))
     counts = bucketed.groupBy("__bucket").agg(F.count("*").alias("__cnt"))
-    wc = Window.partitionBy(F.lit(0)).orderBy("__bucket").rowsBetween(Window.unboundedPreceding, -1)
+    wc = Window.orderBy("__bucket").rowsBetween(Window.unboundedPreceding, -1)
     offsets = counts.select(
         "__bucket", F.coalesce(F.sum("__cnt").over(wc), F.lit(0)).alias("__off")
     )
@@ -166,7 +166,7 @@ def shared_row_idx_bounds(
 def with_row_idx_simple(df: DataFrame, order_by: Sequence[str | Column], col_name: str = ROW_IDX) -> DataFrame:
     """Single-window variant (ONE task — only for small inputs / oracles)."""
     order_cols = [F.col(c) if isinstance(c, str) else c for c in order_by]
-    w = Window.partitionBy(F.lit(0)).orderBy(*order_cols)
+    w = Window.orderBy(*order_cols)
     return df.withColumn(col_name, (F.row_number().over(w) - 1).cast("bigint"))
 
 

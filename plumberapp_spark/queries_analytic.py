@@ -47,7 +47,7 @@ def _stats_df(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.count("*") / F.sum("value"), 6).alias("rate"),
         F.round(F.sum("value"), 2).alias("processing_time"),
     )
-    w = Window.partitionBy(F.lit(0)).orderBy("name")  # literal key: plan-sized frame, silences the benign WindowExec warning
+    w = Window.orderBy("name")  # plan-sized frame: single-partition window is fine
     return agg.withColumn("topo_idx", (F.row_number().over(w) - 1).cast("bigint"))
 
 
@@ -488,7 +488,7 @@ def q45_file_size_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return per.withColumn(
         "share_pct",
-        F.round(100.0 * F.col("size_bytes") / F.sum("size_bytes").over(Window.partitionBy(F.lit(0))), 4),
+        F.round(100.0 * F.col("size_bytes") / F.sum("size_bytes").over(Window.partitionBy()), 4),
     )
 
 

@@ -71,6 +71,23 @@ def get_spark(app_name: str = "plumberapp_spark", shuffle_partitions: int | None
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    # Silence WindowExec's "No Partition Defined" warning, WARN-per-task
+    # on every run: the library's unpartitioned windows all sit on
+    # plan-sized / bucket-count-sized frames BY CONTRACT (audited in
+    # VERDICT r7; corpus-sized rank work routes through
+    # operators/windows.ranked_running_total), and the noise buries real
+    # warnings in bench logs. A literal partition key does NOT suppress
+    # it — Catalyst constant-folds the key away — so the targeted logger
+    # is the only clean switch. Scope is exactly this one class; every
+    # other WARN still surfaces.
+    try:
+        jvm = spark._jvm
+        jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
+            "org.apache.spark.sql.execution.window.WindowExec",
+            jvm.org.apache.logging.log4j.Level.ERROR,
+        )
+    except Exception:  # noqa: BLE001 — log plumbing must never break a session
+        pass
     return spark
 
 
