@@ -134,6 +134,7 @@ PRIMARY_INPUT = {
     "q97_perplexity_buckets_indexed": "documents",
     "q98_hybrid_search": "documents",
     "q99_hybrid_indexed_search": "documents",
+    "q100_hybrid_ivf_search": "documents",
 }
 
 RATE_TABLES = ("lineitem", "orders", "events", "documents", "embeddings", "customer")

@@ -90,11 +90,12 @@ for _name in _TAIL:
     if _name in REGISTRY:
         REGISTRY[_name] = REGISTRY.pop(_name)
 
-# Round-8 note: the new persisted-index serving queries (q94-q97) register
-# at the natural end of queries_llm.py and land INSIDE the first-50 cap
-# (positions 42-45), displacing q38-q41 — each driver-green in r7 and at
-# least one earlier round. No explicit rotation needed this round; the
-# r1-r8 union keeps covering every registered query.
+# Round-8 note: the new queries (q94-q97 persisted-index serving,
+# q98-q100 hybrid retrieval) register at the natural end of
+# queries_llm.py and land INSIDE the first-50 cap (positions 41-47),
+# displacing q35-q41 — each driver-green in four rounds (r4-r7). No
+# explicit rotation needed this round; the r1-r8 union keeps covering
+# every registered query.
 # Promote the never-driver-checked four to the front of the registry so
 # they sit inside the driver's first-50 CORRECTNESS cap (VERDICT r6 #1).
 _PROMOTE = (

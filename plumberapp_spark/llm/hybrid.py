@@ -128,3 +128,43 @@ def hybrid_search_indexed(
         embeddings, qvecs, k=k_route, id_col=vec_id_col, vec_col=vec_col
     )
     return rrf_fuse([sparse, dense], k=k, k_rrf=k_rrf)
+
+
+def hybrid_search_ivf(
+    spark,
+    lex_path: str,
+    ivf_path: str,
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    k_route: int = 10,
+    nprobe: int = 2,
+    k_rrf: int = 60,
+    text_col: str = "text",
+    doc_id_col: str = "doc_id",
+    vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The fully index-served hybrid: BM25 from the persisted lexical
+    index AND the dense route from the persisted IVF index — the shape
+    a 100 TB retrieval deployment actually runs (neither route touches
+    a corpus-sized lineage at query time; the dense arm reads only the
+    probed cells' partitions). The dense route is IVF-approximate, so
+    this is NOT output-identical to :func:`hybrid_search`; its oracle
+    replays the IVF assignment exactly (the q54/q89 derivation), making
+    the approximation itself deterministic and hash-checkable."""
+    from plumberapp_spark.llm.lexical import bm25_topk_indexed
+    from plumberapp_spark.llm.similarity import ivf_topk_indexed
+
+    sparse = bm25_topk_indexed(
+        spark, lex_path, queries, k=k_route, text_col=text_col, id_col=doc_id_col
+    )
+    qids = queries.select(F.col(doc_id_col).alias("_qid")).distinct()
+    qvecs = embeddings.join(
+        F.broadcast(qids), embeddings[vec_id_col] == F.col("_qid")
+    ).select(vec_id_col, vec_col)
+    dense = ivf_topk_indexed(
+        spark, ivf_path, qvecs, k=k_route, nprobe=nprobe,
+        id_col=vec_id_col, vec_col=vec_col,
+    )
+    return rrf_fuse([sparse, dense], k=k, k_rrf=k_rrf)

@@ -1972,3 +1972,92 @@ def q99_hybrid_indexed_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hybrid_search_indexed(
         spark, path, emb, docs.filter(F.col("doc_id") < 5), k=10, k_route=10
     )
+
+
+@register(
+    "q100_hybrid_ivf_search",
+    # BOTH routes index-served; the oracle replays q83's BM25 chain and
+    # q54/q89's exact IVF derivation (md5-ordered centroids, argmax
+    # assignment, nprobe=2 probe, in-cell exact re-rank) + the RRF fold
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+         tok AS (SELECT doc_id, unnest(toks) AS tk FROM t),
+         tf AS (SELECT doc_id, tk, count(*) AS tf FROM tok GROUP BY 1, 2),
+         dfreq AS (SELECT tk, count(*) AS df FROM tf GROUP BY 1),
+         dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+         sc AS (SELECT count(*) AS nd, avg(len(toks)) AS avgdl FROM t),
+         w AS (SELECT tf.doc_id, tf.tk,
+                      ln(1.0 + (sc.nd - tf2.df + 0.5) / (tf2.df + 0.5))
+                        * (tf.tf * 2.2)
+                        / (tf.tf + 1.2 * (0.25 + (0.75 * dl.dl) / sc.avgdl)) AS w
+               FROM tf JOIN dfreq tf2 USING (tk) JOIN dl USING (doc_id), sc),
+         qt AS (SELECT DISTINCT doc_id AS query_id, tk FROM tf WHERE doc_id < 5),
+         bdots AS (SELECT qt.query_id, w.doc_id AS neighbor_id,
+                          round(sum(w.w), 6) AS bm25
+                   FROM w JOIN qt USING (tk)
+                   WHERE w.doc_id != qt.query_id
+                   GROUP BY 1, 2),
+         bran AS (SELECT query_id, neighbor_id,
+                         row_number() OVER (PARTITION BY query_id
+                           ORDER BY bm25 DESC, neighbor_id) AS rank
+                  FROM bdots),
+         v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         cent AS (SELECT vec_id AS c_id, e AS ce FROM v
+                  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+         sim AS (SELECT v.vec_id, cent.c_id,
+                        round(list_dot_product(v.e, cent.ce) /
+                              (sqrt(list_dot_product(v.e, v.e)) * sqrt(list_dot_product(cent.ce, cent.ce))), 6) AS s
+                 FROM v CROSS JOIN cent),
+         cranked AS (SELECT vec_id, c_id,
+                            row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, c_id) AS rn
+                     FROM sim),
+         vc AS (SELECT vec_id, c_id AS cell FROM cranked WHERE rn = 1),
+         qc AS (SELECT vec_id AS query_id, c_id AS cell FROM cranked
+                WHERE rn <= 2 AND vec_id < 5),
+         cand AS (SELECT qc.query_id, vc.vec_id AS neighbor_id
+                  FROM vc JOIN qc ON vc.cell = qc.cell
+                  WHERE vc.vec_id != qc.query_id),
+         dscored AS (SELECT cand.query_id, cand.neighbor_id,
+                            round(list_dot_product(a.e, b.e) /
+                                  (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 6) AS cos_sim
+                     FROM cand
+                     JOIN v a ON a.vec_id = cand.query_id
+                     JOIN v b ON b.vec_id = cand.neighbor_id),
+         dran AS (SELECT query_id, neighbor_id,
+                         row_number() OVER (PARTITION BY query_id
+                           ORDER BY cos_sim DESC, neighbor_id) AS rank
+                  FROM dscored),
+         contrib AS (SELECT query_id, neighbor_id, 1.0 / (60 + rank) AS c
+                     FROM bran WHERE rank <= 10
+                     UNION ALL
+                     SELECT query_id, neighbor_id, 1.0 / (60 + rank)
+                     FROM dran WHERE rank <= 10),
+         fused AS (SELECT query_id, neighbor_id,
+                          round(sum(c), 6) AS rrf_score
+                   FROM contrib GROUP BY 1, 2),
+         outr AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                            ORDER BY rrf_score DESC, neighbor_id) AS rank
+                  FROM fused)
+    SELECT query_id, neighbor_id, rrf_score, rank::BIGINT AS rank
+    FROM outr WHERE rank <= 10
+    """,
+)
+def q100_hybrid_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fully index-served hybrid (round 8): BM25 from the persisted
+    lexical index, dense from the persisted IVF index (nprobe=2) — the
+    deployment shape where NO route touches a corpus-sized lineage at
+    query time. IVF makes the dense arm approximate, but the
+    approximation is deterministic (q54/q89's assignment rules), so the
+    oracle replays it exactly and the result is still hash-gated."""
+    from plumberapp_spark.llm.hybrid import hybrid_search_ivf
+    from plumberapp_spark.llm.lexical import ensure_lexical_index
+    from plumberapp_spark.llm.similarity import ensure_ivf_index
+
+    lex = ensure_lexical_index(spark, sf_dir, "documents")
+    ivf = ensure_ivf_index(spark, sf_dir, "embeddings", n_centroids=16)
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    return hybrid_search_ivf(
+        spark, lex, ivf, emb, docs.filter(F.col("doc_id") < 5),
+        k=10, k_route=10, nprobe=2,
+    )

@@ -66,6 +66,7 @@ EAGER_ALLOWED = {
     # q98's dense route collects the bounded query matrix (ANN contract)
     "q98_hybrid_search": "query-matrix collect (bounded broadcast contract)",
     "q99_hybrid_indexed_search": "index materialization + bounded collects",
+    "q100_hybrid_ivf_search": "index materializations + bounded collects",
     # Structured Streaming queries start and drain their micro-batches
     "q52_streaming_window_counts": "micro-batch execution is the query",
     "q55_stateful_rate_monitor": "micro-batch execution is the query",
