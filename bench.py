@@ -135,6 +135,9 @@ PRIMARY_INPUT = {
     "q98_hybrid_search": "documents",
     "q99_hybrid_indexed_search": "documents",
     "q100_hybrid_ivf_search": "documents",
+    "q101_tfidf_freetext_search": "documents",
+    "q102_bm25_freetext_search": "documents",
+    "q103_hybrid_freetext_search": "documents",
 }
 
 RATE_TABLES = ("lineitem", "orders", "events", "documents", "embeddings", "customer")
@@ -344,19 +347,24 @@ def main() -> None:
     # Outlier revisit (VERDICT r7 #3): q21 committed 7.66x from three warm
     # reps that all landed in one degraded host phase, then re-timed at
     # 2.97x. Best-of-N within one moment can't see phase drift — so any
-    # substantive query whose ratio looks pessimistic (>2x DuckDB) gets
+    # substantive query whose ratio looks like a phase outlier gets
     # re-sampled at END of run, minutes later in a likely-different phase,
-    # Spark and DuckDB both (keeping each side's min). The revisit can only
-    # tighten numbers toward the true plan cost; which queries were
-    # revisited is recorded in the artifact.
+    # Spark and DuckDB both (keeping each side's min). The sample is
+    # SYMMETRIC (ADVICE r8 #1): both Spark-pessimistic (>2x) and
+    # Spark-optimistic (<0.5x) ratios are revisited, so the pass cannot
+    # one-sidedly tighten the headline geomean; the revisited names and
+    # each query's pre-revisit timings are recorded in the artifact.
     revisited: list[str] = []
+    pre_revisit: dict[str, dict[str, float]] = {}
     for name in names:
         t, d = timings.get(name), duck.get(name)
         if t is None or d is None or d < 0.1 or name in STREAMING_QUERIES:
             continue
-        if t / max(d, 1e-9) <= 2.0:
+        ratio = t / max(d, 1e-9)
+        if 0.5 <= ratio <= 2.0:
             continue
         revisited.append(name)
+        pre_revisit[name] = {"spark_sec": timings[name], "duckdb_sec": duck[name]}
         again = [x for x in (run_query(spark, name, sf_dir) for _ in range(2)) if x is not None]
         if again:
             dt = min(timings[name], min(again))
@@ -397,6 +405,12 @@ def main() -> None:
         # their wall is engine floor, not plan quality — graded on state
         # growth, excluded from the substantive geomean below.
         "streaming_queries": STREAMING_QUERIES,
+        # outlier-revisit audit trail (ADVICE r8 #1): which queries got the
+        # end-of-run re-sample, and what both sides measured BEFORE it —
+        # the committed number is min(pre, revisit) per side, so the
+        # adjustment is reconstructable from the artifact alone
+        "revisited": revisited,
+        "pre_revisit": pre_revisit,
     }
     if mem_pressure is not None:
         detail["memory_pressure"] = {"target_used_fraction": mem_target, "ballast_bytes": held}
@@ -436,7 +450,8 @@ def main() -> None:
         # geomean above still includes them.
         index_family = sorted(
             n for n in substantive
-            if n.split("_")[0] in {"q94", "q95", "q96", "q97", "q98", "q99", "q100"}
+            if n.split("_")[0]
+            in {"q94", "q95", "q96", "q97", "q98", "q99", "q100", "q101", "q102", "q103"}
         )
         detail["index_serving_family"] = index_family
         detail["vs_duckdb_geomean_substantive_ex_index_family"] = _geomean(

@@ -107,6 +107,65 @@ _PROMOTE = (
 for _name in [n for n in list(REGISTRY) if n not in _PROMOTE]:
     REGISTRY[_name] = REGISTRY.pop(_name)
 
+# Round-9 rotation (VERDICT r8 item 2): swing the sf0.01 driver window
+# back to the registry's first half — the 42 queries whose most recent
+# driver CORRECTNESS row is r3/r4/r5 (computed from the
+# CORRECTNESS_r01..r08 union) — plus the three NEW round-9 free-text
+# serving queries (q101-q103, never driver-checked). 45 promotions, all
+# inside the cap; the 5 remaining slots fall to the r6-checked head of
+# the displaced order. Displaced into the tail: the r7/r8-green rows,
+# every one driver-green within the last two rounds.
+_PROMOTE_R9 = (
+    # new this round — first driver rows needed:
+    "q101_tfidf_freetext_search",
+    "q102_bm25_freetext_search",
+    "q103_hybrid_freetext_search",
+    # last driver-checked r3:
+    "q15_fingerprint_clusters",
+    "q18_simhash",
+    "q19_ngram_jaccard_top_pairs",
+    "q21_embedding_near_dup_pairs",
+    "q22_text_quality",
+    "q30_roofline_rollup",
+    "q31_span_outliers",
+    "q32_convergence_lag",
+    "q33_plateau_detection",
+    "q34_deterministic_sample",
+    "q53_embedding_pairs_blocked",
+    # last driver-checked r4:
+    "q01_pricing_summary",
+    "q02_filter_projection",
+    "q03_topk",
+    "q04_conditional",
+    "q05_vocab_lookup",
+    "q07_take_skip_shard",
+    "q08_batch_stats",
+    "q09_repeat_echo",
+    "q10_unbatch_roundtrip",
+    "q11_group_by_window",
+    "q12_string_pipeline",
+    "q13_hash_bucket",
+    "q14_exact_dedup",
+    "q16_minhash_signature",
+    "q27_concatenate",
+    "q28_choose_from",
+    # last driver-checked r5:
+    "q42_large_volume_orders",
+    "q43_disk_bound",
+    "q44_prefetch_gap",
+    "q45_file_size_agg",
+    "q46_skew_salted_agg",
+    "q47_lp_throughput",
+    "q48_min_cost_milp",
+    "q49_topo_depth",
+    "q51_sql_interface",
+    "q52_streaming_window_counts",
+    "q57_streaming_exact_dedup",
+    "q66_streaming_quality_monitor",
+)
+for _name in [n for n in list(REGISTRY) if n not in _PROMOTE_R9]:
+    REGISTRY[_name] = REGISTRY.pop(_name)
+
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: qd.fn for name, qd in REGISTRY.items()}

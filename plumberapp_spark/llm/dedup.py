@@ -472,6 +472,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     max_shingle_freq: int | None = None,
     vectorized: bool = True,
+    max_candidate_pairs: int | None = 100_000_000,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs via an inverted-index self-join:
     explode distinct shingles -> join on shingle -> |A∩B| / (|A|+|B|-|A∩B|).
@@ -479,6 +480,16 @@ def ngram_jaccard_pairs(
     ``max_shingle_freq`` drops shingles appearing in more than that many
     docs (boilerplate) — the standard trick that keeps the inverted index
     from exploding quadratically on hot shingles at corpus scale.
+
+    ``max_candidate_pairs`` is the UNCAPPED path's fail-fast guard
+    (VERDICT r8 #3): before the self-join, one narrow count-per-shingle
+    aggregate projects the candidate-pair volume ``Σ c·(c−1)/2``; if it
+    exceeds the bound the operator raises with guidance instead of
+    grinding the exchange to disk exhaustion (the 100× copy-degenerate
+    corpus projects 1.8e9 candidates and died at 75 GB of spill; the
+    same corpus exact-deduped first projects thousands). The probe costs
+    one extra pass over the inverted-index lineage — only paid when no
+    ``max_shingle_freq`` cap already bounds the join. ``None`` disables.
 
     ``vectorized=True`` (default) builds the exploded inverted index in
     one Arrow ``mapInPandas`` pass (plain Python string slicing) instead
@@ -577,6 +588,23 @@ def ngram_jaccard_pairs(
         inv = inv.withColumn("_df", F.count("*").over(hot)).filter(
             F.col("_df") <= max_shingle_freq
         ).drop("_df")
+    if max_shingle_freq is None and max_candidate_pairs is not None:
+        projected = (
+            inv.groupBy("shingle")
+            .agg(F.count("*").alias("_c"))
+            .agg(F.sum(F.col("_c") * (F.col("_c") - 1) / 2).alias("_pairs"))
+            .first()["_pairs"]
+        )
+        if projected is not None and projected > max_candidate_pairs:
+            raise ValueError(
+                f"ngram_jaccard_pairs: projected candidate-pair volume "
+                f"{int(projected):,} exceeds max_candidate_pairs="
+                f"{max_candidate_pairs:,} — the uncapped inverted-index "
+                f"self-join would explode (duplicate-heavy corpus). Use "
+                f"dedup_then_jaccard (exact-dedup first), set "
+                f"max_shingle_freq to cap hot shingles, or raise "
+                f"max_candidate_pairs if the volume is intended."
+            )
     a = inv.select(F.col(id_col).alias("id_a"), F.col("_n").alias("n_a"), "shingle")
     b = inv.select(F.col(id_col).alias("id_b"), F.col("_n").alias("n_b"), "shingle")
     inter = (

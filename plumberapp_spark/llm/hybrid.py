@@ -168,3 +168,52 @@ def hybrid_search_ivf(
         id_col=vec_id_col, vec_col=vec_col,
     )
     return rrf_fuse([sparse, dense], k=k, k_rrf=k_rrf)
+
+
+def hybrid_search_freetext(
+    spark,
+    lex_path: str,
+    ivf_path: str,
+    queries: DataFrame,
+    k: int = 10,
+    k_route: int = 10,
+    nprobe: int = 2,
+    k_rrf: int = 60,
+    text_col: str = "q_text",
+    vec_col: str = "q_vec",
+    id_col: str = "query_id",
+) -> DataFrame:
+    """The production serving shape end-to-end: a FREE-TEXT query (never
+    seen at index build) with a PROVIDED dense query vector, served
+    entirely from the two persisted indexes — BM25 from the pruned
+    lexical postings (``lexical.bm25_topk_freetext``, OOV terms drop),
+    dense from the probed IVF cells (``similarity.ivf_topk_indexed``,
+    which already takes arbitrary query vectors), RRF-fused. Embedding
+    the text into the vector is out of scope (no model in the engine);
+    the caller provides it, which is exactly where a deployment's
+    encoder hands off to the index layer.
+
+    ``queries`` carries ``(query_id, q_text, q_vec)``; ids live in
+    their own space (no self-exclusion applies — an id collision with a
+    corpus doc would wrongly exclude that doc from the dense arm, so
+    keep them disjoint). Scale posture is the two routes' unchanged:
+    pruned postings subset + probed cells only."""
+    from plumberapp_spark.llm.lexical import bm25_topk_freetext
+    from plumberapp_spark.llm.similarity import ivf_topk_indexed
+
+    sparse = bm25_topk_freetext(
+        spark, lex_path, queries, k=k_route, text_col=text_col, id_col=id_col
+    )
+    # ivf_topk_indexed's id_col/vec_col name the INDEXED corpus columns
+    # (it reads the cells parquet with them) and the query frame must
+    # match — rename the provided vector frame into the index's space
+    dense = ivf_topk_indexed(
+        spark,
+        ivf_path,
+        queries.select(
+            F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")
+        ),
+        k=k_route,
+        nprobe=nprobe,
+    )
+    return rrf_fuse([sparse, dense], k=k, k_rrf=k_rrf)

@@ -20,7 +20,9 @@ serving (cache insertion, ``pa/pipeline_optimizer.py:1250-1350``):
     partition pruning, not a runtime filter;
   - ``{path}/norms`` — ``(doc_id, nrm)`` tf-idf L2 norms;
   - ``{path}/scalars`` — one row: corpus doc count, total tokens, mean
-    doc length (the BM25 globals).
+    doc length (the BM25 globals), and the bucket modulus the postings
+    were laid out under (serve-time pruning reads it back; the
+    constant is build-time-only).
 
   Both weight columns are computed with formulas bit-identical to the
   direct operators' (natural-log idf; Robertson/Lucene BM25 idf with
@@ -52,15 +54,31 @@ from pyspark.sql import functions as F
 DEFAULT_BUCKETS = 64
 
 # bumped whenever the on-disk layout changes (sidecar-recorded; a
-# mismatch forces a rebuild instead of serving an incompatible schema)
-INDEX_FORMAT = 2
+# mismatch forces a rebuild instead of serving an incompatible schema).
+# 3: scalars carries _n_buckets — the bucket modulus is an index
+# property read back at serve time, never re-derived from the constant
+# (ADVICE r8: a DEFAULT_BUCKETS change must not silently mis-prune an
+# index laid out under the old modulus).
+INDEX_FORMAT = 3
 
 
-def _bucket(col):
+def _bucket(col, n_buckets: int = DEFAULT_BUCKETS):
     """Partition key for a token: crc32 of the utf-8 bytes mod
     n_buckets — stable across sessions (no Spark-version hash-seed
     dependence), cheap, and pushdown-friendly (an int partition col)."""
-    return F.crc32(F.col(col).cast("binary")) % DEFAULT_BUCKETS
+    return F.crc32(F.col(col).cast("binary")) % n_buckets
+
+
+def _index_scalars(spark, path: str):
+    """The index's one-row globals relation and its recorded bucket
+    modulus. Every serving path derives its pruning key from the
+    RECORDED ``_n_buckets`` — the current ``DEFAULT_BUCKETS`` constant
+    plays no role at serve time, so a constant change can never compute
+    buckets under a new modulus against partitions laid out under the
+    old one."""
+    sc = spark.read.parquet(f"{path}/scalars")
+    n_buckets = int(sc.select("_n_buckets").first()[0])
+    return sc, n_buckets
 
 
 def build_lexical_index(
@@ -70,6 +88,7 @@ def build_lexical_index(
     id_col: str = "doc_id",
     k1: float = 1.2,
     b: float = 0.75,
+    n_buckets: int = DEFAULT_BUCKETS,
 ) -> None:
     """Materialize the postings/norms/scalars relations (docstring above).
 
@@ -91,6 +110,7 @@ def build_lexical_index(
             "_nd",
             F.col("_tt").alias("_total_tokens"),
             (F.col("_tt") / F.col("_nd")).alias("_avgdl"),
+            F.lit(int(n_buckets)).alias("_n_buckets"),
         )
     )
     scalars.coalesce(1).write.mode("overwrite").parquet(f"{path}/scalars")
@@ -114,7 +134,7 @@ def build_lexical_index(
                 / (F.col("_tf") + k1 * (1 - b + b * F.col("_dl") / F.col("_avgdl")))
             ).alias("w_bm25"),
         )
-        .withColumn("_b", _bucket("tk").cast("int"))
+        .withColumn("_b", _bucket("tk", n_buckets).cast("int"))
     )
     wts.write.partitionBy("_b").mode("overwrite").parquet(f"{path}/postings0")
 
@@ -194,15 +214,20 @@ def ensure_lexical_index(
     return path
 
 
-def _query_postings(spark, path: str, query_terms: DataFrame) -> DataFrame:
+def _query_postings(
+    spark, path: str, query_terms: DataFrame, n_buckets: int = DEFAULT_BUCKETS
+) -> DataFrame:
     """Postings rows for the query's terms: partition-prune the scan to
     the terms' buckets (an IN filter on the int partition column — at
-    most ``DEFAULT_BUCKETS`` values, always pushdown-safe), then
+    most ``n_buckets`` values, always pushdown-safe), then
     broadcast-semi-join on the token itself. ``query_terms`` is a
-    one-column ``tk`` frame, bounded by the small-side contract."""
+    one-column ``tk`` frame, bounded by the small-side contract.
+    ``n_buckets`` MUST be the modulus recorded in the index's scalars
+    (``_index_scalars``) — pruning under any other modulus silently
+    drops postings rows."""
     buckets = [
         r["_b"]
-        for r in query_terms.select(_bucket("tk").cast("int").alias("_b"))
+        for r in query_terms.select(_bucket("tk", n_buckets).cast("int").alias("_b"))
         .distinct()
         .collect()
     ]
@@ -272,8 +297,11 @@ def tfidf_topk_indexed(
     (denormalized at build), so the cosine needs NO norms join: the
     aggregate picks the doc norm up with ``first(nrm)`` and the query
     norm rides the broadcast term map."""
+    _, n_buckets = _index_scalars(spark, path)
     qids = queries.select(F.col(id_col).alias("_qid")).distinct()
-    cand = _query_postings(spark, path, _query_term_frame(queries, text_col))
+    cand = _query_postings(
+        spark, path, _query_term_frame(queries, text_col), n_buckets
+    )
     qw = cand.join(
         F.broadcast(qids), cand["doc_id"] == F.col("_qid"), "inner"
     ).select(
@@ -313,8 +341,11 @@ def bm25_topk_indexed(
     weights, 6-decimal rounding before rank, neighbor-id tie-break).
     The query is a term SET (distinct terms, query tf ignored), derived
     from the query docs' own postings rows inside the pruned scan."""
+    _, n_buckets = _index_scalars(spark, path)
     qids = queries.select(F.col(id_col).alias("_qid")).distinct()
-    cand = _query_postings(spark, path, _query_term_frame(queries, text_col))
+    cand = _query_postings(
+        spark, path, _query_term_frame(queries, text_col), n_buckets
+    )
     qterms = (
         cand.join(F.broadcast(qids), cand["doc_id"] == F.col("_qid"), "inner")
         .select(F.col("_qid").alias("query_id"), "tk")
@@ -323,6 +354,118 @@ def bm25_topk_indexed(
     scored = (
         cand.join(F.broadcast(qterms), "tk")
         .filter(F.col("doc_id") != F.col("query_id"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.round(F.sum("w_bm25"), 6).alias("bm25"))
+        .select("query_id", F.col("doc_id").alias("neighbor_id"), "bm25")
+    )
+    return _two_stage_topk(scored, k, "bm25")
+
+
+# ---- free-text (out-of-corpus) query serving -------------------------
+#
+# The indexed paths above take query DOCS drawn from the indexed corpus
+# (their weights are read back from the query docs' own postings rows).
+# A production retrieval endpoint serves the opposite shape: a novel
+# query STRING that was never seen at build time. These paths tokenize
+# the free text, derive each query term's df by counting its (pruned)
+# posting rows — postings hold one row per (term, doc), so the count IS
+# df, no extra relation needed — and weight query terms from the
+# index's recorded globals, mirroring how the reference's vocab-lookup
+# serving path handles tokens unseen at table-build
+# (mb/simple_gnmt/utils/iterator_utils.py:142-153: lookup with a
+# default). Terms absent from the corpus have no postings, match
+# nothing, and drop out of the query vector entirely (df=0 has no
+# defined idf) — the documented OOV semantics.
+#
+# 100 TB posture: identical to the in-corpus serving paths — the only
+# corpus-sized relation touched is the pruned postings subset of the
+# query's terms; the df rollup is one extra aggregate over that same
+# pruned scan (vocab-of-query-sized output), and everything query-sided
+# broadcasts.
+
+
+def _freetext_qtf(queries: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Per-(query, term) tf of the free-text queries — a bounded JVM
+    explode+agg on the small-side query frame."""
+    from plumberapp_spark.functions.text import tokenize
+
+    return (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.explode(tokenize(F.col(text_col))).alias("tk"),
+        )
+        .groupBy("query_id", "tk")
+        .agg(F.count("*").alias("_qtf"))
+    )
+
+
+def tfidf_topk_freetext(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    text_col: str = "q_text",
+    id_col: str = "query_id",
+) -> DataFrame:
+    """tf-idf cosine top-k for free-text queries over a persisted
+    :func:`build_lexical_index`. The query vector is ``qtf(t) ·
+    ln(N/df(t))`` over the terms the corpus knows (OOV terms drop from
+    dot AND query norm); the document side is the index's stored
+    weights and denormalized norms — so scoring against a novel string
+    needs exactly one pruned postings scan, one query-vocab-sized df
+    aggregate, and the family's shared two-stage top-k. No self-
+    exclusion: query ids live in their own id space."""
+    sc, n_buckets = _index_scalars(spark, path)
+    qtf = _freetext_qtf(queries, text_col, id_col)
+    cand = _query_postings(spark, path, qtf.select("tk").distinct(), n_buckets)
+    dfreq = cand.groupBy("tk").agg(F.count("*").alias("_df"))
+    qw = (
+        qtf.join(dfreq, "tk")
+        .crossJoin(F.broadcast(sc.select("_nd")))
+        .select(
+            "query_id",
+            "tk",
+            (F.col("_qtf") * F.log(F.col("_nd") / F.col("_df"))).alias("_qw"),
+        )
+    )
+    qn = qw.groupBy("query_id").agg(
+        F.sqrt(F.sum(F.col("_qw") * F.col("_qw"))).alias("_qn")
+    )
+    scored = (
+        cand.join(F.broadcast(qw.join(qn, "query_id")), "tk")
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.sum(F.col("w_tfidf") * F.col("_qw")).alias("_dot"),
+            F.first("nrm").alias("_nrm"),
+            F.first("_qn").alias("_qn2"),
+        )
+        .select(
+            "query_id",
+            F.col("doc_id").alias("neighbor_id"),
+            F.round(F.col("_dot") / (F.col("_nrm") * F.col("_qn2")), 6).alias("cos_sim"),
+        )
+    )
+    return _two_stage_topk(scored, k, "cos_sim")
+
+
+def bm25_topk_freetext(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    text_col: str = "q_text",
+    id_col: str = "query_id",
+) -> DataFrame:
+    """BM25 top-k for free-text queries over the persisted index. The
+    query is the free text's distinct term SET (matching
+    ``bm25_topk``'s set semantics); each matched posting contributes
+    its stored ``w_bm25`` — BM25's query side needs no df at all, so
+    this is one pruned scan + one aggregate."""
+    _, n_buckets = _index_scalars(spark, path)
+    qterms = _freetext_qtf(queries, text_col, id_col).select("query_id", "tk").distinct()
+    cand = _query_postings(spark, path, qterms.select("tk").distinct(), n_buckets)
+    scored = (
+        cand.join(F.broadcast(qterms), "tk")
         .groupBy("query_id", "doc_id")
         .agg(F.round(F.sum("w_bm25"), 6).alias("bm25"))
         .select("query_id", F.col("doc_id").alias("neighbor_id"), "bm25")

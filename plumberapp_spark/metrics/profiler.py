@@ -55,10 +55,15 @@ class PipelineProfiler:
         prefix_time: dict[str, float] = {}
         prefix_rows: dict[str, int] = {}
         stats: list[NodeStats] = []
+        # every persist the prefix builders perform is collected and
+        # unpersisted after the final prefix is timed — profiling must not
+        # leave MEMORY_AND_DISK entries behind in the session (the same
+        # hygiene node_bench.py applies per sweep cell)
+        own_caches: list = []
 
         for topo_idx, node in enumerate(nodes):
             sub = Pipeline(node, pipeline._counter)
-            df = sub.to_df(self.spark)
+            df = sub.to_df(self.spark, persisted_out=own_caches)
             if sample_rows is not None:
                 df = df.limit(sample_rows)
             size_bytes = _plan_size_bytes(df)
@@ -99,6 +104,12 @@ class PipelineProfiler:
                     num_cores_used=0.0,
                 )
             )
+
+        for cached_df in own_caches:
+            try:
+                cached_df.unpersist()
+            except Exception:  # noqa: BLE001 — hygiene only
+                pass
 
         total_self = sum(s.self_processing_time for s in stats) or 1.0
         sink = stats[-1]

@@ -2061,3 +2061,263 @@ def q100_hybrid_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, lex, ivf, emb, docs.filter(F.col("doc_id") < 5),
         k=10, k_route=10, nprobe=2,
     )
+
+
+# ---- round 9: free-text (out-of-corpus) serving (VERDICT r8 item 1:
+# the indexed retrieval family required query docs drawn from the
+# corpus; a production endpoint serves novel strings) ------------------
+
+# The serving fixture: five free-text query strings that exist NOWHERE
+# in the corpus (q9000003 carries a genuinely OOV token exercising the
+# drop-unseen-terms semantics), plus — for the hybrid — a provided
+# dense query vector per query, constructed as the deterministic
+# combination e[base] + 0.5·e[base+1] + 0.25·e[base+2] (left-assoc, so
+# Spark's zip_with chain and the oracle's SQL expression are
+# bit-identical IEEE double chains). Ids live at 9e6+ so they can never
+# collide with corpus doc/vec ids at any fixture scale (zipf100 tops
+# out at 500k).
+_FREETEXT_QUERIES = [
+    (9000001, "fast hash join big table scan", 0),
+    (9000002, "window agg group order sort merge", 8),
+    (9000003, "customer query slow filter zzzunseenterm", 16),
+    (9000004, "vector batch stream data column value", 24),
+    (9000005, "the a part small row line key", 32),
+]
+
+# DuckDB-side literals for the same fixture
+_QVALUES = ", ".join(f"({q}, '{t}')" for q, t, _ in _FREETEXT_QUERIES)
+_QMAP_VALUES = ", ".join(f"({q}, {b})" for q, _, b in _FREETEXT_QUERIES)
+QTOKS = r"list_filter(string_split_regex(coalesce(q_text, ''), '\s+'), x -> x != '')"
+
+
+def _freetext_query_frame(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(
+        [(q, t) for q, t, _ in _FREETEXT_QUERIES], "query_id bigint, q_text string"
+    )
+
+
+def _freetext_query_vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(query_id, q_vec) — the provided dense query vectors (docstring
+    above). Three broadcast joins of a 5-row frame against the
+    embeddings table; the combination runs in zip_with (JVM, no UDF)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = spark.createDataFrame(
+        [(q, b) for q, _, b in _FREETEXT_QUERIES], "query_id bigint, _base bigint"
+    )
+    picks = [
+        emb.select(
+            (F.col("vec_id") - i).alias("_base"), F.col("embedding").alias(f"_e{i}")
+        )
+        for i in range(3)
+    ]
+    joined = F.broadcast(base)
+    for p in picks:
+        joined = joined.join(p, "_base")
+    comb = F.zip_with(
+        F.zip_with(
+            "_e0", "_e1", lambda x, y: x.cast("double") + F.lit(0.5) * y.cast("double")
+        ),
+        "_e2",
+        lambda xy, z: xy + F.lit(0.25) * z.cast("double"),
+    )
+    return joined.select("query_id", comb.alias("q_vec"))
+
+
+@register(
+    "q101_tfidf_freetext_search",
+    # full derivation: corpus weights/norms (q80's chain verbatim) +
+    # query-side tf over the literal strings, idf from the corpus df,
+    # OOV terms dropped by the inner join (df undefined), query norm
+    # over the MATCHED terms only — the documented free-text semantics
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+         tok AS (SELECT doc_id, unnest(toks) AS tk FROM t),
+         tf AS (SELECT doc_id, tk, count(*) AS tf FROM tok GROUP BY 1, 2),
+         dfreq AS (SELECT tk, count(*) AS df FROM tf GROUP BY 1),
+         nd AS (SELECT count(*) AS n FROM documents),
+         w AS (SELECT tf.doc_id, tf.tk,
+                      tf.tf * ln(nd.n * 1.0 / dfreq.df) AS w
+               FROM tf JOIN dfreq USING (tk), nd),
+         nrm AS (SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM w GROUP BY doc_id),
+         qraw AS (SELECT * FROM (VALUES {_QVALUES}) AS v(query_id, q_text)),
+         qtok AS (SELECT query_id, unnest({QTOKS}) AS tk FROM qraw),
+         qtf AS (SELECT query_id, tk, count(*) AS qtf FROM qtok GROUP BY 1, 2),
+         qw AS (SELECT query_id, qtf.tk,
+                       qtf.qtf * ln(nd.n * 1.0 / dfreq.df) AS qw
+                FROM qtf JOIN dfreq USING (tk), nd),
+         qn AS (SELECT query_id, sqrt(sum(qw * qw)) AS qn FROM qw GROUP BY 1),
+         dots AS (SELECT qw.query_id, w.doc_id AS neighbor_id,
+                         sum(w.w * qw.qw) AS dot
+                  FROM w JOIN qw USING (tk) GROUP BY 1, 2),
+         scored AS (SELECT dots.query_id, neighbor_id,
+                           round(dot / (nrm.nrm * qn.qn), 6) AS cos_sim
+                    FROM dots JOIN nrm ON dots.neighbor_id = nrm.doc_id
+                              JOIN qn ON dots.query_id = qn.query_id),
+         ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                              ORDER BY cos_sim DESC, neighbor_id) AS rank
+                    FROM scored)
+    SELECT query_id::BIGINT AS query_id, neighbor_id, cos_sim,
+           rank::BIGINT AS rank
+    FROM ranked WHERE rank <= 10
+    """,
+)
+def q101_tfidf_freetext_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tf-idf retrieval for FREE-TEXT queries (round 9): strings never
+    seen at index build, served from the persisted lexical index. Query
+    term df comes from counting the term's (pruned) posting rows — the
+    postings ARE the df relation — and N from the index scalars; OOV
+    terms drop from dot and query norm. One pruned postings scan serves
+    candidates and df both; everything query-sided broadcasts.
+    Reference analog for serving-unseen-tokens:
+    mb/simple_gnmt/utils/iterator_utils.py:142-153 (vocab lookup with a
+    default for novel tokens)."""
+    from plumberapp_spark.llm.lexical import ensure_lexical_index, tfidf_topk_freetext
+
+    path = ensure_lexical_index(spark, sf_dir, "documents")
+    return tfidf_topk_freetext(spark, path, _freetext_query_frame(spark), k=10)
+
+
+@register(
+    "q102_bm25_freetext_search",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+         tok AS (SELECT doc_id, unnest(toks) AS tk FROM t),
+         tf AS (SELECT doc_id, tk, count(*) AS tf FROM tok GROUP BY 1, 2),
+         dfreq AS (SELECT tk, count(*) AS df FROM tf GROUP BY 1),
+         dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+         sc AS (SELECT count(*) AS nd, avg(len(toks)) AS avgdl FROM t),
+         w AS (SELECT tf.doc_id, tf.tk,
+                      ln(1.0 + (sc.nd - tf2.df + 0.5) / (tf2.df + 0.5))
+                        * (tf.tf * 2.2)
+                        / (tf.tf + 1.2 * (0.25 + (0.75 * dl.dl) / sc.avgdl)) AS w
+               FROM tf JOIN dfreq tf2 USING (tk) JOIN dl USING (doc_id), sc),
+         qraw AS (SELECT * FROM (VALUES {_QVALUES}) AS v(query_id, q_text)),
+         qtok AS (SELECT query_id, unnest({QTOKS}) AS tk FROM qraw),
+         qt AS (SELECT DISTINCT query_id, tk FROM qtok),
+         dots AS (SELECT qt.query_id, w.doc_id AS neighbor_id,
+                         round(sum(w.w), 6) AS bm25
+                  FROM w JOIN qt USING (tk) GROUP BY 1, 2),
+         ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                ORDER BY bm25 DESC, neighbor_id) AS rank
+                    FROM dots)
+    SELECT query_id::BIGINT AS query_id, neighbor_id, bm25,
+           rank::BIGINT AS rank
+    FROM ranked WHERE rank <= 10
+    """,
+)
+def q102_bm25_freetext_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval for free-text queries (round 9): the query is the
+    novel string's distinct term set; each matched posting contributes
+    its stored w_bm25 (BM25's query side needs no df), so serving is
+    one pruned scan + one aggregate — the cheapest possible novel-query
+    path. OOV terms match nothing and vanish."""
+    from plumberapp_spark.llm.lexical import bm25_topk_freetext, ensure_lexical_index
+
+    path = ensure_lexical_index(spark, sf_dir, "documents")
+    return bm25_topk_freetext(spark, path, _freetext_query_frame(spark), k=10)
+
+
+@register(
+    "q103_hybrid_freetext_search",
+    # replays BOTH serving routes in full: q102's free-text BM25 chain
+    # + the IVF probe of the PROVIDED query vectors (built by the same
+    # left-assoc double chain as the Spark side), then the RRF fold
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+         tok AS (SELECT doc_id, unnest(toks) AS tk FROM t),
+         tf AS (SELECT doc_id, tk, count(*) AS tf FROM tok GROUP BY 1, 2),
+         dfreq AS (SELECT tk, count(*) AS df FROM tf GROUP BY 1),
+         dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+         sc AS (SELECT count(*) AS nd, avg(len(toks)) AS avgdl FROM t),
+         w AS (SELECT tf.doc_id, tf.tk,
+                      ln(1.0 + (sc.nd - tf2.df + 0.5) / (tf2.df + 0.5))
+                        * (tf.tf * 2.2)
+                        / (tf.tf + 1.2 * (0.25 + (0.75 * dl.dl) / sc.avgdl)) AS w
+               FROM tf JOIN dfreq tf2 USING (tk) JOIN dl USING (doc_id), sc),
+         qraw AS (SELECT * FROM (VALUES {_QVALUES}) AS v(query_id, q_text)),
+         qtok AS (SELECT query_id, unnest({QTOKS}) AS tk FROM qraw),
+         qt AS (SELECT DISTINCT query_id, tk FROM qtok),
+         bdots AS (SELECT qt.query_id, w.doc_id AS neighbor_id,
+                          round(sum(w.w), 6) AS bm25
+                   FROM w JOIN qt USING (tk) GROUP BY 1, 2),
+         bran AS (SELECT query_id, neighbor_id,
+                         row_number() OVER (PARTITION BY query_id
+                           ORDER BY bm25 DESC, neighbor_id) AS rank
+                  FROM bdots),
+         vv AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         qmap AS (SELECT * FROM (VALUES {_QMAP_VALUES}) AS m(query_id, base)),
+         dims AS (SELECT unnest(generate_series(1,
+                    (SELECT len(e) FROM vv LIMIT 1))) AS pos),
+         qcomp AS (SELECT m.query_id, d.pos,
+                          a.e[d.pos] + 0.5 * b.e[d.pos] + 0.25 * c.e[d.pos] AS val
+                   FROM qmap m
+                   JOIN vv a ON a.vec_id = m.base
+                   JOIN vv b ON b.vec_id = m.base + 1
+                   JOIN vv c ON c.vec_id = m.base + 2
+                   CROSS JOIN dims d),
+         qv AS (SELECT query_id, list(val ORDER BY pos) AS qe
+                FROM qcomp GROUP BY 1),
+         cent AS (SELECT vec_id AS c_id, e AS ce FROM vv
+                  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+         sim AS (SELECT vv.vec_id, cent.c_id,
+                        round(list_dot_product(vv.e, cent.ce) /
+                              (sqrt(list_dot_product(vv.e, vv.e)) * sqrt(list_dot_product(cent.ce, cent.ce))), 6) AS s
+                 FROM vv CROSS JOIN cent),
+         cranked AS (SELECT vec_id, c_id,
+                            row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, c_id) AS rn
+                     FROM sim),
+         vc AS (SELECT vec_id, c_id AS cell FROM cranked WHERE rn = 1),
+         qsim AS (SELECT qv.query_id, cent.c_id,
+                         round(list_dot_product(qv.qe, cent.ce) /
+                               (sqrt(list_dot_product(qv.qe, qv.qe)) * sqrt(list_dot_product(cent.ce, cent.ce))), 6) AS s
+                  FROM qv CROSS JOIN cent),
+         qranked AS (SELECT query_id, c_id,
+                            row_number() OVER (PARTITION BY query_id ORDER BY s DESC, c_id) AS rn
+                     FROM qsim),
+         qc AS (SELECT query_id, c_id AS cell FROM qranked WHERE rn <= 2),
+         cand AS (SELECT qc.query_id, vc.vec_id AS neighbor_id
+                  FROM vc JOIN qc USING (cell)),
+         dscored AS (SELECT cand.query_id, cand.neighbor_id,
+                            round(list_dot_product(qv.qe, nb.e) /
+                                  (sqrt(list_dot_product(qv.qe, qv.qe)) * sqrt(list_dot_product(nb.e, nb.e))), 6) AS cos_sim
+                     FROM cand
+                     JOIN qv USING (query_id)
+                     JOIN vv nb ON nb.vec_id = cand.neighbor_id),
+         dran AS (SELECT query_id, neighbor_id,
+                         row_number() OVER (PARTITION BY query_id
+                           ORDER BY cos_sim DESC, neighbor_id) AS rank
+                  FROM dscored),
+         contrib AS (SELECT query_id, neighbor_id, 1.0 / (60 + rank) AS c
+                     FROM bran WHERE rank <= 10
+                     UNION ALL
+                     SELECT query_id, neighbor_id, 1.0 / (60 + rank)
+                     FROM dran WHERE rank <= 10),
+         fused AS (SELECT query_id, neighbor_id,
+                          round(sum(c), 6) AS rrf_score
+                   FROM contrib GROUP BY 1, 2),
+         outr AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                            ORDER BY rrf_score DESC, neighbor_id) AS rank
+                  FROM fused)
+    SELECT query_id::BIGINT AS query_id, neighbor_id, rrf_score,
+           rank::BIGINT AS rank
+    FROM outr WHERE rank <= 10
+    """,
+)
+def q103_hybrid_freetext_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production retrieval endpoint end-to-end (round 9): a novel
+    query STRING plus a PROVIDED dense query vector (the encoder
+    hand-off), served entirely from the two persisted indexes — BM25
+    from pruned lexical postings (OOV terms drop), dense from the
+    probed IVF cells, RRF-fused. No route touches a corpus-sized
+    lineage at query time, and nothing requires the query to exist in
+    the corpus."""
+    from plumberapp_spark.llm.hybrid import hybrid_search_freetext
+    from plumberapp_spark.llm.lexical import ensure_lexical_index
+    from plumberapp_spark.llm.similarity import ensure_ivf_index
+
+    lex = ensure_lexical_index(spark, sf_dir, "documents")
+    ivf = ensure_ivf_index(spark, sf_dir, "embeddings", n_centroids=16)
+    q = _freetext_query_frame(spark).join(
+        _freetext_query_vecs(spark, sf_dir), "query_id"
+    )
+    return hybrid_search_freetext(spark, lex, ivf, q, k=10, k_route=10, nprobe=2)

@@ -67,6 +67,13 @@ EAGER_ALLOWED = {
     "q98_hybrid_search": "query-matrix collect (bounded broadcast contract)",
     "q99_hybrid_indexed_search": "index materialization + bounded collects",
     "q100_hybrid_ivf_search": "index materializations + bounded collects",
+    # round-9 fail-fast guard: the uncapped inverted-index path probes
+    # projected candidate-pair volume (one scalar) before the self-join
+    "q19_ngram_jaccard_top_pairs": "candidate-volume probe (fail-fast contract)",
+    # round-9 free-text serving: same build-once + bounded-collect shape
+    "q101_tfidf_freetext_search": "index materialization + bucket-list collect",
+    "q102_bm25_freetext_search": "index materialization + bucket-list collect",
+    "q103_hybrid_freetext_search": "index materializations + bounded collects",
     # Structured Streaming queries start and drain their micro-batches
     "q52_streaming_window_counts": "micro-batch execution is the query",
     "q55_stateful_rate_monitor": "micro-batch execution is the query",
