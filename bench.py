@@ -156,6 +156,21 @@ STREAMING_QUERIES = (
     "q93_streaming_decontamination",
 )
 
+# Direct build-per-run retrieval registrations -> the persisted-index
+# variant that serves the IDENTICAL result (same oracle / hash-anchored).
+# The direct forms define the build lineage; a deployment pays that cost
+# once (ensure-index) and then serves from the index, so the amortized
+# geomean in BENCH_local.json grades each direct form at its indexed
+# variant's ratio (VERDICT r8 #6). q98's dense arm stays exact in q99,
+# so even the hybrid substitution is bit-identical.
+AMORTIZED_TO_INDEXED = {
+    "q77_unigram_logprob": "q96_unigram_logprob_indexed",
+    "q79_perplexity_buckets": "q97_perplexity_buckets_indexed",
+    "q80_tfidf_search": "q94_tfidf_indexed_search",
+    "q83_bm25_search": "q95_bm25_indexed_search",
+    "q98_hybrid_search": "q99_hybrid_indexed_search",
+}
+
 
 def run_query(spark, name: str, sf_dir: str) -> float | None:
     """One timed noop-write of a query; None (never an exception) on
@@ -459,6 +474,23 @@ def main() -> None:
                 detail["vs_duckdb"][n]
                 for n in substantive
                 if n in detail["vs_duckdb"] and n not in index_family
+            ]
+        )
+        # Amortized deployment series (VERDICT r8 #6): the direct
+        # build-per-run retrieval registrations are BUILD-LINEAGE
+        # definitions — each has a hash-anchored indexed variant that
+        # serves the identical result from a persisted index, and a
+        # deployment pays the build once, not per query. This series
+        # grades each direct form at its indexed variant's measured
+        # ratio (what a query costs once the index exists); the direct
+        # walls stay in timings/vs_duckdb above, so the build cost
+        # remains visible and the substitution is reconstructable.
+        detail["amortized_direct_forms"] = AMORTIZED_TO_INDEXED
+        detail["vs_duckdb_geomean_substantive_amortized"] = _geomean(
+            [
+                detail["vs_duckdb"][AMORTIZED_TO_INDEXED.get(n, n)]
+                for n in substantive
+                if AMORTIZED_TO_INDEXED.get(n, n) in detail["vs_duckdb"]
             ]
         )
         # drift bracket (VERDICT r6 #6): the same geomean computed from the

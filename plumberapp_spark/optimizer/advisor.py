@@ -249,15 +249,86 @@ class Optimizer:
 
     def apply(self, pipeline: Pipeline, advice: Advice) -> Pipeline:
         """Apply advice as plan rewrites; schema invariance enforced
-        (reference's _throw_if_element_spec_changed)."""
+        (reference's _throw_if_element_spec_changed).
+
+        Partition translation is Spark-semantics-aware (measured on the
+        zipf10 curation pipeline, SCALE.md §12): the LP's θ is a CORE
+        SHARE under the reference's all-ops-run-concurrently executor,
+        but Spark batch stages run sequentially, each getting the whole
+        machine time-multiplexed — so a θ below machine width is a
+        diagnosis ("this op needs only 7/32 of the machine at the
+        balanced rate"), not an instruction to repartition the stage
+        down to 7 (which inserts an exchange AND narrows it; measured
+        0.87× on the curation pipeline). Only overrides that RAISE an
+        op's width above the session default (disk-underutilization
+        scaling, skew spreading) actuate; sub-width θs stay visible in
+        ``advice.thetas``/``advice.lp``."""
         out = pipeline
         if advice.partitions:
-            out = rewrites.apply_parallelism(out, {n: float(p) for n, p in advice.partitions.items()}, self.spark)
+            width = self.spark.sparkContext.defaultParallelism
+            raises = {
+                n: float(p) for n, p in advice.partitions.items() if p > width
+            }
+            if raises:
+                out = rewrites.apply_parallelism(out, raises, self.spark)
         if advice.cache_at:
             out = rewrites.insert_cache_after(out, advice.cache_at, self.spark)
         if advice.prefetch_at and advice.prefetch_buffer:
             out = rewrites.set_prefetch(out, advice.prefetch_at, advice.prefetch_buffer, self.spark)
         return out
+
+    def apply_validated(
+        self,
+        pipeline: Pipeline,
+        advice: Advice,
+        time_limit_s: float = 2.0,
+        min_gain: float = 1.05,
+    ) -> tuple[Pipeline, bool]:
+        """:meth:`apply` with the reference's measure-then-keep gate on
+        the cache step (pa/pipeline_optimizer.py's benchmark-driven
+        insertion): apply the structural rewrites, then A/B the cache
+        under a short benchmark and keep it only on a measured ≥
+        ``min_gain`` rate improvement.
+
+        Why the gate is LOAD-BEARING on Spark (measured, SCALE.md §12):
+        a mid-pipeline ``persist()`` is not the reference's cache op.
+        tf.data re-executes its input lineage per epoch, so a cache is
+        near-free insurance; Spark already dedups identical subplans
+        within an action (ReusedExchange), so a persist converts fused
+        whole-stage-codegen recompute into one InMemoryTableScan
+        (columnar decompress + row conversion) PER PLAN REFERENCE — the
+        zipf10 curation pipeline references its corpus frame 204 times
+        and measured 9.6 s → 46 s with the advisor's cache applied
+        blind. Returns ``(pipeline, cache_kept)``."""
+        import dataclasses
+
+        from plumberapp_spark.metrics.bench import bench_dataframe
+
+        base = self.apply(pipeline, dataclasses.replace(advice, cache_at=None))
+        if not advice.cache_at:
+            return base, False
+        cached = self.apply(pipeline, advice)
+        own: list = []
+        df_c = cached.to_df(self.spark, persisted_out=own)
+        df_c.count()  # untimed cache fill + codegen
+        s_c = bench_dataframe(df_c, time_limit_s=time_limit_s)
+        for c in own:
+            try:
+                c.unpersist()
+            except Exception:  # noqa: BLE001 — hygiene only
+                pass
+        df_b = base.to_df(self.spark)
+        df_b.count()
+        s_b = bench_dataframe(df_b, time_limit_s=time_limit_s)
+        # compare TIME PER FULL CONSUMPTION, not element rate: a pipeline
+        # whose sink legitimately produces zero rows (e.g. a gate that
+        # drops everything) rates 0 el/s on both sides, and 0 >= 0 would
+        # keep every cache unexamined
+        t_c = s_c.duration_s / max(s_c.num_runs, 1)
+        t_b = s_b.duration_s / max(s_b.num_runs, 1)
+        if t_c * min_gain <= t_b:
+            return cached, True
+        return base, False
 
     def optimize(self, pipeline: Pipeline, sample_rows: int | None = None) -> tuple[Pipeline, Advice]:
         advice = self.advise(pipeline, sample_rows=sample_rows)

@@ -44,10 +44,18 @@ def should_optimize(override: bool | None = None) -> bool:
 def optimize_pipeline(
     sample_rows: int | None = 2000,
     kwargs_precondition_f: Callable[..., bool] | None = None,
+    calibrated: bool = False,
 ):
     """Decorator for ``fn(spark, **kwargs) -> Pipeline``; returns the
     (maybe) optimized Pipeline. ``kwargs_precondition_f`` mirrors the
-    reference's per-call gate (pa/annotations.py:130-169)."""
+    reference's per-call gate (pa/annotations.py:130-169).
+
+    ``calibrated=True`` runs the full calibrate-then-solve flow
+    (profile for structure + per-node ceiling sweep for measured rates,
+    the reference's benchmark_all_nodes → convex_solver path) instead
+    of solving on the profiler's prefix-difference estimates — slower
+    to advise, sounder θs; the flow tools/optimize_curation.py records
+    at Zipf scale (SCALE.md §12)."""
 
     def deco(fn):
         @functools.wraps(fn)
@@ -60,7 +68,12 @@ def optimize_pipeline(
                 gate = bool(kwargs_precondition_f(**kwargs))
             if not (gate and should_optimize()):
                 return pipeline
-            optimized, _advice = Optimizer(spark).optimize(pipeline, sample_rows=sample_rows)
+            opt = Optimizer(spark)
+            if calibrated:
+                advice = opt.advise_calibrated(pipeline, sample_rows=sample_rows)
+                tuned, _kept = opt.apply_validated(pipeline, advice)
+                return tuned
+            optimized, _advice = opt.optimize(pipeline, sample_rows=sample_rows)
             return optimized
 
         return wrapper

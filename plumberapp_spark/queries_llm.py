@@ -2076,12 +2076,19 @@ def q100_hybrid_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 # bit-identical IEEE double chains). Ids live at 9e6+ so they can never
 # collide with corpus doc/vec ids at any fixture scale (zipf100 tops
 # out at 500k).
+#
+# Each query mixes two vocabularies: English-ish tokens (the sf*
+# testdata corpus) and wNNNNN tokens (the Zipf scale beds). Whichever
+# bed serves the query, part of the string matches and part is OOV —
+# so the drop-unseen semantics and real retrieval are BOTH exercised at
+# every fixture scale, and timing the query at zipf100 measures genuine
+# posting-list traversal, not an empty candidate set.
 _FREETEXT_QUERIES = [
-    (9000001, "fast hash join big table scan", 0),
-    (9000002, "window agg group order sort merge", 8),
-    (9000003, "customer query slow filter zzzunseenterm", 16),
-    (9000004, "vector batch stream data column value", 24),
-    (9000005, "the a part small row line key", 32),
+    (9000001, "fast hash join big table scan w00112 w02251", 0),
+    (9000002, "window agg group order sort merge w00957 w00293", 8),
+    (9000003, "customer query slow filter zzzunseenterm w03011", 16),
+    (9000004, "vector batch stream data column value w09421 w01541", 24),
+    (9000005, "the a part small row line key w00041 w06113", 32),
 ]
 
 # DuckDB-side literals for the same fixture

@@ -195,3 +195,67 @@ def test_bench_revisit_recorded_in_artifact():
     assert '"pre_revisit": pre_revisit' in text
     # symmetric tails: both >2x and <0.5x are revisited
     assert "0.5 <= ratio <= 2.0" in text
+
+
+def test_apply_drops_subwidth_partitions(spark):
+    """SCALE.md §12: the LP's θ is a core share under the reference's
+    all-ops-concurrent executor; Spark batch stages run sequentially
+    with the whole machine, so apply() must not repartition a stage
+    DOWN below machine width (measured 0.87× on the curation pipeline)
+    — only width-raising overrides actuate."""
+    from plumberapp_spark.optimizer.advisor import Advice, Optimizer
+    from plumberapp_spark.plans.nodes import Pipeline
+
+    p = Pipeline.source_range(100).with_columns({"v": F.col("id") * 2})
+    node = p.root.name  # the with_columns node (parallelizable map op)
+    opt = Optimizer(spark)
+    width = spark.sparkContext.defaultParallelism
+
+    down = opt.apply(p, Advice(partitions={node: max(1, width // 4)}))
+    assert down.find(node).parallelism is None, "sub-width θ must not actuate"
+
+    up = opt.apply(p, Advice(partitions={node: width * 2}))
+    assert up.find(node).parallelism == width * 2, "width-raising θ must actuate"
+
+
+def test_apply_validated_cache_gate(spark, monkeypatch):
+    """The cache step is measure-then-keep (the reference's
+    benchmark-driven insertion): kept only on a measured time-per-
+    consumption win — and the comparison must work for ZERO-ROW sinks,
+    where element rates are 0 on both sides (the zipf10 curation
+    pipeline's gate drops every synthetic-vocab doc; a rate-based gate
+    kept a 6x-regression cache there because 0 >= 0)."""
+    from plumberapp_spark.metrics import bench as bench_mod
+    from plumberapp_spark.metrics.bench import BenchSummary
+    from plumberapp_spark.optimizer.advisor import Advice, Optimizer
+    from plumberapp_spark.plans.nodes import Pipeline
+
+    p = Pipeline.source_range(50).with_columns({"v": F.col("id") * 2})
+    node = p.root.name
+    opt = Optimizer(spark)
+
+    def mk_fake(cached_s, base_s):
+        calls = []
+
+        def fake(df, time_limit_s=2.0, **kw):
+            calls.append(1)
+            dur = cached_s if len(calls) == 1 else base_s
+            return BenchSummary(
+                total_elements=0, num_runs=1, duration_s=dur, element_rate=0.0
+            )
+
+        return fake
+
+    # cached variant measured 40 s/run vs 7 s base: cache must be dropped
+    monkeypatch.setattr(bench_mod, "bench_dataframe", mk_fake(40.0, 7.0))
+    tuned, kept = opt.apply_validated(p, Advice(cache_at=node))
+    assert not kept and not tuned.find(node).cached
+
+    # cached variant measured 3 s/run vs 7 s base: cache kept
+    monkeypatch.setattr(bench_mod, "bench_dataframe", mk_fake(3.0, 7.0))
+    tuned, kept = opt.apply_validated(p, Advice(cache_at=node))
+    assert kept and tuned.find(node).cached
+
+    # no cache advised: nothing to validate, no benchmark calls needed
+    tuned, kept = opt.apply_validated(p, Advice())
+    assert not kept
