@@ -111,8 +111,9 @@ for _name in [n for n in list(REGISTRY) if n not in _PROMOTE]:
 # back to the registry's first half — the 42 queries whose most recent
 # driver CORRECTNESS row is r3/r4/r5 (computed from the
 # CORRECTNESS_r01..r08 union) — plus the three NEW round-9 free-text
-# serving queries (q101-q103, never driver-checked). 45 promotions, all
-# inside the cap; the 5 remaining slots fall to the r6-checked head of
+# serving queries (q101-q105, never driver-checked — q104/q105 are the
+# incremental/compacted segmented index pair). 47 promotions, all
+# inside the cap; the 3 remaining slots fall to the r6-checked head of
 # the displaced order. Displaced into the tail: the r7/r8-green rows,
 # every one driver-green within the last two rounds.
 _PROMOTE_R9 = (
@@ -120,6 +121,8 @@ _PROMOTE_R9 = (
     "q101_tfidf_freetext_search",
     "q102_bm25_freetext_search",
     "q103_hybrid_freetext_search",
+    "q104_bm25_incremental_index",
+    "q105_bm25_compacted_index",
     # last driver-checked r3:
     "q15_fingerprint_clusters",
     "q18_simhash",

@@ -2328,3 +2328,74 @@ def q103_hybrid_freetext_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         _freetext_query_vecs(spark, sf_dir), "query_id"
     )
     return hybrid_search_freetext(spark, lex, ivf, q, k=10, k_route=10, nprobe=2)
+
+
+# the full-corpus BM25 free-text derivation (q102's oracle verbatim) —
+# the incremental-index queries anchor to it: seg0(80%) + appended
+# seg1(20%) union to exactly the documents table, so a hash match
+# proves append/compaction are LOSSLESS, not merely plausible
+_BM25_FREETEXT_ORACLE = f"""
+    WITH t AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+         tok AS (SELECT doc_id, unnest(toks) AS tk FROM t),
+         tf AS (SELECT doc_id, tk, count(*) AS tf FROM tok GROUP BY 1, 2),
+         dfreq AS (SELECT tk, count(*) AS df FROM tf GROUP BY 1),
+         dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+         sc AS (SELECT count(*) AS nd, avg(len(toks)) AS avgdl FROM t),
+         w AS (SELECT tf.doc_id, tf.tk,
+                      ln(1.0 + (sc.nd - tf2.df + 0.5) / (tf2.df + 0.5))
+                        * (tf.tf * 2.2)
+                        / (tf.tf + 1.2 * (0.25 + (0.75 * dl.dl) / sc.avgdl)) AS w
+               FROM tf JOIN dfreq tf2 USING (tk) JOIN dl USING (doc_id), sc),
+         qraw AS (SELECT * FROM (VALUES {_QVALUES}) AS v(query_id, q_text)),
+         qtok AS (SELECT query_id, unnest({QTOKS}) AS tk FROM qraw),
+         qt AS (SELECT DISTINCT query_id, tk FROM qtok),
+         dots AS (SELECT qt.query_id, w.doc_id AS neighbor_id,
+                         round(sum(w.w), 6) AS bm25
+                  FROM w JOIN qt USING (tk) GROUP BY 1, 2),
+         ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                ORDER BY bm25 DESC, neighbor_id) AS rank
+                    FROM dots)
+    SELECT query_id::BIGINT AS query_id, neighbor_id, bm25,
+           rank::BIGINT AS rank
+    FROM ranked WHERE rank <= 10
+    """
+
+
+@register("q104_bm25_incremental_index", oracle=_BM25_FREETEXT_ORACLE)
+def q104_bm25_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL index maintenance (round 9): the segmented index is
+    built on 80 % of the corpus, the remaining fifth is APPENDED as a
+    new segment — tokenizing only the delta, never reading or rewriting
+    what was already indexed — and free-text BM25 is served exactly
+    over the union (per-segment raw tf/dl + additive N/df/avgdl
+    globals). The oracle is the FULL-corpus q102 derivation, so a hash
+    match proves the append is lossless. At 100 TB this is the
+    difference between re-tokenizing the corpus per crawl delta and a
+    delta-sized write. Reference analog for not replaying finished
+    work: plumber_analysis pipeline resume handling
+    (plumber_analysis/src/plumber_analysis/pipeline_optimizer.py)."""
+    from plumberapp_spark.llm.segments import (
+        bm25_topk_segmented,
+        ensure_segmented_index,
+    )
+
+    path = ensure_segmented_index(spark, sf_dir, "documents")
+    return bm25_topk_segmented(spark, path, _freetext_query_frame(spark), k=10)
+
+
+@register("q105_bm25_compacted_index", oracle=_BM25_FREETEXT_ORACLE)
+def q105_bm25_compacted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segment COMPACTION (round 9): merge the q104 fixture's segments
+    into one — a pure numeric pass (postings union, df re-roll, scalar
+    sums) with NO re-tokenization — and serve the same free-text BM25
+    from the compacted index. Shares q104's full-corpus oracle: a hash
+    match proves compaction is lossless end-to-end. Compaction bounds
+    serving's per-query fan-out (|segments| × |query-term buckets|
+    pruned reads) as deltas accumulate."""
+    from plumberapp_spark.llm.segments import (
+        bm25_topk_segmented,
+        ensure_compacted_index,
+    )
+
+    path = ensure_compacted_index(spark, sf_dir, "documents")
+    return bm25_topk_segmented(spark, path, _freetext_query_frame(spark), k=10)
