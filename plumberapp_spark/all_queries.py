@@ -123,6 +123,7 @@ _PROMOTE_R9 = (
     "q103_hybrid_freetext_search",
     "q104_bm25_incremental_index",
     "q105_bm25_compacted_index",
+    "q106_streaming_index_ingest",
     # last driver-checked r3:
     "q15_fingerprint_clusters",
     "q18_simhash",

@@ -82,16 +82,25 @@ from plumberapp_spark.llm.lexical import (
 # bumped whenever the on-disk segment layout changes; recorded in the
 # ensure-path sidecar so a layout change rebuilds instead of serving an
 # incompatible schema (same contract as lexical.INDEX_FORMAT).
-SEG_FORMAT = 1
+# 2: completion marker moved from postings to scalars — postings is
+# written FIRST (the only relation needing the tokenize pass) and
+# termstats/scalars are derived by reading it back, so a segment costs
+# ONE tokenize pass instead of three.
+SEG_FORMAT = 2
 
-_SEG_RE = re.compile(r"^seg_(\d{5})$")
+# manual appends use zero-padded ints; streaming ingest uses epoch-keyed
+# names (seg_s…). Segment ORDER is irrelevant to correctness — the union
+# is a multiset and the globals are additive — so the name only needs to
+# be unique within the index.
+_SEG_RE = re.compile(r"^seg_[0-9A-Za-z]+$")
+_SEG_NUM_RE = re.compile(r"^seg_(\d+)$")
 
 
 def _list_segments(path: str) -> list[str]:
-    """Complete segments under ``path``, in append order. A segment is
-    complete iff its postings marker exists — postings is the LAST
-    relation a segment write lands, so a half-written segment (died
-    mid-append) is invisible to serving rather than AnalysisException."""
+    """Complete segments under ``path``. A segment is complete iff its
+    scalars marker exists — scalars is the LAST relation a segment
+    write lands, so a half-written segment (died mid-append) is
+    invisible to serving rather than AnalysisException."""
     try:
         names = sorted(n for n in os.listdir(path) if _SEG_RE.match(n))
     except OSError:
@@ -99,8 +108,22 @@ def _list_segments(path: str) -> list[str]:
     return [
         os.path.join(path, n)
         for n in names
-        if os.path.exists(os.path.join(path, n, "postings", "_SUCCESS"))
+        if os.path.exists(os.path.join(path, n, "scalars", "_SUCCESS"))
     ]
+
+
+def _write_bucketed(df: DataFrame, out: str) -> None:
+    """Bucket-partitioned write, one file per bucket (a pruned read
+    opens |query buckets| files per segment, not |buckets| × |shuffle
+    partitions|). A ZERO-ROW frame falls back to a plain parquet write:
+    ``partitionBy`` emits no data files for an empty frame and the
+    read-back dies on schema inference — the plain write keeps the
+    schema in a footer and the serving filter on ``_b`` still applies
+    (an ordinary column filter over zero rows)."""
+    if df.limit(1).count() == 0:
+        df.coalesce(1).write.mode("overwrite").parquet(out)
+        return
+    df.repartition("_b").write.partitionBy("_b").mode("overwrite").parquet(out)
 
 
 def _write_segment(
@@ -110,45 +133,38 @@ def _write_segment(
     id_col: str,
     n_buckets: int,
 ) -> None:
-    """One segment from one tokenize pass: scalars, then termstats,
-    then postings (the completion marker). Raw statistics only — no
+    """One segment from ONE tokenize pass: postings first (the only
+    relation that needs the text), then termstats and scalars DERIVED
+    from the written postings (numeric reads — no second tokenize),
+    scalars last as the completion marker. Raw statistics only — no
     corpus-global enters a segment, which is what keeps old segments
     immutable under append."""
     from plumberapp_spark.llm.dedup import term_frequencies
 
     spark = docs.sparkSession
     tf = term_frequencies(docs, text_col, id_col, with_doc_len=True)
+    _write_bucketed(
+        tf.withColumn("_b", _bucket("tk", n_buckets).cast("int")).select(
+            "tk", F.col(id_col).alias("doc_id"), "_tf", "_dl", "_b"
+        ),
+        f"{seg_path}/postings",
+    )
+    postings = spark.read.parquet(f"{seg_path}/postings")
+    _write_bucketed(
+        postings.groupBy("tk", "_b").agg(F.count("*").alias("_df")),
+        f"{seg_path}/termstats",
+    )
     # _nd counts ALL docs (token-less ones too — they weight avgdl),
-    # straight off the corpus frame, not the tf rows
+    # straight off the corpus frame, not the postings rows
     nd = docs.groupBy().agg(F.count("*").alias("_nd"))
     (
-        tf.groupBy()
+        postings.groupBy()
         .agg(F.coalesce(F.sum("_tf"), F.lit(0)).alias("_tt"))
         .crossJoin(F.broadcast(nd))
         .select("_nd", "_tt", F.lit(int(n_buckets)).alias("_n_buckets"))
         .coalesce(1)
         .write.mode("overwrite")
         .parquet(f"{seg_path}/scalars")
-    )
-    tf = tf.withColumn("_b", _bucket("tk", n_buckets).cast("int"))
-    (
-        tf.groupBy("tk", "_b")
-        .agg(F.count("*").alias("_df"))
-        .repartition("_b")
-        .write.partitionBy("_b")
-        .mode("overwrite")
-        .parquet(f"{seg_path}/termstats")
-    )
-    (
-        tf.select(
-            "tk", F.col(id_col).alias("doc_id"), "_tf", "_dl", "_b"
-        )
-        # one file per bucket: a pruned read opens |query buckets|
-        # files per segment, not |buckets| × |shuffle partitions|
-        .repartition("_b")
-        .write.partitionBy("_b")
-        .mode("overwrite")
-        .parquet(f"{seg_path}/postings")
     )
 
 
@@ -177,19 +193,47 @@ def append_segment(
     path: str,
     text_col: str = "text",
     id_col: str = "doc_id",
+    name: str | None = None,
+    skip_if_complete: bool = False,
 ) -> str:
     """Absorb new documents WITHOUT reading or rewriting any existing
-    segment: tokenize only ``new_docs``, write the next ``seg_NNNNN``.
-    The bucket modulus is read back from the index's own first segment
+    segment: tokenize only ``new_docs``, write one new segment. The
+    bucket modulus is read back from the index's own first segment
     (never from the constant) — all segments of one index MUST share a
     layout or serve-time pruning would silently drop rows (the
-    ADVICE-r8 lexical hardening, applied here from day one)."""
+    ADVICE-r8 lexical hardening, applied here from day one).
+
+    ``name`` pins the segment directory (callers with a natural
+    idempotency key — a streaming epoch id — pass it so a replayed
+    write lands on the same path); with ``skip_if_complete`` a replay
+    of an already-complete segment is a no-op, which is what turns
+    foreachBatch's at-least-once delivery into exactly-once index
+    contents."""
     segs = _list_segments(path)
-    if not segs:
+    if name is not None:
+        if not _SEG_RE.match(name):
+            raise ValueError(f"segment name {name!r} must match {_SEG_RE.pattern}")
+        seg = os.path.join(path, name)
+        if skip_if_complete and os.path.exists(
+            os.path.join(seg, "scalars", "_SUCCESS")
+        ):
+            return seg
+        # first segment of an empty index keeps the caller's name — a
+        # replay must land on the SAME directory or epoch 0 would
+        # double-ingest under two names
+        if not segs:
+            _write_segment(new_docs, seg, text_col, id_col, DEFAULT_BUCKETS)
+            return seg
+    elif not segs:
         return build_segmented_index(new_docs, path, text_col, id_col)
+    else:
+        nums = [
+            int(m.group(1))
+            for s in segs
+            if (m := _SEG_NUM_RE.match(os.path.basename(s)))
+        ]
+        seg = os.path.join(path, f"seg_{(max(nums, default=-1)) + 1:05d}")
     n_buckets = _seg_buckets(new_docs.sparkSession, segs[0])
-    last = int(_SEG_RE.match(os.path.basename(segs[-1])).group(1))
-    seg = os.path.join(path, f"seg_{last + 1:05d}")
     _write_segment(new_docs, seg, text_col, id_col, n_buckets)
     return seg
 
@@ -314,6 +358,16 @@ def compact_segments(spark, path: str, out_path: str) -> str:
         raise ValueError(f"no segments under {path!r} — nothing to compact")
     n_buckets = _seg_buckets(spark, segs[0])
     seg = os.path.join(out_path, "seg_00000")
+    _write_bucketed(
+        _union_pruned(spark, segs, "postings", []), f"{seg}/postings"
+    )
+    _write_bucketed(
+        _union_pruned(spark, segs, "termstats", [])
+        .groupBy("tk", "_b")
+        .agg(F.sum("_df").alias("_df")),
+        f"{seg}/termstats",
+    )
+    # scalars last — the completion marker
     (
         _union_pruned(spark, segs, "scalars", [])
         .groupBy()
@@ -323,23 +377,53 @@ def compact_segments(spark, path: str, out_path: str) -> str:
         .write.mode("overwrite")
         .parquet(f"{seg}/scalars")
     )
-    (
-        _union_pruned(spark, segs, "termstats", [])
-        .groupBy("tk", "_b")
-        .agg(F.sum("_df").alias("_df"))
-        .repartition("_b")
-        .write.partitionBy("_b")
-        .mode("overwrite")
-        .parquet(f"{seg}/termstats")
-    )
-    (
-        _union_pruned(spark, segs, "postings", [])
-        .repartition("_b")
-        .write.partitionBy("_b")
-        .mode("overwrite")
-        .parquet(f"{seg}/postings")
-    )
     return seg
+
+
+def streaming_segment_ingest(
+    stream_docs: DataFrame,
+    path: str,
+    checkpoint: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    available_now: bool = True,
+):
+    """Live index maintenance: each non-empty micro-batch of the
+    document stream becomes ONE immutable segment, named by its epoch
+    id — so a foreachBatch replay after failure rewrites the SAME
+    segment directory (and skips it outright once complete), turning
+    the sink's at-least-once delivery into exactly-once index contents.
+    Serving (:func:`bm25_topk_segmented`) sees each segment the instant
+    its scalars marker lands; readers never block on the writer.
+
+    This is the streaming face of :func:`append_segment`, exactly as
+    ``streaming_exact_dedup`` is the streaming face of the batch dedup
+    family — same engine, same relations, provably the same results
+    (q106 shares the full-corpus q102 oracle). Compaction cadence is
+    the operator's knob: micro-batch-per-segment keeps ingest latency
+    flat; a periodic :func:`compact_segments` bounds the per-query
+    segment fan-out."""
+
+    def _sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.limit(1).count() == 0:
+            return
+        append_segment(
+            batch_df,
+            path,
+            text_col,
+            id_col,
+            name=f"seg_s{epoch_id:09d}",
+            skip_if_complete=True,
+        )
+
+    writer = (
+        stream_docs.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint)
+        .queryName("segment_ingest")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
 
 
 def ensure_segmented_index(
@@ -395,6 +479,64 @@ def ensure_segmented_index(
         append_segment(docs.filter(F.col(id_col) % 5 == 0), path, text_col, id_col)
         with open(sidecar, "w") as fh:
             fh.write(f"{source_mtime!r} {SEG_FORMAT} {len(_list_segments(path))}")
+    return path
+
+
+def ensure_streamed_index(
+    spark,
+    sf_dir: str,
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """Streaming-built fixture for the registered query: ingest the
+    table through a real ``readStream`` file source + foreachBatch
+    segment sink (availableNow — drain everything, then stop), under
+    the same sidecar staleness contract as the batch ensure paths. The
+    checkpoint lives inside the index dir and is wiped with it: a
+    rebuild must re-deliver every file, not trust the dead index's
+    progress log."""
+    from urllib.parse import urlparse
+
+    from plumberapp_spark.session import _path_mtime, ensure_read_confs
+
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", "")).path or "spark-warehouse"
+    tag = re.sub(r"[^0-9A-Za-z]+", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1])
+    path = os.path.join(wh, f"seglexst_{table}_{tag}")
+    sidecar = os.path.join(path, "source_mtime.txt")
+    source_mtime = _path_mtime(f"{sf_dir}/{table}.parquet")
+    recorded, rec_format = None, None
+    try:
+        with open(sidecar) as fh:
+            parts = fh.read().split()
+            recorded = float(parts[0])
+            rec_format = int(parts[1])
+    except (OSError, ValueError, IndexError):
+        recorded = None
+    if (
+        recorded is None
+        or recorded != source_mtime
+        or rec_format != SEG_FORMAT
+        or not _list_segments(path)
+    ):
+        import shutil
+
+        shutil.rmtree(path, ignore_errors=True)
+        ensure_read_confs(spark)
+        schema = spark.read.parquet(f"{sf_dir}/{table}.parquet").schema
+        # FileStreamSource needs a directory base; the glob scopes it to
+        # the table's file(s) (the q52 pattern)
+        stream = (
+            spark.readStream.schema(schema)
+            .format("parquet")
+            .load(f"{sf_dir}/{table}.*")
+        )
+        q = streaming_segment_ingest(
+            stream, path, os.path.join(path, "_checkpoint"), text_col, id_col
+        )
+        q.awaitTermination()
+        with open(sidecar, "w") as fh:
+            fh.write(f"{source_mtime!r} {SEG_FORMAT}")
     return path
 
 

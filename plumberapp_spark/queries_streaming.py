@@ -338,3 +338,34 @@ def q93_streaming_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     query.awaitTermination()
     return spark.table(sink)
+
+
+def _q106_oracle() -> str:
+    from plumberapp_spark.queries_llm import _BM25_FREETEXT_ORACLE
+
+    return _BM25_FREETEXT_ORACLE
+
+
+@register("q106_streaming_index_ingest", oracle=_q106_oracle())
+def q106_streaming_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Live index maintenance (round 9): the documents table arrives
+    through a real ``readStream`` file source and a foreachBatch sink
+    turns each micro-batch into one immutable segment of the
+    incremental lexical index (epoch-keyed segment names make replays
+    land on the same directory — exactly-once index contents over the
+    sink's at-least-once delivery). Free-text BM25 is then served from
+    whatever the stream ingested. Over the bounded replay the ingested
+    union IS the full table, so the oracle is q102's full-corpus
+    derivation — the streaming and batch index builds are provably the
+    same index. At scale this is the deployment shape where a crawl
+    feed updates retrieval continuously: ingest latency is one
+    delta-sized tokenize pass per micro-batch, serving never blocks on
+    the writer, and periodic compaction (q105) bounds segment fan-out."""
+    from plumberapp_spark.llm.segments import (
+        bm25_topk_segmented,
+        ensure_streamed_index,
+    )
+    from plumberapp_spark.queries_llm import _freetext_query_frame
+
+    path = ensure_streamed_index(spark, sf_dir, "documents")
+    return bm25_topk_segmented(spark, path, _freetext_query_frame(spark), k=10)

@@ -232,3 +232,95 @@ def test_ensure_rebuilds_on_format_bump(spark, tmp_path, monkeypatch):
     seg_mod.ensure_segmented_index(spark, sf_dir, "documents")
     assert os.stat(marker).st_mtime > built1, "format bump did not rebuild"
     shutil.rmtree(path, ignore_errors=True)
+
+
+def test_streaming_ingest_multibatch_equals_batch_build(spark, tmp_path):
+    """A multi-micro-batch stream (maxFilesPerTrigger=1 over a 3-file
+    source) must produce an index that serves exactly what one batch
+    build over the same docs serves — segment-per-epoch is lossless."""
+    from plumberapp_spark.llm.segments import (
+        _list_segments,
+        bm25_topk_segmented,
+        build_segmented_index,
+        streaming_segment_ingest,
+    )
+
+    docs = _docs(spark)
+    src = str(tmp_path / "src")
+    docs.repartition(3).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(src)
+    )
+    idx = str(tmp_path / "streamed")
+    q = streaming_segment_ingest(stream, idx, str(tmp_path / "ckpt"))
+    q.awaitTermination()
+    assert len(_list_segments(idx)) == 3
+
+    full = str(tmp_path / "full")
+    build_segmented_index(docs, full)
+    queries = _queries(spark)
+    assert _rows(bm25_topk_segmented(spark, idx, queries, k=10)) == _rows(
+        bm25_topk_segmented(spark, full, queries, k=10)
+    )
+
+
+def test_epoch_replay_is_idempotent(spark, tmp_path):
+    """A replayed foreachBatch epoch (at-least-once delivery) must not
+    double-ingest: the epoch-keyed name + skip_if_complete makes the
+    second delivery a no-op, for the FIRST segment too."""
+    from plumberapp_spark.llm.segments import (
+        _list_segments,
+        append_segment,
+        bm25_topk_segmented,
+    )
+
+    docs = _docs(spark)
+    idx = str(tmp_path / "idx")
+    half = docs.filter(F.col("doc_id") % 2 == 0)
+    append_segment(half, idx, name="seg_s000000000", skip_if_complete=True)
+    before = _rows(bm25_topk_segmented(spark, idx, _queries(spark), k=10))
+    # replay epoch 0, then deliver epoch 1 twice
+    append_segment(half, idx, name="seg_s000000000", skip_if_complete=True)
+    rest = docs.filter(F.col("doc_id") % 2 == 1)
+    append_segment(rest, idx, name="seg_s000000001", skip_if_complete=True)
+    append_segment(rest, idx, name="seg_s000000001", skip_if_complete=True)
+    assert len(_list_segments(idx)) == 2
+    assert _rows(bm25_topk_segmented(spark, idx, _queries(spark), k=10)) != before
+    # and the doubled deliveries changed nothing vs a clean two-segment build
+    clean = str(tmp_path / "clean")
+    append_segment(half, clean, name="seg_s000000000", skip_if_complete=True)
+    append_segment(rest, clean, name="seg_s000000001", skip_if_complete=True)
+    assert _rows(bm25_topk_segmented(spark, idx, _queries(spark), k=10)) == _rows(
+        bm25_topk_segmented(spark, clean, _queries(spark), k=10)
+    )
+
+
+def test_empty_and_tokenless_segments_serve(spark, tmp_path):
+    """Zero-row and token-less appends must neither break serving nor
+    shift scores: empty relations fall back to plain parquet writes
+    (schema preserved) and contribute zero to every additive global
+    except _nd."""
+    from plumberapp_spark.llm.segments import (
+        append_segment,
+        bm25_topk_segmented,
+        build_segmented_index,
+    )
+
+    docs = _docs(spark)
+    idx = str(tmp_path / "idx")
+    build_segmented_index(docs, idx)
+    base = _rows(bm25_topk_segmented(spark, idx, _queries(spark), k=10))
+    tokenless = spark.createDataFrame(
+        [(990001, None), (990002, "")], "doc_id bigint, text string"
+    )
+    append_segment(tokenless, idx)
+    after = bm25_topk_segmented(spark, idx, _queries(spark), k=10)
+    got = _rows(after)
+    # two extra docs shift N and avgdl, so scores move — but every
+    # query still returns a full page and no token-less doc appears
+    assert len(got) == len(base)
+    assert all(r[1] < 990001 for r in got)
