@@ -124,6 +124,8 @@ _PROMOTE_R9 = (
     "q104_bm25_incremental_index",
     "q105_bm25_compacted_index",
     "q106_streaming_index_ingest",
+    "q107_kmeans_cluster_profile",
+    "q108_cluster_balanced_sample",
     # last driver-checked r3:
     "q15_fingerprint_clusters",
     "q18_simhash",

@@ -2399,3 +2399,107 @@ def q105_bm25_compacted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     path = ensure_compacted_index(spark, sf_dir, "documents")
     return bm25_topk_segmented(spark, path, _freetext_query_frame(spark), k=10)
+
+
+# ---- k-means curation family (round 9) --------------------------------
+#
+# Iterative Lloyd's with a FULL SQL oracle: one generated CTE block per
+# iteration (assign → per-dim mean → round 6), distances as
+# list_dot_product algebra — bit-identical to the Spark side's
+# zip_with/aggregate fold (parity pinned by q20), with the 6-decimal
+# centroid rounding quenching summation-order drift at every feedback
+# edge. k=8, iters=2 are plan constants.
+
+_KM_DIST = (
+    "list_dot_product({ev},{ev}) - 2*list_dot_product({ev},{cv})"
+    " + list_dot_product({cv},{cv})"
+)
+
+
+def _km_iter_block(i: int, prev: str) -> str:
+    d = _KM_DIST.format(ev="ev", cv="cv")
+    return f"""
+     d{i} AS (SELECT vec_id, ev, cid, {d} AS d2 FROM e, {prev}),
+     a{i} AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+                        ORDER BY d2, cid) AS rn FROM d{i}),
+     b{i} AS (SELECT vec_id, ev, cid, d2 FROM a{i} WHERE rn = 1),
+     u{i} AS (SELECT cid, generate_subscripts(ev, 1) AS dim,
+                     unnest(ev) AS val FROM b{i}),
+     c{i} AS (SELECT cid, list(av ORDER BY dim) AS cv
+              FROM (SELECT cid, dim, round(avg(val), 6) AS av
+                    FROM u{i} GROUP BY 1, 2)
+              GROUP BY cid)"""
+
+
+def _km_prefix(iters: int = 2, k: int = 8) -> str:
+    blocks = ",".join(
+        _km_iter_block(i, "seed" if i == 1 else f"c{i - 1}")
+        for i in range(1, iters + 1)
+    )
+    d = _KM_DIST.format(ev="ev", cv="cv")
+    n = iters + 1
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+         seed AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, ev AS cv
+                  FROM e ORDER BY vec_id LIMIT {k}),{blocks},
+         d{n} AS (SELECT vec_id, ev, cid, {d} AS d2 FROM e, c{iters}),
+         a{n} AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+                            ORDER BY d2, cid) AS rn FROM d{n}),
+         assigned AS (SELECT vec_id, cid, d2 FROM a{n} WHERE rn = 1)"""
+
+
+@register(
+    "q107_kmeans_cluster_profile",
+    oracle=f"""{_km_prefix()}
+    SELECT cid AS cluster, count(*)::BIGINT AS n_members,
+           round(avg(d2), 6) AS avg_dist2
+    FROM assigned GROUP BY 1
+    """,
+)
+def q107_kmeans_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-means over the embeddings table (round 9): 2 Lloyd iterations
+    from deterministic seeds (k=8 lowest vec_ids), then the per-cluster
+    curation profile (member count + mean squared distance — the topic-
+    balance and dispersion-drift signals). Assignment is a shuffle-free
+    map pass (centroids as array literals, array_min over (d2, cid)
+    structs = argmin in whole-stage codegen); the update is one k×dim
+    aggregate. An ITERATIVE algorithm with a full SQL oracle — the
+    generated per-iteration CTE chain replays every feedback edge."""
+    from plumberapp_spark.llm.clustering import (
+        assign_clusters,
+        cluster_profile,
+        ensure_kmeans_centroids,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = ensure_kmeans_centroids(spark, sf_dir, k=8, iters=2)
+    return cluster_profile(assign_clusters(emb, cents))
+
+
+@register(
+    "q108_cluster_balanced_sample",
+    oracle=f"""{_km_prefix()}
+    , picked AS (SELECT cid, vec_id, round(d2, 6) AS dist2,
+                        row_number() OVER (PARTITION BY cid
+                                           ORDER BY d2, vec_id) AS pick
+                 FROM assigned)
+    SELECT cid AS cluster, vec_id, dist2, pick::BIGINT AS pick
+    FROM picked WHERE pick <= 5
+    """,
+)
+def q108_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced representative sampling (round 9): under the
+    q107 fit, keep each cluster's 5 most central members — every topic
+    contributes the same count, represented by its most typical docs
+    (the cluster-level face of q61's stratified sampling; the
+    representative-selection job SemDeDup's cells assume). One window
+    per cluster over the assignment pass."""
+    from plumberapp_spark.llm.clustering import (
+        assign_clusters,
+        cluster_representatives,
+        ensure_kmeans_centroids,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = ensure_kmeans_centroids(spark, sf_dir, k=8, iters=2)
+    return cluster_representatives(assign_clusters(emb, cents), per_cluster=5)
