@@ -111,11 +111,12 @@ for _name in [n for n in list(REGISTRY) if n not in _PROMOTE]:
 # back to the registry's first half — the 42 queries whose most recent
 # driver CORRECTNESS row is r3/r4/r5 (computed from the
 # CORRECTNESS_r01..r08 union) — plus the three NEW round-9 free-text
-# serving queries (q101-q105, never driver-checked — q104/q105 are the
-# incremental/compacted segmented index pair). 47 promotions, all
-# inside the cap; the 3 remaining slots fall to the r6-checked head of
-# the displaced order. Displaced into the tail: the r7/r8-green rows,
-# every one driver-green within the last two rounds.
+# serving queries plus the round-9 maintenance/curation families
+# (q101-q109, never driver-checked: free-text serving, the segmented
+# incremental index trio, k-means curation pair, IVF append). 48
+# promotions, all inside the cap; the 2 remaining slots fall to the
+# r6-checked head of the displaced order. Displaced into the tail: the
+# r7/r8-green rows, every one driver-green within the last two rounds.
 _PROMOTE_R9 = (
     # new this round — first driver rows needed:
     "q101_tfidf_freetext_search",
@@ -126,6 +127,7 @@ _PROMOTE_R9 = (
     "q106_streaming_index_ingest",
     "q107_kmeans_cluster_profile",
     "q108_cluster_balanced_sample",
+    "q109_ivf_incremental_append",
     # last driver-checked r3:
     "q15_fingerprint_clusters",
     "q18_simhash",

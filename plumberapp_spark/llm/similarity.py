@@ -1154,7 +1154,6 @@ def build_ivf_index(
     first/smaller id), so the indexed search returns exactly what the
     direct operator returns."""
     import numpy as np
-    import pandas as pd
 
     spark = corpus.sparkSession
     narrow = corpus.select(F.col(id_col), F.col(vec_col))
@@ -1170,9 +1169,26 @@ def build_ivf_index(
         [cent_rows[i] for i in order], schema=narrow.schema
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
 
+    _assign_to_cells(narrow, c_mat, c_norm, id_col, vec_col).write.partitionBy(
+        "_cell"
+    ).mode("overwrite").parquet(f"{path}/cells")
+
+
+def _assign_to_cells(
+    narrow: DataFrame, c_mat, c_norm, id_col: str, vec_col: str
+) -> DataFrame:
+    """Cell assignment against a FIXED centroid matrix — the argmax of
+    round-6 cosines, ties to the smaller c_id (bit-identical to
+    ``ivf_topk``'s rule). Shared by the initial build and the append
+    path, which is what makes append-time assignments provably the
+    same function the oracle replays."""
+    import numpy as np
+    import pandas as pd
+
+    spark = narrow.sparkSession
     bc = spark.sparkContext.broadcast((c_mat, c_norm))
-    id_ddl = corpus.schema[id_col].dataType.simpleString()
-    vec_ddl = corpus.schema[vec_col].dataType.simpleString()
+    id_ddl = narrow.schema[id_col].dataType.simpleString()
+    vec_ddl = narrow.schema[vec_col].dataType.simpleString()
 
     def assign(batches):
         c_mat_, c_norm_ = bc.value
@@ -1193,9 +1209,99 @@ def build_ivf_index(
                 }
             )
 
-    narrow.mapInPandas(
+    return narrow.mapInPandas(
         assign, f"{id_col} {id_ddl}, {vec_col} {vec_ddl}, _cell int"
-    ).write.partitionBy("_cell").mode("overwrite").parquet(f"{path}/cells")
+    )
+
+
+def _load_centroids(spark, path: str):
+    """(c_mat, c_norm) from the index's persisted centroid relation,
+    c_id-ascending — the matrix every assignment and probe ranks
+    against."""
+    import numpy as np
+
+    cent_rows = spark.read.parquet(f"{path}/centroids").collect()
+    order = np.argsort(np.array([r[0] for r in cent_rows]))
+    c_mat = np.array([list(cent_rows[i][1]) for i in order], dtype=np.float64)
+    c_norm = np.sqrt((c_mat * c_mat).sum(axis=1))
+    return c_mat, c_norm
+
+
+def _ivf_delta_dirs(path: str) -> list[str]:
+    """Complete delta segments under an IVF index, in name order — a
+    delta is visible to serving iff its cells marker landed (the
+    half-written-append invisibility contract, shared with
+    segments._list_segments)."""
+    import os
+    import re as _re
+
+    try:
+        names = sorted(
+            n for n in os.listdir(path) if _re.match(r"^delta_[0-9A-Za-z]+$", n)
+        )
+    except OSError:
+        return []
+    return [
+        os.path.join(path, n)
+        for n in names
+        if os.path.exists(os.path.join(path, n, "cells", "_SUCCESS"))
+    ]
+
+
+def _read_ivf_cells(spark, path: str) -> DataFrame:
+    """The index's corpus: base cells plus every COMPLETE delta segment
+    (appends land as immutable ``delta_*`` directories, never touching
+    the base). Each underlying scan keeps its own ``_cell`` partition
+    layout, and a probe's IN filter pushes through the union to every
+    scan — partition pruning holds across segments."""
+    cells = spark.read.parquet(f"{path}/cells")
+    for d in _ivf_delta_dirs(path):
+        cells = cells.unionByName(spark.read.parquet(f"{d}/cells"))
+    return cells
+
+
+def append_to_ivf_index(
+    new_vectors: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    name: str | None = None,
+    skip_if_complete: bool = False,
+) -> str:
+    """Absorb new vectors into an existing IVF index WITHOUT rebuilding:
+    assign them against the index's FROZEN centroid matrix (standard
+    IVF append semantics — the codebook does not move; distribution
+    drift shows up in the q72-style recall monitor, and a re-train is a
+    deliberate rebuild) and land them as one immutable ``delta_*``
+    segment. The base cells and prior deltas are never read or
+    rewritten — append cost is assignment over the delta plus one
+    bucket-partitioned write. ``name``/``skip_if_complete`` carry the
+    segments-module idempotency contract (epoch-keyed replays are
+    no-ops), so a streaming foreachBatch sink can feed this directly."""
+    import os
+    import re as _re
+
+    spark = new_vectors.sparkSession
+    if name is not None:
+        if not _re.match(r"^delta_[0-9A-Za-z]+$", name):
+            raise ValueError(f"delta name {name!r} must match delta_[0-9A-Za-z]+")
+        delta = os.path.join(path, name)
+        if skip_if_complete and os.path.exists(
+            os.path.join(delta, "cells", "_SUCCESS")
+        ):
+            return delta
+    else:
+        existing = {os.path.basename(d) for d in _ivf_delta_dirs(path)}
+        n = 0
+        while f"delta_{n:05d}" in existing:
+            n += 1
+        delta = os.path.join(path, f"delta_{n:05d}")
+    c_mat, c_norm = _load_centroids(spark, path)
+    narrow = new_vectors.select(F.col(id_col), F.col(vec_col))
+    _assign_to_cells(narrow, c_mat, c_norm, id_col, vec_col).write.partitionBy(
+        "_cell"
+    ).mode("overwrite").parquet(f"{delta}/cells")
+    return delta
 
 
 def ensure_ivf_index(
@@ -1283,10 +1389,7 @@ def ivf_topk_indexed(
         np.divide(a @ b.T, denom, out=out, where=denom > 0)
         return np.round(out, 6)
 
-    cent_rows = spark.read.parquet(f"{path}/centroids").collect()
-    order = np.argsort(np.array([r[0] for r in cent_rows]))
-    c_mat = np.array([list(cent_rows[i][1]) for i in order], dtype=np.float64)
-    c_norm = np.sqrt((c_mat * c_mat).sum(axis=1))
+    c_mat, c_norm = _load_centroids(spark, path)
 
     q_rows = (
         queries.select(F.col(id_col), F.col(vec_col))
@@ -1309,7 +1412,9 @@ def ivf_topk_indexed(
             cell_to_qpos.setdefault(int(ci), []).append(qi)
     probed = sorted(cell_to_qpos)
 
-    cells_df = spark.read.parquet(f"{path}/cells").filter(
+    # base + complete delta segments; the IN filter pushes through the
+    # union to every scan, so partition pruning holds across segments
+    cells_df = _read_ivf_cells(spark, path).filter(
         F.col("_cell").isin([int(c) for c in probed])
     )
     bc = spark.sparkContext.broadcast((q_mat, q_norm, q_ids, cell_to_qpos))
@@ -1364,3 +1469,59 @@ def ivf_topk_indexed(
             F.col("rank").cast("bigint").alias("rank"),
         )
     )
+
+
+def ensure_ivf_appended_index(
+    spark,
+    sf_dir: str,
+    table: str = "embeddings",
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """Build-then-append fixture contract for the registered query
+    (the dense twin of segments.ensure_segmented_index): the index is
+    BUILT on 80 % of the table (``id % 5 != 0`` — centroids drawn from
+    that subset only) and the remaining fifth arrives via
+    :func:`append_to_ivf_index` as a delta segment, so serving
+    exercises the real base+delta union while the oracle replays the
+    frozen-codebook approximation exactly. Sidecar staleness contract
+    shared with ensure_ivf_index."""
+    import os
+    import re
+    from urllib.parse import urlparse
+
+    from plumberapp_spark.session import _path_mtime, load_table
+
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", "")).path or "spark-warehouse"
+    tag = re.sub(r"[^0-9A-Za-z]+", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1])
+    path = os.path.join(wh, f"ivfinc_{table}_{tag}_{n_centroids}")
+    sidecar = os.path.join(path, "source_mtime.txt")
+    source_mtime = _path_mtime(f"{sf_dir}/{table}.parquet")
+    recorded, rec_format = None, None
+    try:
+        with open(sidecar) as fh:
+            parts = fh.read().split()
+            recorded = float(parts[0])
+            rec_format = int(parts[1])
+    except (OSError, ValueError, IndexError):
+        recorded = None
+    if (
+        recorded is None
+        or recorded != source_mtime
+        or rec_format != IVF_INDEX_FORMAT
+        or not _ivf_delta_dirs(path)
+    ):
+        import shutil
+
+        shutil.rmtree(path, ignore_errors=True)
+        vecs = load_table(spark, sf_dir, table)
+        build_ivf_index(
+            vecs.filter(F.col(id_col) % 5 != 0), path, n_centroids, id_col, vec_col
+        )
+        append_to_ivf_index(
+            vecs.filter(F.col(id_col) % 5 == 0), path, id_col, vec_col
+        )
+        with open(sidecar, "w") as fh:
+            fh.write(f"{source_mtime!r} {IVF_INDEX_FORMAT}")
+    return path

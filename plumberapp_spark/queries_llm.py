@@ -2503,3 +2503,64 @@ def q108_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     cents = ensure_kmeans_centroids(spark, sf_dir, k=8, iters=2)
     return cluster_representatives(assign_clusters(emb, cents), per_cluster=5)
+
+
+@register(
+    "q109_ivf_incremental_append",
+    # q89's exact-replay oracle with ONE change: centroids come from the
+    # 80% base subset (the frozen codebook appends assign against),
+    # while assignment/probe/re-rank run over the full table — the
+    # deterministic approximation the base+delta index serves
+    oracle="""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         cent AS (SELECT vec_id AS c_id, e AS ce FROM v
+                  WHERE vec_id % 5 != 0
+                  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+         sim AS (SELECT v.vec_id, cent.c_id,
+                        round(list_dot_product(v.e, cent.ce) /
+                              (sqrt(list_dot_product(v.e, v.e)) * sqrt(list_dot_product(cent.ce, cent.ce))), 6) AS s
+                 FROM v CROSS JOIN cent),
+         ranked AS (SELECT vec_id, c_id,
+                           row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, c_id) AS rn
+                    FROM sim),
+         vc AS (SELECT vec_id, c_id AS cell FROM ranked WHERE rn = 1),
+         qc AS (SELECT vec_id AS query_id, c_id AS cell FROM ranked
+                WHERE rn <= 2 AND vec_id % 50 = 0),
+         cand AS (SELECT qc.query_id, vc.vec_id AS neighbor_id
+                  FROM vc JOIN qc ON vc.cell = qc.cell
+                  WHERE vc.vec_id != qc.query_id),
+         scored AS (SELECT cand.query_id, cand.neighbor_id,
+                           round(list_dot_product(a.e, b.e) /
+                                 (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 6) AS cos_sim
+                    FROM cand
+                    JOIN v a ON a.vec_id = cand.query_id
+                    JOIN v b ON b.vec_id = cand.neighbor_id),
+         out AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+                 FROM scored)
+    SELECT query_id, neighbor_id, cos_sim, CAST(rank AS BIGINT) AS rank
+    FROM out WHERE rank <= 5
+    """,
+)
+def q109_ivf_incremental_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL maintenance for the dense route (round 9, the q104
+    pattern applied to ANN): the IVF index is built on 80 % of the
+    vectors and the rest arrive via append_to_ivf_index — assigned
+    against the FROZEN codebook (standard IVF append semantics; drift
+    is the q72 recall monitor's job, re-training is a deliberate
+    rebuild) and landed as an immutable delta segment, base and prior
+    deltas never read or rewritten. Serving unions base + complete
+    deltas with the probe's partition pruning intact on every scan.
+    The oracle replays the frozen-codebook approximation exactly, so
+    the hash proves the append path serves precisely what it claims.
+    At 100 TB this absorbs an embedding-feed delta for the cost of
+    assigning the delta — never re-clustering the corpus."""
+    from plumberapp_spark.llm.similarity import (
+        ensure_ivf_appended_index,
+        ivf_topk_indexed,
+    )
+
+    path = ensure_ivf_appended_index(spark, sf_dir, "embeddings", n_centroids=16)
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_topk_indexed(
+        spark, path, emb.filter(F.col("vec_id") % 50 == 0), k=5, nprobe=2
+    )

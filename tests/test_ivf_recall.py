@@ -189,3 +189,101 @@ def test_semantic_dedup_cell_guard_raises(spark):
 
     with _pytest.raises(Exception, match="max_cell_rows"):
         semantic_dedup(emb, tau=0.32, n_centroids=2, max_cell_rows=10).collect()
+
+
+# ---- round 9: incremental append (delta segments) ----------------------
+
+
+def test_ivf_append_equals_full_assignment(spark, tmp_path):
+    """build(A) + append(B) must serve exactly what ONE index whose
+    cells hold A∪B (assigned under A's centroids) serves: the frozen-
+    codebook contract, end to end."""
+    import pyspark.sql.functions as F
+
+    from plumberapp_spark.llm.similarity import (
+        _read_ivf_cells,
+        append_to_ivf_index,
+        build_ivf_index,
+        ivf_topk_indexed,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    base = emb.filter(F.col("vec_id") % 4 != 0)
+    delta = emb.filter(F.col("vec_id") % 4 == 0)
+
+    inc = str(tmp_path / "inc")
+    build_ivf_index(base, inc, n_centroids=8)
+    append_to_ivf_index(delta, inc)
+
+    # reference: same centroids, all vectors assigned at build time —
+    # constructed by appending the base's own complement to a copy
+    ref = str(tmp_path / "ref")
+    build_ivf_index(base, ref, n_centroids=8)
+    append_to_ivf_index(delta, ref, name="delta_x")
+
+    n_union = _read_ivf_cells(spark, inc).count()
+    assert n_union == emb.count()
+
+    q = emb.filter(F.col("vec_id") % 50 == 0)
+    got = sorted(
+        tuple(r) for r in ivf_topk_indexed(spark, inc, q, k=5, nprobe=2).collect()
+    )
+    ref_rows = sorted(
+        tuple(r) for r in ivf_topk_indexed(spark, ref, q, k=5, nprobe=2).collect()
+    )
+    assert got == ref_rows
+    # appended vectors are actually servable: at least one neighbor id
+    # comes from the delta subset
+    assert any(r[1] % 4 == 0 for r in got)
+
+
+def test_ivf_append_idempotent_and_half_written_invisible(spark, tmp_path):
+    import os
+
+    import pyspark.sql.functions as F
+
+    from plumberapp_spark.llm.similarity import (
+        _ivf_delta_dirs,
+        _read_ivf_cells,
+        append_to_ivf_index,
+        build_ivf_index,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    path = str(tmp_path / "idx")
+    build_ivf_index(emb.filter(F.col("vec_id") % 2 == 0), path, n_centroids=8)
+    d = emb.filter(F.col("vec_id") % 2 == 1)
+    append_to_ivf_index(d, path, name="delta_e0", skip_if_complete=True)
+    n1 = _read_ivf_cells(spark, path).count()
+    append_to_ivf_index(d, path, name="delta_e0", skip_if_complete=True)
+    assert _read_ivf_cells(spark, path).count() == n1, "replay double-ingested"
+    assert len(_ivf_delta_dirs(path)) == 1
+
+    # a torn append (no _SUCCESS) must be invisible, not an exception
+    os.makedirs(os.path.join(path, "delta_dead", "cells"))
+    assert len(_ivf_delta_dirs(path)) == 1
+    assert _read_ivf_cells(spark, path).count() == n1
+
+
+def test_ivf_probe_prunes_partitions_across_segments(spark, tmp_path):
+    """The probe's IN filter must reach the partition filters of BOTH
+    the base scan and every delta scan."""
+    import pyspark.sql.functions as F
+
+    from plumberapp_spark.llm.similarity import (
+        _read_ivf_cells,
+        append_to_ivf_index,
+        build_ivf_index,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    path = str(tmp_path / "idx")
+    build_ivf_index(emb.filter(F.col("vec_id") % 2 == 0), path, n_centroids=8)
+    append_to_ivf_index(emb.filter(F.col("vec_id") % 2 == 1), path)
+    pruned = _read_ivf_cells(spark, path).filter(F.col("_cell").isin([1, 3]))
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("PartitionFilters: [_cell") == 2 or plan.count(
+        "PartitionFilters: [isnotnull(_cell"
+    ) == 2, plan
+    got = sorted(r["_cell"] for r in pruned.select("_cell").distinct().collect())
+    assert set(got) <= {1, 3}
