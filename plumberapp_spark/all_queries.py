@@ -112,11 +112,12 @@ for _name in [n for n in list(REGISTRY) if n not in _PROMOTE]:
 # driver CORRECTNESS row is r3/r4/r5 (computed from the
 # CORRECTNESS_r01..r08 union) — plus the three NEW round-9 free-text
 # serving queries plus the round-9 maintenance/curation families
-# (q101-q109, never driver-checked: free-text serving, the segmented
-# incremental index trio, k-means curation pair, IVF append). 48
-# promotions, all inside the cap; the 2 remaining slots fall to the
-# r6-checked head of the displaced order. Displaced into the tail: the
-# r7/r8-green rows, every one driver-green within the last two rounds.
+# (q101-q110, never driver-checked: free-text serving, the segmented
+# incremental index trio, k-means curation pair, IVF append, bigram
+# LM). 49 promotions, all inside the cap; the 1 remaining slot falls
+# to the r6-checked head of the displaced order. Displaced into the
+# tail: the r7/r8-green rows, every one driver-green within the last
+# two rounds.
 _PROMOTE_R9 = (
     # new this round — first driver rows needed:
     "q101_tfidf_freetext_search",
@@ -128,6 +129,7 @@ _PROMOTE_R9 = (
     "q107_kmeans_cluster_profile",
     "q108_cluster_balanced_sample",
     "q109_ivf_incremental_append",
+    "q110_bigram_logprob",
     # last driver-checked r3:
     "q15_fingerprint_clusters",
     "q18_simhash",

@@ -482,6 +482,32 @@ def ensure_segmented_index(
     return path
 
 
+def maybe_compact(spark, path: str, max_segments: int = 16) -> str | None:
+    """Size-bounded maintenance policy: when the index has accumulated
+    more than ``max_segments`` complete segments, compact them into a
+    sibling ``<path>.compact`` index and atomically swap it in (rename
+    old → ``<path>.old.<n>``, compacted → path; caller removes the
+    retired copy once no readers reference it). Returns the retired
+    path when a compaction ran, None otherwise. Keeps the per-query
+    fan-out (|segments| × |query buckets| pruned reads) bounded no
+    matter how many micro-batch appends arrive."""
+    segs = _list_segments(path)
+    if len(segs) <= max_segments:
+        return None
+    tmp = f"{path}.compact"
+    import shutil
+
+    shutil.rmtree(tmp, ignore_errors=True)
+    compact_segments(spark, path, tmp)
+    n = 0
+    while os.path.exists(f"{path}.old.{n}"):
+        n += 1
+    retired = f"{path}.old.{n}"
+    os.rename(path, retired)
+    os.rename(tmp, path)
+    return retired
+
+
 def ensure_streamed_index(
     spark,
     sf_dir: str,

@@ -862,3 +862,74 @@ def perplexity_buckets_indexed(
     the shared ranking/labeling tail (:func:`bucket_lm_scores`)."""
     scores = unigram_logprob_score_indexed(spark, path, df, text_col, id_col)
     return bucket_lm_scores(scores, id_col, n_buckets)
+
+
+def bigram_logprob_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lam: float = 0.75,
+) -> DataFrame:
+    """Interpolated BIGRAM LM quality score (round 9) — the fluency
+    depth the unigram filter (:func:`unigram_logprob_score`) cannot
+    see: a bag of high-frequency tokens in scrambled order scores
+    identically under a unigram model but collapses under
+    p(w2|w1) = λ·c(w1,w2)/c(w1) + (1−λ)·c(w2)/T (Jelinek-Mercer
+    interpolation with the unigram as back-off mass). Scoring the
+    corpus under its own fit means every scored bigram has c12 ≥ 1 —
+    no smoothing floor needed (q77's self-scoring contract).
+
+    Returns (id, n_bigrams, mean_logprob) for EVERY document —
+    sub-2-token docs carry n_bigrams=0 and a NULL score (q79's
+    tokenless pattern). Mean rounded to 4 decimals
+    (sum-order-independent at that precision).
+
+    Plan: bigrams assemble JVM-side with zero per-doc shuffles —
+    ``arrays_zip(slice(toks,1,n−1), slice(toks,2,n−1))`` pairs
+    consecutive tokens inside the row, so no posexplode+window
+    self-join; the exchanges are the two count rollups (distinct-
+    bigram- and distinct-token-wide, Zipf-bounded — never occurrence-
+    wide), the count joins, and the per-doc mean. The FIT (both count
+    relations + T) is the dominant corpus-derived cost; a deployment
+    persists it exactly like ensure_unigram_lm persists the unigram
+    fit — this is the build-lineage definition."""
+    toks = tokenize(F.coalesce(F.col(text_col), F.lit("")))
+    n = F.size(toks)
+    pair = F.explode(
+        F.arrays_zip(
+            F.slice(toks, 1, F.greatest(n - 1, F.lit(0))).alias("w1"),
+            F.slice(toks, 2, F.greatest(n - 1, F.lit(0))).alias("w2"),
+        )
+    )
+    bg = df.select(F.col(id_col), pair.alias("_p")).select(
+        id_col, F.col("_p.w1").alias("w1"), F.col("_p.w2").alias("w2")
+    )
+    tok = df.select(F.explode(tokenize(F.coalesce(F.col(text_col), F.lit("")))).alias("tk"))
+    uni = tok.groupBy("tk").agg(F.count("*").alias("_c"))
+    tot = tok.groupBy().agg(F.count("*").alias("_n"))
+    bgc = bg.groupBy("w1", "w2").agg(F.count("*").alias("_c12"))
+    lp = (
+        bg.join(bgc, ["w1", "w2"])
+        .join(uni.select(F.col("tk").alias("w1"), F.col("_c").alias("_c1")), "w1")
+        .join(uni.select(F.col("tk").alias("w2"), F.col("_c").alias("_c2")), "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            id_col,
+            F.log(
+                lam * (F.col("_c12") / F.col("_c1"))
+                + (1 - lam) * (F.col("_c2") / F.col("_n"))
+            ).alias("_l"),
+        )
+    )
+    agg = lp.groupBy(id_col).agg(
+        F.count("*").alias("n_bigrams"), F.round(F.avg("_l"), 4).alias("mean_logprob")
+    )
+    return (
+        df.select(id_col)
+        .join(agg, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("bigint").alias("n_bigrams"),
+            "mean_logprob",
+        )
+    )

@@ -2564,3 +2564,43 @@ def q109_ivf_incremental_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk_indexed(
         spark, path, emb.filter(F.col("vec_id") % 50 == 0), k=5, nprobe=2
     )
+
+
+@register(
+    "q110_bigram_logprob",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+         tok AS (SELECT doc_id, generate_subscripts(toks, 1) AS pos,
+                        unnest(toks) AS tk FROM t),
+         uni AS (SELECT tk, count(*) AS c FROM tok GROUP BY tk),
+         tot AS (SELECT count(*) AS n FROM tok),
+         bg AS (SELECT a.doc_id, a.tk AS w1, b.tk AS w2
+                FROM tok a JOIN tok b
+                  ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+         bgc AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2),
+         lp AS (SELECT bg.doc_id,
+                       ln(0.75 * (bgc.c12 * 1.0 / u1.c)
+                          + 0.25 * (u2.c * 1.0 / tot.n)) AS l
+                FROM bg JOIN bgc USING (w1, w2)
+                        JOIN uni u1 ON bg.w1 = u1.tk
+                        JOIN uni u2 ON bg.w2 = u2.tk, tot),
+         agg AS (SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+                        round(avg(l), 4) AS mean_logprob
+                 FROM lp GROUP BY 1)
+    SELECT d.doc_id, coalesce(agg.n_bigrams, 0)::BIGINT AS n_bigrams,
+           agg.mean_logprob
+    FROM documents d LEFT JOIN agg USING (doc_id)
+    """,
+)
+def q110_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated bigram LM fluency scoring (round 9): the depth the
+    q77 unigram filter cannot see — scrambled bags of frequent tokens
+    score identically under unigrams but collapse under
+    p(w2|w1) = 0.75·c12/c1 + 0.25·c2/T. Bigrams assemble inside the
+    row (arrays_zip of shifted slices — no posexplode/window
+    self-join); exchanges are the Zipf-bounded count rollups and the
+    per-doc mean. Self-scoring keeps every c12 ≥ 1, so no smoothing
+    floor; sub-2-token docs return n_bigrams=0 with a NULL score."""
+    from plumberapp_spark.llm.textqa import bigram_logprob_score
+
+    return bigram_logprob_score(load_table(spark, sf_dir, "documents"))

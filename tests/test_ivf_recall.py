@@ -287,3 +287,61 @@ def test_ivf_probe_prunes_partitions_across_segments(spark, tmp_path):
     ) == 2, plan
     got = sorted(r["_cell"] for r in pruned.select("_cell").distinct().collect())
     assert set(got) <= {1, 3}
+
+
+def test_streaming_ivf_ingest_via_foreachbatch(spark, tmp_path):
+    """append_to_ivf_index is streaming-ready: a foreachBatch sink with
+    epoch-keyed delta names ingests a multi-batch vector stream, and
+    serving equals the all-at-once append."""
+    import pyspark.sql.functions as F
+
+    from plumberapp_spark.llm.similarity import (
+        _ivf_delta_dirs,
+        append_to_ivf_index,
+        build_ivf_index,
+        ivf_topk_indexed,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    base = emb.filter(F.col("vec_id") % 2 == 0)
+    delta = emb.filter(F.col("vec_id") % 2 == 1)
+
+    idx = str(tmp_path / "idx")
+    build_ivf_index(base, idx, n_centroids=8)
+
+    src = str(tmp_path / "src")
+    delta.repartition(3).write.parquet(src)
+    stream = (
+        spark.readStream.schema(delta.schema)
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(src)
+    )
+
+    def sink(batch_df, epoch_id):
+        if batch_df.limit(1).count() == 0:
+            return
+        append_to_ivf_index(
+            batch_df, idx, name=f"delta_e{epoch_id:09d}", skip_if_complete=True
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert len(_ivf_delta_dirs(idx)) == 3
+
+    ref = str(tmp_path / "ref")
+    build_ivf_index(base, ref, n_centroids=8)
+    append_to_ivf_index(delta, ref)
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    got = sorted(
+        tuple(r) for r in ivf_topk_indexed(spark, idx, queries, k=5, nprobe=2).collect()
+    )
+    want = sorted(
+        tuple(r) for r in ivf_topk_indexed(spark, ref, queries, k=5, nprobe=2).collect()
+    )
+    assert got == want

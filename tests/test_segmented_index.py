@@ -324,3 +324,29 @@ def test_empty_and_tokenless_segments_serve(spark, tmp_path):
     # query still returns a full page and no token-less doc appears
     assert len(got) == len(base)
     assert all(r[1] < 990001 for r in got)
+
+
+def test_maybe_compact_swaps_when_over_budget(spark, tmp_path):
+    """Above max_segments the policy compacts into a sibling and swaps
+    it in atomically; serving results are unchanged and the retired
+    copy is returned for deferred removal."""
+    from plumberapp_spark.llm.segments import (
+        _list_segments,
+        append_segment,
+        bm25_topk_segmented,
+        build_segmented_index,
+        maybe_compact,
+    )
+
+    docs = _docs(spark)
+    idx = str(tmp_path / "idx")
+    build_segmented_index(docs.filter(F.col("doc_id") % 4 == 0), idx)
+    for m in (1, 2, 3):
+        append_segment(docs.filter(F.col("doc_id") % 4 == m), idx)
+    before = _rows(bm25_topk_segmented(spark, idx, _queries(spark), k=10))
+
+    assert maybe_compact(spark, idx, max_segments=8) is None, "compacted early"
+    retired = maybe_compact(spark, idx, max_segments=3)
+    assert retired is not None and len(_list_segments(retired)) == 4
+    assert len(_list_segments(idx)) == 1
+    assert _rows(bm25_topk_segmented(spark, idx, _queries(spark), k=10)) == before

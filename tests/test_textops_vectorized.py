@@ -330,3 +330,21 @@ def test_perplexity_buckets_distributed_rank_parity(spark):
     plain = {tuple(r) for r in perplexity_buckets(docs, n_buckets=1).collect()}
     dist = {tuple(r) for r in perplexity_buckets(docs, n_buckets=4).collect()}
     assert plain == dist
+
+
+def test_bigram_logprob_fluency_ordering_and_edges(spark):
+    """The bigram score must separate what unigrams cannot: a doc in
+    the corpus's dominant token ORDER outscores the same bag reversed;
+    sub-2-token docs get n_bigrams=0 and a NULL score."""
+    from plumberapp_spark.llm.textqa import bigram_logprob_score
+
+    rows = [(i, "the quick fox jumps") for i in range(20)]
+    rows += [(100, "jumps fox quick the"), (101, "solo"), (102, None)]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {r["doc_id"]: r for r in bigram_logprob_score(docs).collect()}
+    assert got[0]["mean_logprob"] > got[100]["mean_logprob"]
+    assert got[101]["n_bigrams"] == 0 and got[101]["mean_logprob"] is None
+    assert got[102]["n_bigrams"] == 0 and got[102]["mean_logprob"] is None
+    # unigram counts are identical for the two orderings — only the
+    # bigram term separates them
+    assert got[0]["n_bigrams"] == got[100]["n_bigrams"] == 3
