@@ -114,8 +114,7 @@ for _name in [n for n in list(REGISTRY) if n not in _PROMOTE]:
 # serving queries plus the round-9 maintenance/curation families
 # (q101-q110, never driver-checked: free-text serving, the segmented
 # incremental index trio, k-means curation pair, IVF append, bigram
-# LM). 49 promotions, all inside the cap; the 1 remaining slot falls
-# to the r6-checked head of the displaced order. Displaced into the
+# LM, segmented tf-idf). 50 promotions — exactly the cap. Displaced into the
 # tail: the r7/r8-green rows, every one driver-green within the last
 # two rounds.
 _PROMOTE_R9 = (
@@ -130,6 +129,7 @@ _PROMOTE_R9 = (
     "q108_cluster_balanced_sample",
     "q109_ivf_incremental_append",
     "q110_bigram_logprob",
+    "q111_tfidf_segmented_search",
     # last driver-checked r3:
     "q15_fingerprint_clusters",
     "q18_simhash",

@@ -343,6 +343,174 @@ def bm25_topk_segmented(
     return _two_stage_topk(scored, k, "bm25")
 
 
+def refresh_tfidf_norms(spark, path: str) -> str:
+    """The maintenance job that buys tf-idf COSINE serving over the
+    segmented index. A doc's L2 norm sqrt(Σ_t (tf·ln(N/df_t))²) is the
+    ONE quantity an append invalidates corpus-wide (df/N shift for
+    every doc), so it cannot live inside immutable segments; this job
+    recomputes the norms relation over the CURRENT segment set — a
+    numeric pass (postings ⋈ global df on the token, one doc-keyed
+    aggregate), crucially with NO re-tokenization — and records which
+    segments it covered. Serving raises if the segment set has moved
+    since the last refresh (fail-fast with guidance, never a silently
+    stale cosine). BM25 needs none of this — its globals are additive —
+    which is exactly why BM25 is the zero-maintenance scoring function
+    and tf-idf costs one numeric pass per delta batch."""
+    import json
+
+    segs = _list_segments(path)
+    if not segs:
+        raise ValueError(f"no segments under {path!r} — nothing to refresh")
+    postings = _union_pruned(spark, segs, "postings", [])
+    dfreq = (
+        _union_pruned(spark, segs, "termstats", [])
+        .groupBy("tk")
+        .agg(F.sum("_df").alias("_df"))
+    )
+    nd = _union_pruned(spark, segs, "scalars", []).groupBy().agg(
+        F.sum("_nd").alias("_nd")
+    )
+    (
+        postings.join(dfreq, "tk")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "doc_id",
+            (F.col("_tf") * F.log(F.col("_nd") / F.col("_df"))).alias("_w"),
+        )
+        .groupBy("doc_id")
+        .agg(F.sqrt(F.sum(F.col("_w") * F.col("_w"))).alias("nrm"))
+        .write.mode("overwrite")
+        .parquet(f"{path}/norms")
+    )
+    cover = [os.path.basename(s) for s in segs]
+    with open(os.path.join(path, "norms_cover.json"), "w") as fh:
+        json.dump(cover, fh)
+    return f"{path}/norms"
+
+
+def ensure_tfidf_norms(spark, path: str) -> None:
+    """Refresh the norms relation iff it does not cover the current
+    segment set (idempotent — the fixture-side convenience around
+    :func:`refresh_tfidf_norms`)."""
+    segs = _list_segments(path)
+    try:
+        _covered_norms(spark, path, segs)
+    except ValueError:
+        refresh_tfidf_norms(spark, path)
+
+
+def _covered_norms(spark, path: str, segs: list[str]) -> DataFrame:
+    """The norms relation, IF it covers exactly the current segment
+    set; raises with guidance otherwise — a cosine over stale norms is
+    wrong silently, the one failure mode this module refuses."""
+    import json
+
+    try:
+        with open(os.path.join(path, "norms_cover.json")) as fh:
+            cover = json.load(fh)
+    except OSError:
+        cover = None
+    current = [os.path.basename(s) for s in segs]
+    if cover != current:
+        raise ValueError(
+            f"tf-idf norms under {path!r} cover {cover!r} but the index now "
+            f"holds {current!r} — run refresh_tfidf_norms(path) after "
+            "appends (BM25 serving needs no refresh)"
+        )
+    return spark.read.parquet(f"{path}/norms")
+
+
+def tfidf_topk_segmented(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    text_col: str = "q_text",
+    id_col: str = "query_id",
+) -> DataFrame:
+    """Free-text tf-idf cosine top-k over the segmented index —
+    output-identical to ``lexical.tfidf_topk_freetext`` on the union
+    corpus (q111 shares q101's full-corpus oracle). Doc-side weights
+    compute at serve time from the pruned scans (every SCORED posting
+    carries a query term, so its df is already in the pruned df
+    relation); the query vector weights from the same df; the only
+    extra relation is the refreshed norms, joined against the bounded
+    scored frame (one slim doc-keyed scan per run)."""
+    from plumberapp_spark.functions.text import tokenize
+    from plumberapp_spark.llm.lexical import _two_stage_topk
+
+    segs = _list_segments(path)
+    if not segs:
+        raise ValueError(f"no segments under {path!r} — build or append first")
+    norms = _covered_norms(spark, path, segs)
+    n_buckets = _seg_buckets(spark, segs[0])
+    qtf = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.explode(tokenize(F.col(text_col))).alias("tk"),
+        )
+        .groupBy("query_id", "tk")
+        .agg(F.count("*").alias("_qtf"))
+    )
+    buckets = [
+        r["_b"]
+        for r in qtf.select(_bucket("tk", n_buckets).cast("int").alias("_b"))
+        .distinct()
+        .collect()
+    ]
+    qterms = qtf.select("tk").distinct()
+    dfreq = (
+        _union_pruned(spark, segs, "termstats", buckets)
+        .join(F.broadcast(qterms), "tk", "left_semi")
+        .groupBy("tk")
+        .agg(F.sum("_df").alias("_df"))
+    )
+    nd = _union_pruned(spark, segs, "scalars", []).groupBy().agg(
+        F.sum("_nd").alias("_nd")
+    )
+    qw = (
+        qtf.join(dfreq, "tk")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "query_id",
+            "tk",
+            (F.col("_qtf") * F.log(F.col("_nd") / F.col("_df"))).alias("_qw"),
+        )
+    )
+    qn = qw.groupBy("query_id").agg(
+        F.sqrt(F.sum(F.col("_qw") * F.col("_qw"))).alias("_qn")
+    )
+    postings = _union_pruned(spark, segs, "postings", buckets).join(
+        F.broadcast(qterms), "tk", "left_semi"
+    )
+    scored = (
+        postings.join(F.broadcast(dfreq), "tk")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "tk",
+            "doc_id",
+            (F.col("_tf") * F.log(F.col("_nd") / F.col("_df"))).alias("_w"),
+        )
+        .join(F.broadcast(qw.join(qn, "query_id")), "tk")
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.sum(F.col("_w") * F.col("_qw")).alias("_dot"),
+            F.first("_qn").alias("_qn2"),
+        )
+    )
+    out = (
+        norms.join(F.broadcast(scored), "doc_id")
+        .select(
+            "query_id",
+            F.col("doc_id").alias("neighbor_id"),
+            F.round(F.col("_dot") / (F.col("nrm") * F.col("_qn2")), 6).alias(
+                "cos_sim"
+            ),
+        )
+    )
+    return _two_stage_topk(out, k, "cos_sim")
+
+
 def compact_segments(spark, path: str, out_path: str) -> str:
     """Merge every segment into ONE — a pure numeric pass over the raw
     relations (postings union is already disjoint by doc, termstats

@@ -2604,3 +2604,63 @@ def q110_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     from plumberapp_spark.llm.textqa import bigram_logprob_score
 
     return bigram_logprob_score(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "q111_tfidf_segmented_search",
+    # q101's full-corpus free-text tf-idf derivation verbatim — the
+    # segmented index (80% build + 20% append + norms refresh) unions to
+    # exactly the documents table, so a hash match proves the refresh
+    # job reconstructs every norm the append invalidated
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+         tok AS (SELECT doc_id, unnest(toks) AS tk FROM t),
+         tf AS (SELECT doc_id, tk, count(*) AS tf FROM tok GROUP BY 1, 2),
+         dfreq AS (SELECT tk, count(*) AS df FROM tf GROUP BY 1),
+         nd AS (SELECT count(*) AS n FROM documents),
+         w AS (SELECT tf.doc_id, tf.tk,
+                      tf.tf * ln(nd.n * 1.0 / dfreq.df) AS w
+               FROM tf JOIN dfreq USING (tk), nd),
+         nrm AS (SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM w GROUP BY doc_id),
+         qraw AS (SELECT * FROM (VALUES {_QVALUES}) AS v(query_id, q_text)),
+         qtok AS (SELECT query_id, unnest({QTOKS}) AS tk FROM qraw),
+         qtf AS (SELECT query_id, tk, count(*) AS qtf FROM qtok GROUP BY 1, 2),
+         qw AS (SELECT query_id, qtf.tk,
+                       qtf.qtf * ln(nd.n * 1.0 / dfreq.df) AS qw
+                FROM qtf JOIN dfreq USING (tk), nd),
+         qn AS (SELECT query_id, sqrt(sum(qw * qw)) AS qn FROM qw GROUP BY 1),
+         dots AS (SELECT qw.query_id, w.doc_id AS neighbor_id,
+                         sum(w.w * qw.qw) AS dot
+                  FROM w JOIN qw USING (tk) GROUP BY 1, 2),
+         scored AS (SELECT dots.query_id, neighbor_id,
+                           round(dot / (nrm.nrm * qn.qn), 6) AS cos_sim
+                    FROM dots JOIN nrm ON dots.neighbor_id = nrm.doc_id
+                              JOIN qn ON dots.query_id = qn.query_id),
+         ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                              ORDER BY cos_sim DESC, neighbor_id) AS rank
+                    FROM scored)
+    SELECT query_id::BIGINT AS query_id, neighbor_id, cos_sim,
+           rank::BIGINT AS rank
+    FROM ranked WHERE rank <= 10
+    """,
+)
+def q111_tfidf_segmented_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tf-idf cosine over the INCREMENTAL index (round 9): the one
+    scoring function appends genuinely invalidate — every doc's L2 norm
+    shifts when df/N move — served exactly after refresh_tfidf_norms,
+    a numeric maintenance pass (postings ⋈ global df + one doc-keyed
+    aggregate, NO re-tokenization) that records its segment coverage;
+    serving over a moved segment set raises rather than returning a
+    silently stale cosine. Doc weights compute at serve time from the
+    pruned scans (every scored posting carries a query term, so its df
+    is already in the pruned df relation). Shares q101's full-corpus
+    oracle — the hash proves the refresh reconstructs every norm."""
+    from plumberapp_spark.llm.segments import (
+        ensure_segmented_index,
+        ensure_tfidf_norms,
+        tfidf_topk_segmented,
+    )
+
+    path = ensure_segmented_index(spark, sf_dir, "documents")
+    ensure_tfidf_norms(spark, path)
+    return tfidf_topk_segmented(spark, path, _freetext_query_frame(spark), k=10)

@@ -350,3 +350,42 @@ def test_maybe_compact_swaps_when_over_budget(spark, tmp_path):
     assert retired is not None and len(_list_segments(retired)) == 4
     assert len(_list_segments(idx)) == 1
     assert _rows(bm25_topk_segmented(spark, idx, _queries(spark), k=10)) == before
+
+
+def test_tfidf_needs_refresh_and_matches_direct(spark, tmp_path):
+    """tf-idf over segments: serving without a covering norms refresh
+    raises (never a silently stale cosine); after refresh it equals the
+    weighted lexical index's free-text path; an append re-stales it."""
+    import pytest
+
+    from plumberapp_spark.llm.lexical import build_lexical_index, tfidf_topk_freetext
+    from plumberapp_spark.llm.segments import (
+        append_segment,
+        build_segmented_index,
+        refresh_tfidf_norms,
+        tfidf_topk_segmented,
+    )
+
+    docs = _docs(spark)
+    idx = str(tmp_path / "idx")
+    build_segmented_index(docs.filter(F.col("doc_id") % 2 == 0), idx)
+    q = _queries(spark)
+    with pytest.raises(ValueError, match="refresh_tfidf_norms"):
+        tfidf_topk_segmented(spark, idx, q, k=10).collect()
+
+    append_segment(docs.filter(F.col("doc_id") % 2 == 1), idx)
+    refresh_tfidf_norms(spark, idx)
+
+    lex = str(tmp_path / "lex")
+    build_lexical_index(docs, lex)
+    assert _rows(tfidf_topk_segmented(spark, idx, q, k=10)) == _rows(
+        tfidf_topk_freetext(spark, lex, q, k=10)
+    )
+
+    # a further append invalidates the cosine again — loud, not stale
+    append_segment(
+        spark.createDataFrame([(990001, "the the the")], "doc_id bigint, text string"),
+        idx,
+    )
+    with pytest.raises(ValueError, match="refresh_tfidf_norms"):
+        tfidf_topk_segmented(spark, idx, q, k=10).collect()
