@@ -2570,13 +2570,18 @@ def q109_ivf_incremental_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q110_bigram_logprob",
     oracle=f"""
     WITH t AS (SELECT doc_id, {TOKS} AS toks FROM documents),
-         tok AS (SELECT doc_id, generate_subscripts(toks, 1) AS pos,
-                        unnest(toks) AS tk FROM t),
+         -- bigrams via zipped shifted SLICES (the Spark plan's own
+         -- shape): the positional self-join form blew past 90 GB in
+         -- DuckDB at 50k docs (the tok CTE inlines into both join
+         -- sides), so the oracle mirrors the row-local pairing
+         bg AS (SELECT doc_id, p[1] AS w1, p[2] AS w2
+                FROM (SELECT doc_id,
+                             unnest(list_zip(toks[1:greatest(len(toks)-1, 0)],
+                                             toks[2:len(toks)])) AS p
+                      FROM t)),
+         tok AS (SELECT doc_id, unnest(toks) AS tk FROM t),
          uni AS (SELECT tk, count(*) AS c FROM tok GROUP BY tk),
          tot AS (SELECT count(*) AS n FROM tok),
-         bg AS (SELECT a.doc_id, a.tk AS w1, b.tk AS w2
-                FROM tok a JOIN tok b
-                  ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
          bgc AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2),
          lp AS (SELECT bg.doc_id,
                        ln(0.75 * (bgc.c12 * 1.0 / u1.c)
