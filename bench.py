@@ -463,10 +463,19 @@ def main() -> None:
         # without that family so round-over-round comparison against
         # pre-r8 registries stays like-for-like. The HEADLINE substantive
         # geomean above still includes them.
+        # Round 9 extends the family with the maintenance/serving tier
+        # (q104-q109, q111): same floor profile at sf0.1 (0.05-0.2 s
+        # oracles), graded at the 500k beds where they measure
+        # 0.60-1.15x (SCALE.md §13). q110 stays IN the substantive set —
+        # it is a corpus-pass build form, not floor-bound serving.
         index_family = sorted(
             n for n in substantive
             if n.split("_")[0]
-            in {"q94", "q95", "q96", "q97", "q98", "q99", "q100", "q101", "q102", "q103"}
+            in {
+                "q94", "q95", "q96", "q97", "q98", "q99", "q100", "q101",
+                "q102", "q103", "q104", "q105", "q106", "q107", "q108",
+                "q109", "q111",
+            }
         )
         detail["index_serving_family"] = index_family
         detail["vs_duckdb_geomean_substantive_ex_index_family"] = _geomean(
