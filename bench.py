@@ -474,7 +474,7 @@ def main() -> None:
             in {
                 "q94", "q95", "q96", "q97", "q98", "q99", "q100", "q101",
                 "q102", "q103", "q104", "q105", "q106", "q107", "q108",
-                "q109", "q111",
+                "q109", "q111", "q112",
             }
         )
         detail["index_serving_family"] = index_family

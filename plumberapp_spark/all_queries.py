@@ -114,9 +114,12 @@ for _name in [n for n in list(REGISTRY) if n not in _PROMOTE]:
 # serving queries plus the round-9 maintenance/curation families
 # (q101-q110, never driver-checked: free-text serving, the segmented
 # incremental index trio, k-means curation pair, IVF append, bigram
-# LM, segmented tf-idf). 50 promotions — exactly the cap. Displaced into the
-# tail: the r7/r8-green rows, every one driver-green within the last
-# two rounds.
+# LM, segmented tf-idf, streaming IVF ingest). 51 promotions: the 50
+# window takes registry positions 0-49, so q33 (r4-green, with its
+# family sibling q32 still in-window) sits at position 50 and waits
+# for r10 — new queries' FIRST driver rows take precedence over a
+# re-check. Displaced into the tail: the r7/r8-green rows, every one
+# driver-green within the last two rounds.
 _PROMOTE_R9 = (
     # new this round — first driver rows needed:
     "q101_tfidf_freetext_search",
@@ -130,6 +133,7 @@ _PROMOTE_R9 = (
     "q109_ivf_incremental_append",
     "q110_bigram_logprob",
     "q111_tfidf_segmented_search",
+    "q112_streaming_ivf_ingest",
     # last driver-checked r3:
     "q15_fingerprint_clusters",
     "q18_simhash",

@@ -1525,3 +1525,84 @@ def ensure_ivf_appended_index(
         with open(sidecar, "w") as fh:
             fh.write(f"{source_mtime!r} {IVF_INDEX_FORMAT}")
     return path
+
+
+def ensure_streamed_ivf_index(
+    spark,
+    sf_dir: str,
+    table: str = "embeddings",
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """Streaming-ingested twin of :func:`ensure_ivf_appended_index`
+    (the q106 pattern on the dense route): the base index is built on
+    80 % of the vectors, and the remaining fifth arrives through a real
+    ``readStream`` file source whose foreachBatch sink lands each
+    micro-batch as an epoch-keyed delta segment (replays idempotent —
+    exactly-once index contents). Sidecar staleness contract shared
+    with the batch ensure paths; the checkpoint lives inside the index
+    dir and dies with it."""
+    import os
+    import re
+    from urllib.parse import urlparse
+
+    from plumberapp_spark.session import _path_mtime, ensure_read_confs, load_table
+
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", "")).path or "spark-warehouse"
+    tag = re.sub(r"[^0-9A-Za-z]+", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1])
+    path = os.path.join(wh, f"ivfst_{table}_{tag}_{n_centroids}")
+    sidecar = os.path.join(path, "source_mtime.txt")
+    source_mtime = _path_mtime(f"{sf_dir}/{table}.parquet")
+    recorded, rec_format = None, None
+    try:
+        with open(sidecar) as fh:
+            parts = fh.read().split()
+            recorded = float(parts[0])
+            rec_format = int(parts[1])
+    except (OSError, ValueError, IndexError):
+        recorded = None
+    if (
+        recorded is None
+        or recorded != source_mtime
+        or rec_format != IVF_INDEX_FORMAT
+        or not _ivf_delta_dirs(path)
+    ):
+        import shutil
+
+        shutil.rmtree(path, ignore_errors=True)
+        vecs = load_table(spark, sf_dir, table)
+        build_ivf_index(
+            vecs.filter(F.col(id_col) % 5 != 0), path, n_centroids, id_col, vec_col
+        )
+        ensure_read_confs(spark)
+        schema = spark.read.parquet(f"{sf_dir}/{table}.parquet").schema
+        stream = (
+            spark.readStream.schema(schema)
+            .format("parquet")
+            .load(f"{sf_dir}/{table}.*")
+        )
+
+        def _sink(batch_df, epoch_id: int) -> None:
+            delta = batch_df.filter(F.col(id_col) % 5 == 0)
+            if delta.limit(1).count() == 0:
+                return
+            append_to_ivf_index(
+                delta,
+                path,
+                id_col,
+                vec_col,
+                name=f"delta_e{epoch_id:09d}",
+                skip_if_complete=True,
+            )
+
+        q = (
+            stream.writeStream.foreachBatch(_sink)
+            .option("checkpointLocation", os.path.join(path, "_checkpoint"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        with open(sidecar, "w") as fh:
+            fh.write(f"{source_mtime!r} {IVF_INDEX_FORMAT}")
+    return path

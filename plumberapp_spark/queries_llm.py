@@ -2505,13 +2505,13 @@ def q108_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cluster_representatives(assign_clusters(emb, cents), per_cluster=5)
 
 
-@register(
-    "q109_ivf_incremental_append",
-    # q89's exact-replay oracle with ONE change: centroids come from the
-    # 80% base subset (the frozen codebook appends assign against),
-    # while assignment/probe/re-rank run over the full table — the
-    # deterministic approximation the base+delta index serves
-    oracle="""
+# q89's exact-replay derivation with ONE change: centroids come from
+# the 80% base subset (the frozen codebook appends assign against),
+# while assignment/probe/re-rank run over the full table — the
+# deterministic approximation a base+delta index serves. Shared by the
+# batch-append (q109) and streaming-ingest (q112) registrations: both
+# must serve the identical result.
+_IVF_APPEND_ORACLE = """
     WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
          cent AS (SELECT vec_id AS c_id, e AS ce FROM v
                   WHERE vec_id % 5 != 0
@@ -2539,8 +2539,10 @@ def q108_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                  FROM scored)
     SELECT query_id, neighbor_id, cos_sim, CAST(rank AS BIGINT) AS rank
     FROM out WHERE rank <= 5
-    """,
-)
+    """
+
+
+@register("q109_ivf_incremental_append", oracle=_IVF_APPEND_ORACLE)
 def q109_ivf_incremental_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INCREMENTAL maintenance for the dense route (round 9, the q104
     pattern applied to ANN): the IVF index is built on 80 % of the
@@ -2669,3 +2671,26 @@ def q111_tfidf_segmented_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = ensure_segmented_index(spark, sf_dir, "documents")
     ensure_tfidf_norms(spark, path)
     return tfidf_topk_segmented(spark, path, _freetext_query_frame(spark), k=10)
+
+
+@register("q112_streaming_ivf_ingest", oracle=_IVF_APPEND_ORACLE)
+def q112_streaming_ivf_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingest for the DENSE route (round 9, q106's pattern on
+    IVF): the embedding feed arrives through a real readStream file
+    source; each micro-batch's delta vectors are assigned against the
+    frozen codebook and landed as an epoch-keyed immutable delta
+    segment via foreachBatch (replays idempotent — exactly-once index
+    contents over at-least-once delivery). Serving probes base ∪ deltas
+    with partition pruning intact. Shares q109's exact-replay oracle:
+    the hash proves the streaming and batch append paths build the
+    same index."""
+    from plumberapp_spark.llm.similarity import (
+        ensure_streamed_ivf_index,
+        ivf_topk_indexed,
+    )
+
+    path = ensure_streamed_ivf_index(spark, sf_dir, "embeddings", n_centroids=16)
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_topk_indexed(
+        spark, path, emb.filter(F.col("vec_id") % 50 == 0), k=5, nprobe=2
+    )
