@@ -74,6 +74,18 @@ EAGER_ALLOWED = {
     "q101_tfidf_freetext_search": "index materialization + bucket-list collect",
     "q102_bm25_freetext_search": "index materialization + bucket-list collect",
     "q103_hybrid_freetext_search": "index materializations + bounded collects",
+    # round-9 maintenance tier: segment/delta materialization (build-once
+    # warehouse contract) + bucket-list / scalar collects at serve
+    "q104_bm25_incremental_index": "segment materialization + bucket-list collect",
+    "q105_bm25_compacted_index": "segment+compaction materialization + bucket-list collect",
+    "q106_streaming_index_ingest": "streaming segment ingest (micro-batch) + bucket-list collect",
+    "q109_ivf_incremental_append": "index+delta materialization + bounded collects",
+    "q111_tfidf_segmented_search": "segment+norms materialization + bucket-list collect",
+    "q112_streaming_ivf_ingest": "streaming delta ingest (micro-batch) + bounded collects",
+    # round-9 k-means: the fit-once centroid table round-trips the
+    # driver (k×dim bounded collect; cached per source mtime)
+    "q107_kmeans_cluster_profile": "Lloyd fit collects (k×dim bounded contract)",
+    "q108_cluster_balanced_sample": "Lloyd fit collects (q107 contract)",
     # Structured Streaming queries start and drain their micro-batches
     "q52_streaming_window_counts": "micro-batch execution is the query",
     "q55_stateful_rate_monitor": "micro-batch execution is the query",
