@@ -464,7 +464,8 @@ def main() -> None:
         # pre-r8 registries stays like-for-like. The HEADLINE substantive
         # geomean above still includes them.
         # Round 9 extends the family with the maintenance/serving tier
-        # (q104-q109, q111): same floor profile at sf0.1 (0.05-0.2 s
+        # (q104-q109, q111, q112 streaming IVF ingest): same floor
+        # profile at sf0.1 (0.05-0.2 s
         # oracles), graded at the 500k beds where they measure
         # 0.60-1.15x (SCALE.md §13). q110 stays IN the substantive set —
         # it is a corpus-pass build form, not floor-bound serving.

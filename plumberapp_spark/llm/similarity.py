@@ -1298,9 +1298,20 @@ def append_to_ivf_index(
         delta = os.path.join(path, f"delta_{n:05d}")
     c_mat, c_norm = _load_centroids(spark, path)
     narrow = new_vectors.select(F.col(id_col), F.col(vec_col))
-    _assign_to_cells(narrow, c_mat, c_norm, id_col, vec_col).write.partitionBy(
-        "_cell"
-    ).mode("overwrite").parquet(f"{delta}/cells")
+    assigned = _assign_to_cells(narrow, c_mat, c_norm, id_col, vec_col)
+    if narrow.limit(1).count() == 0:
+        # zero-row delta: partitionBy emits no data files but cells/_SUCCESS
+        # still lands, so _ivf_delta_dirs would include a dataless segment
+        # whose read-back dies on schema inference — poisoning every
+        # subsequent _read_ivf_cells (ADVICE r9). The plain write keeps the
+        # schema in a parquet footer (segments._write_bucketed's zero-row
+        # fallback, mirrored here); the probe's _cell filter still applies
+        # as an ordinary column filter over zero rows.
+        assigned.coalesce(1).write.mode("overwrite").parquet(f"{delta}/cells")
+    else:
+        assigned.write.partitionBy("_cell").mode("overwrite").parquet(
+            f"{delta}/cells"
+        )
     return delta
 
 

@@ -198,9 +198,14 @@ def test_ivf_append_equals_full_assignment(spark, tmp_path):
     """build(A) + append(B) must serve exactly what ONE index whose
     cells hold A∪B (assigned under A's centroids) serves: the frozen-
     codebook contract, end to end."""
+    import os
+    import shutil
+
     import pyspark.sql.functions as F
 
     from plumberapp_spark.llm.similarity import (
+        _assign_to_cells,
+        _load_centroids,
         _read_ivf_cells,
         append_to_ivf_index,
         build_ivf_index,
@@ -215,11 +220,18 @@ def test_ivf_append_equals_full_assignment(spark, tmp_path):
     build_ivf_index(base, inc, n_centroids=8)
     append_to_ivf_index(delta, inc)
 
-    # reference: same centroids, all vectors assigned at build time —
-    # constructed by appending the base's own complement to a copy
+    # reference: the SAME frozen centroids, but all of A∪B assigned into
+    # ONE cells relation (no delta segments at all) — a genuinely
+    # independent construction of what the base+delta union claims to be
+    # (ADVICE r9: the previous reference replayed the identical
+    # build+append sequence, making the assertion near-tautological)
     ref = str(tmp_path / "ref")
-    build_ivf_index(base, ref, n_centroids=8)
-    append_to_ivf_index(delta, ref, name="delta_x")
+    os.makedirs(ref)
+    shutil.copytree(os.path.join(inc, "centroids"), os.path.join(ref, "centroids"))
+    c_mat, c_norm = _load_centroids(spark, inc)
+    _assign_to_cells(
+        emb.select("vec_id", "embedding"), c_mat, c_norm, "vec_id", "embedding"
+    ).write.partitionBy("_cell").mode("overwrite").parquet(f"{ref}/cells")
 
     n_union = _read_ivf_cells(spark, inc).count()
     assert n_union == emb.count()
