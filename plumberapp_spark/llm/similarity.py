@@ -1248,16 +1248,133 @@ def _ivf_delta_dirs(path: str) -> list[str]:
     ]
 
 
+def _ivf_tomb_dirs(path: str) -> list[str]:
+    """Complete tombstones under an IVF index (``tomb_*`` directories,
+    complete iff the ids marker landed) — the dense twin of
+    segments._list_tombstones."""
+    import os
+    import re as _re
+
+    try:
+        names = sorted(
+            n for n in os.listdir(path) if _re.match(r"^tomb_[0-9]+$", n)
+        )
+    except OSError:
+        return []
+    return [
+        os.path.join(path, n)
+        for n in names
+        if os.path.exists(os.path.join(path, n, "ids", "_SUCCESS"))
+    ]
+
+
+def _ivf_tomb_ids(spark, path: str) -> DataFrame | None:
+    """Union of all tombstoned vector ids, or None when no deletes
+    exist. Takedown sets are tiny relative to the corpus — broadcast
+    by contract."""
+    tombs = _ivf_tomb_dirs(path)
+    if not tombs:
+        return None
+    out = None
+    for t in tombs:
+        df = spark.read.parquet(f"{t}/ids")
+        out = df if out is None else out.unionByName(df)
+    return out
+
+
+def delete_from_ivf_index(
+    spark, path: str, ids: DataFrame, id_col: str = "vec_id"
+) -> str:
+    """Remove vectors from an IVF index WITHOUT touching base or delta
+    cells: write one immutable tombstone (ids only — IVF has no
+    corpus-global scalars to correct, so a tombstone is just an
+    anti-join set). Serving excludes tombstoned ids inside
+    _read_ivf_cells; compact_ivf_index drops them physically.
+    Unlike the lexical tier, overlapping/unknown ids need no dedup —
+    the anti-join is idempotent and absent ids match nothing."""
+    import os
+
+    tombs = _ivf_tomb_dirs(path)
+    nums = [int(os.path.basename(t).split("_")[1]) for t in tombs]
+    tomb = os.path.join(path, f"tomb_{(max(nums, default=-1)) + 1:05d}")
+    (
+        ids.select(F.col(id_col))
+        .distinct()
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(f"{tomb}/ids")
+    )
+    return tomb
+
+
 def _read_ivf_cells(spark, path: str) -> DataFrame:
     """The index's corpus: base cells plus every COMPLETE delta segment
     (appends land as immutable ``delta_*`` directories, never touching
-    the base). Each underlying scan keeps its own ``_cell`` partition
-    layout, and a probe's IN filter pushes through the union to every
-    scan — partition pruning holds across segments."""
+    the base), MINUS every tombstoned id (broadcast anti-join — the
+    deletion tier's serving splice). Each underlying scan keeps its own
+    ``_cell`` partition layout, and a probe's IN filter pushes through
+    the union to every scan — partition pruning holds across
+    segments; the anti-join runs on the pruned survivors only."""
     cells = spark.read.parquet(f"{path}/cells")
     for d in _ivf_delta_dirs(path):
         cells = cells.unionByName(spark.read.parquet(f"{d}/cells"))
+    tomb = _ivf_tomb_ids(spark, path)
+    if tomb is not None:
+        cells = cells.join(F.broadcast(tomb), tomb.columns[0], "left_anti")
     return cells
+
+
+def compact_ivf_index(spark, path: str, out_path: str) -> str:
+    """Merge base + every delta into ONE cells relation, dropping
+    tombstoned vectors physically — the bound on q112's per-query delta
+    fan-out (`_read_ivf_cells` otherwise unions every delta forever).
+    Cells are disjoint by id across segments, so the merge is a union +
+    one partitioned rewrite; assignments are NOT recomputed (the frozen
+    codebook moved for nobody). Centroids are copied verbatim. The
+    output has no deltas and no tombstones; serving it is bit-identical
+    to serving the segmented index (pinned by test + q117's shared
+    oracle). Runs beside serving; swap is the caller's problem —
+    :func:`maybe_compact_ivf` carries the same swap contract as
+    segments.maybe_compact."""
+    import shutil
+
+    cells = _read_ivf_cells(spark, path)
+    cells.write.partitionBy("_cell").mode("overwrite").parquet(
+        f"{out_path}/cells"
+    )
+    shutil.copytree(
+        f"{path}/centroids", f"{out_path}/centroids", dirs_exist_ok=True
+    )
+    return out_path
+
+
+def maybe_compact_ivf(
+    spark, path: str, max_deltas: int = 16, swap=None
+) -> str | None:
+    """Size-bounded maintenance policy for the dense route — the
+    segments.maybe_compact twin: when more than ``max_deltas`` complete
+    delta segments (or any tombstone) have accumulated, compact into a
+    sibling and swap it in. Returns the retired path when a compaction
+    ran, None otherwise. Default swap = two POSIX renames (NOT atomic
+    on object stores — pass ``swap(compacted_path, live_path) ->
+    retired_path`` there; see segments.maybe_compact's contract)."""
+    import os
+    import shutil
+
+    if len(_ivf_delta_dirs(path)) <= max_deltas and not _ivf_tomb_dirs(path):
+        return None
+    tmp = f"{path}.compact"
+    shutil.rmtree(tmp, ignore_errors=True)
+    compact_ivf_index(spark, path, tmp)
+    if swap is not None:
+        return swap(tmp, path)
+    n = 0
+    while os.path.exists(f"{path}.old.{n}"):
+        n += 1
+    retired = f"{path}.old.{n}"
+    os.rename(path, retired)
+    os.rename(tmp, path)
+    return retired
 
 
 def append_to_ivf_index(
@@ -1533,6 +1650,109 @@ def ensure_ivf_appended_index(
         append_to_ivf_index(
             vecs.filter(F.col(id_col) % 5 == 0), path, id_col, vec_col
         )
+        with open(sidecar, "w") as fh:
+            fh.write(f"{source_mtime!r} {IVF_INDEX_FORMAT}")
+    return path
+
+
+def ensure_deleted_ivf_index(
+    spark,
+    sf_dir: str,
+    table: str = "embeddings",
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """Fixture for the dense DELETION query: the q109 shape (80 % build
+    + 20 % delta append) followed by a takedown of every
+    ``vec_id % 7 == 3`` as one tombstone — the deleted set cuts across
+    base AND delta, so serving exercises the anti-join over both scan
+    layouts. Sidecar staleness contract shared with the other ensure
+    paths."""
+    import os
+    import re
+    from urllib.parse import urlparse
+
+    from plumberapp_spark.session import _path_mtime, load_table
+
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", "")).path or "spark-warehouse"
+    tag = re.sub(r"[^0-9A-Za-z]+", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1])
+    path = os.path.join(wh, f"ivfdel_{table}_{tag}_{n_centroids}")
+    sidecar = os.path.join(path, "source_mtime.txt")
+    source_mtime = _path_mtime(f"{sf_dir}/{table}.parquet")
+    recorded, rec_format = None, None
+    try:
+        with open(sidecar) as fh:
+            parts = fh.read().split()
+            recorded = float(parts[0])
+            rec_format = int(parts[1])
+    except (OSError, ValueError, IndexError):
+        recorded = None
+    if (
+        recorded is None
+        or recorded != source_mtime
+        or rec_format != IVF_INDEX_FORMAT
+        or not _ivf_delta_dirs(path)
+        or not _ivf_tomb_dirs(path)
+    ):
+        import shutil
+
+        shutil.rmtree(path, ignore_errors=True)
+        vecs = load_table(spark, sf_dir, table)
+        build_ivf_index(
+            vecs.filter(F.col(id_col) % 5 != 0), path, n_centroids, id_col, vec_col
+        )
+        append_to_ivf_index(
+            vecs.filter(F.col(id_col) % 5 == 0), path, id_col, vec_col
+        )
+        delete_from_ivf_index(
+            spark, path, vecs.filter(F.col(id_col) % 7 == 3).select(id_col), id_col
+        )
+        with open(sidecar, "w") as fh:
+            fh.write(f"{source_mtime!r} {IVF_INDEX_FORMAT}")
+    return path
+
+
+def ensure_compacted_ivf_index(
+    spark,
+    sf_dir: str,
+    table: str = "embeddings",
+    n_centroids: int = 16,
+) -> str:
+    """Compacted twin of :func:`ensure_deleted_ivf_index` — base, delta
+    and tombstone all fold into one cells relation (deleted vectors
+    physically gone), proving the q117 claim that compaction changes
+    nothing a probe can observe."""
+    import os
+    import re
+    from urllib.parse import urlparse
+
+    from plumberapp_spark.session import _path_mtime
+
+    src = ensure_deleted_ivf_index(spark, sf_dir, table, n_centroids)
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", "")).path or "spark-warehouse"
+    tag = re.sub(r"[^0-9A-Za-z]+", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1])
+    path = os.path.join(wh, f"ivfdelc_{table}_{tag}_{n_centroids}")
+    sidecar = os.path.join(path, "source_mtime.txt")
+    source_mtime = _path_mtime(f"{sf_dir}/{table}.parquet")
+    recorded, rec_format = None, None
+    try:
+        with open(sidecar) as fh:
+            parts = fh.read().split()
+            recorded = float(parts[0])
+            rec_format = int(parts[1])
+    except (OSError, ValueError, IndexError):
+        recorded = None
+    if (
+        recorded is None
+        or recorded != source_mtime
+        or rec_format != IVF_INDEX_FORMAT
+        or not os.path.exists(os.path.join(path, "cells", "_SUCCESS"))
+    ):
+        import shutil
+
+        shutil.rmtree(path, ignore_errors=True)
+        compact_ivf_index(spark, src, path)
         with open(sidecar, "w") as fh:
             fh.write(f"{source_mtime!r} {IVF_INDEX_FORMAT}")
     return path

@@ -2807,3 +2807,60 @@ def q115_tfidf_serve_after_delete(spark: SparkSession, sf_dir: str) -> DataFrame
     path = ensure_deleted_segmented_index(spark, sf_dir, "documents")
     ensure_tfidf_norms(spark, path)
     return tfidf_topk_segmented(spark, path, _freetext_query_frame(spark), k=10)
+
+
+# q109's frozen-codebook replay with the deleted set excluded from the
+# SERVABLE side only: centroids still come from the 80 % base subset
+# (a takedown does not move a frozen codebook), queries remain every
+# vec_id % 50 == 0 (searching for a deleted doc's neighbors is still a
+# valid query), but no deleted vector may be returned as a neighbor.
+_IVF_DELETED_ORACLE = _IVF_APPEND_ORACLE.replace(
+    "vc AS (SELECT vec_id, c_id AS cell FROM ranked WHERE rn = 1)",
+    "vc AS (SELECT vec_id, c_id AS cell FROM ranked\n"
+    "                WHERE rn = 1 AND vec_id % 7 != 3)",
+)
+
+
+@register("q116_ivf_serve_after_delete", oracle=_IVF_DELETED_ORACLE)
+def q116_ivf_serve_after_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELETION on the dense route (round 10, q113's pattern on IVF):
+    the q109 fixture (80 % build + 20 % delta) takes a takedown of
+    every vec_id % 7 == 3 as one immutable tombstone — an anti-join
+    set only, since IVF has no corpus-global scalars to correct.
+    Serving excludes tombstoned ids from the pruned base∪delta scan
+    (broadcast anti-join over the probed cells' survivors); the frozen
+    codebook does not move. The oracle replays the approximation with
+    the deleted set excluded from the servable side: the hash proves
+    no deleted vector can be returned and no survivor is disturbed."""
+    from plumberapp_spark.llm.similarity import (
+        ensure_deleted_ivf_index,
+        ivf_topk_indexed,
+    )
+
+    path = ensure_deleted_ivf_index(spark, sf_dir, "embeddings", n_centroids=16)
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_topk_indexed(
+        spark, path, emb.filter(F.col("vec_id") % 50 == 0), k=5, nprobe=2
+    )
+
+
+@register("q117_ivf_compact_after_delete", oracle=_IVF_DELETED_ORACLE)
+def q117_ivf_compact_after_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF COMPACTION (round 10, VERDICT r9 #2): base + every delta +
+    tombstones fold into ONE cells relation — cells are disjoint by id
+    so the merge is a union + one partitioned rewrite (assignments are
+    never recomputed; the codebook moved for nobody), and deleted
+    vectors are dropped physically. This is the bound on q112's
+    streaming-append fan-out: _read_ivf_cells otherwise unions every
+    delta forever. Shares q116's oracle: the hash proves a probe
+    cannot tell the compacted index from the segmented one."""
+    from plumberapp_spark.llm.similarity import (
+        ensure_compacted_ivf_index,
+        ivf_topk_indexed,
+    )
+
+    path = ensure_compacted_ivf_index(spark, sf_dir, "embeddings", n_centroids=16)
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_topk_indexed(
+        spark, path, emb.filter(F.col("vec_id") % 50 == 0), k=5, nprobe=2
+    )

@@ -161,3 +161,99 @@ def test_tokenless_doc_delete_decrements_n_exactly(spark, tmp_path):
     ).first()
     assert g["_nd"] == 2
     assert abs(g["_avgdl"] - 2.5) < 1e-9  # (2 + 3) tokens / 2 docs
+
+
+# ---- dense route: IVF deletion + delta compaction -----------------------
+
+
+def test_ivf_delete_and_compaction(spark, tmp_path):
+    from plumberapp_spark.llm.similarity import (
+        _ivf_delta_dirs,
+        _ivf_tomb_dirs,
+        _read_ivf_cells,
+        append_to_ivf_index,
+        build_ivf_index,
+        compact_ivf_index,
+        delete_from_ivf_index,
+        ivf_topk_indexed,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    path = str(tmp_path / "idx")
+    build_ivf_index(emb.filter(F.col("vec_id") % 5 != 0), path, n_centroids=8)
+    append_to_ivf_index(emb.filter(F.col("vec_id") % 5 == 0), path)
+    n_full = _read_ivf_cells(spark, path).count()
+    delete_from_ivf_index(
+        spark, path, emb.filter(F.col("vec_id") % 7 == 3).select("vec_id")
+    )
+    n_live = _read_ivf_cells(spark, path).count()
+    assert n_live < n_full
+    q = emb.filter(F.col("vec_id") % 50 == 0)
+    got = sorted(
+        tuple(r) for r in ivf_topk_indexed(spark, path, q, k=5, nprobe=2).collect()
+    )
+    assert got and all(r[1] % 7 != 3 for r in got), "a deleted vector was served"
+
+    # compaction: one cells relation, no deltas/tombstones, identical serving
+    out = str(tmp_path / "compacted")
+    compact_ivf_index(spark, path, out)
+    assert not _ivf_delta_dirs(out) and not _ivf_tomb_dirs(out)
+    assert _read_ivf_cells(spark, out).count() == n_live
+    assert (
+        _read_ivf_cells(spark, out).filter(F.col("vec_id") % 7 == 3).count() == 0
+    ), "physical drop must remove tombstoned vectors"
+    after = sorted(
+        tuple(r) for r in ivf_topk_indexed(spark, out, q, k=5, nprobe=2).collect()
+    )
+    assert after == got
+
+
+def test_ivf_maybe_compact_bounds_streaming_fanout(spark, tmp_path):
+    """20 epoch-keyed appends (the q112 shape) then the size-bounded
+    policy: fan-out collapses to zero deltas, serving unchanged, the
+    swap hook sees (compacted, live) when supplied."""
+    from plumberapp_spark.llm.similarity import (
+        _ivf_delta_dirs,
+        append_to_ivf_index,
+        build_ivf_index,
+        ivf_topk_indexed,
+        maybe_compact_ivf,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    path = str(tmp_path / "idx")
+    build_ivf_index(emb.filter(F.col("vec_id") % 21 == 0), path, n_centroids=4)
+    for epoch in range(20):
+        append_to_ivf_index(
+            emb.filter(F.col("vec_id") % 21 == epoch + 1),
+            path,
+            name=f"delta_e{epoch:09d}",
+            skip_if_complete=True,
+        )
+    assert len(_ivf_delta_dirs(path)) == 20
+    q = emb.filter(F.col("vec_id") % 50 == 0).limit(5)
+    before = sorted(
+        tuple(r) for r in ivf_topk_indexed(spark, path, q, k=3, nprobe=2).collect()
+    )
+    assert maybe_compact_ivf(spark, path, max_deltas=32) is None  # under bound
+    retired = maybe_compact_ivf(spark, path, max_deltas=8)
+    assert retired is not None
+    assert len(_ivf_delta_dirs(path)) == 0, "fan-out must collapse"
+    after = sorted(
+        tuple(r) for r in ivf_topk_indexed(spark, path, q, k=3, nprobe=2).collect()
+    )
+    assert after == before
+
+    # custom swap hook: no filesystem mutation by maybe_compact itself
+    import os
+
+    append_to_ivf_index(emb.filter(F.col("vec_id") % 21 == 1), path)
+    seen = {}
+
+    def my_swap(tmp, live):
+        seen["args"] = (tmp, live)
+        return "retired-by-hook"
+
+    assert maybe_compact_ivf(spark, path, max_deltas=0, swap=my_swap) == "retired-by-hook"
+    assert seen["args"] == (f"{path}.compact", path)
+    assert os.path.exists(f"{path}.compact"), "hook swap must leave dirs to the caller"
