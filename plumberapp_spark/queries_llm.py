@@ -2568,9 +2568,10 @@ def q109_ivf_incremental_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "q110_bigram_logprob",
-    oracle=f"""
+# shared by the direct form (q110) and the segmented-LM serving form
+# (q118) — the 80/20 segment fixture unions to exactly the documents
+# table, so a hash match proves the additive merge is lossless
+_BIGRAM_ORACLE = f"""
     WITH t AS (SELECT doc_id, {TOKS} AS toks FROM documents),
          -- bigrams via zipped shifted SLICES (the Spark plan's own
          -- shape): the positional self-join form blew past 90 GB in
@@ -2597,8 +2598,10 @@ def q109_ivf_incremental_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT d.doc_id, coalesce(agg.n_bigrams, 0)::BIGINT AS n_bigrams,
            agg.mean_logprob
     FROM documents d LEFT JOIN agg USING (doc_id)
-    """,
-)
+    """
+
+
+@register("q110_bigram_logprob", oracle=_BIGRAM_ORACLE)
 def q110_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interpolated bigram LM fluency scoring (round 9): the depth the
     q77 unigram filter cannot see — scrambled bags of frequent tokens
@@ -2863,4 +2866,28 @@ def q117_ivf_compact_after_delete(spark: SparkSession, sf_dir: str) -> DataFrame
     emb = load_table(spark, sf_dir, "embeddings")
     return ivf_topk_indexed(
         spark, path, emb.filter(F.col("vec_id") % 50 == 0), k=5, nprobe=2
+    )
+
+
+@register("q118_bigram_lm_segmented", oracle=_BIGRAM_ORACLE)
+def q118_bigram_lm_segmented(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERSISTED/SEGMENTED bigram LM (round 10, VERDICT r9 #3): q110's
+    two count relations are additive, so the incremental-index pattern
+    applies verbatim — immutable segments of raw (c12, c, T) counts,
+    built 80/20 (seg_00000 + one append that tokenized only the
+    fifth), merged at serve by one Zipf-bounded rollup per relation.
+    The corpus fit — the occurrence-wide count join that is q110's
+    scale weak point — is paid at BUILD time; a scoring run pays its
+    batch's row-local bigram assembly plus count joins semi-joined
+    down to the batch's own vocabulary. Shares q110's oracle: the hash
+    proves the additive merge reconstructs every count (the oracle
+    itself DNFs at Zipf scale — SCALE.md records Spark walls there)."""
+    from plumberapp_spark.llm.textqa import (
+        bigram_logprob_score_segmented,
+        ensure_bigram_lm,
+    )
+
+    path = ensure_bigram_lm(spark, sf_dir, "documents")
+    return bigram_logprob_score_segmented(
+        spark, path, load_table(spark, sf_dir, "documents")
     )
