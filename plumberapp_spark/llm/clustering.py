@@ -112,19 +112,61 @@ def assign_clusters(
 
 
 def update_centroids(
-    assigned: DataFrame, dim: int, vec_col: str = "embedding"
+    assigned: DataFrame,
+    dim: int,
+    vec_col: str = "embedding",
+    max_expr_dim: int = 128,
 ) -> list[tuple[int, list[float]]]:
     """Per-dimension means of each cluster's members, rounded to 6
-    decimals — k×dim aggregate columns through one exchange (map-side
-    partials), then a k-row bounded collect. Clusters that lost every
-    member simply drop out (the standard empty-cluster policy, shared
-    with the oracle; surviving cids are never renumbered)."""
+    decimals. Clusters that lost every member simply drop out (the
+    standard empty-cluster policy, shared with the oracle; surviving
+    cids are never renumbered).
+
+    Two routes by dimensionality (VERDICT r9 #8 — the wide-agg form
+    generates ``dim`` aggregate expressions, which is codegen pressure
+    at 768+):
+
+    * ``dim <= max_expr_dim``: k×dim aggregate COLUMNS through one
+      exchange (map-side partials), k-row collect.
+    * ``dim > max_expr_dim``: ``posexplode`` to (cluster, dim, val)
+      rows and ONE ``groupBy(cluster, dim)`` avg — two grouping
+      columns instead of ``dim`` expressions, so codegen cost is
+      constant in ``dim``. Exchange volume is identical: hash
+      aggregation partials are k×dim per task either way; the collect
+      is k×dim skinny rows reshaped driver-side. Parity between the
+      routes is pinned at dim 256 in tests."""
     ev = _as_double(vec_col)
-    aggs = [F.round(F.avg(ev[i]), 6).alias(f"_c{i}") for i in range(dim)]
-    rows = assigned.groupBy("cluster").agg(*aggs).orderBy("cluster").collect()
-    return [
-        (int(r["cluster"]), [r[f"_c{i}"] for i in range(dim)]) for r in rows
-    ]
+    if dim <= max_expr_dim:
+        aggs = [F.round(F.avg(ev[i]), 6).alias(f"_c{i}") for i in range(dim)]
+        rows = assigned.groupBy("cluster").agg(*aggs).orderBy("cluster").collect()
+        return [
+            (int(r["cluster"]), [r[f"_c{i}"] for i in range(dim)]) for r in rows
+        ]
+    rows = (
+        assigned.select("cluster", F.posexplode(ev).alias("_d", "_v"))
+        .groupBy("cluster", "_d")
+        .agg(F.round(F.avg("_v"), 6).alias("_av"))
+        .collect()
+    )
+    by: dict[int, dict[int, float]] = {}
+    for r in rows:
+        by.setdefault(int(r["cluster"]), {})[int(r["_d"])] = r["_av"]
+    return [(cid, [by[cid][i] for i in range(dim)]) for cid in sorted(by)]
+
+
+def _max_centroid_shift(
+    old: list[tuple[int, list[float]]], new: list[tuple[int, list[float]]]
+) -> float:
+    """Max absolute per-coordinate movement between two centroid
+    tables; infinite when the surviving cid set changed (a dropped
+    cluster is never 'converged')."""
+    o = dict(old)
+    n = dict(new)
+    if set(o) != set(n):
+        return float("inf")
+    return max(
+        (abs(a - b) for cid in o for a, b in zip(o[cid], n[cid])), default=0.0
+    )
 
 
 def kmeans_fit(
@@ -133,17 +175,38 @@ def kmeans_fit(
     iters: int,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    tol: float | None = None,
+    stats: dict | None = None,
 ) -> list[tuple[int, list[float]]]:
-    """Lloyd's algorithm, ``iters`` full passes from the deterministic
-    seeds. Each iteration: one map-only assignment scan folded into a
-    k×dim aggregate; the centroid table round-trips the driver (k×dim
-    doubles, plan-bounded)."""
+    """Lloyd's algorithm, up to ``iters`` full passes from the
+    deterministic seeds. Each iteration: one map-only assignment scan
+    folded into a k×dim aggregate; the centroid table round-trips the
+    driver (k×dim doubles, plan-bounded).
+
+    ``tol`` (VERDICT r9 #8, the A12 convergence-stop pattern applied to
+    the fit): stop as soon as the max per-coordinate centroid shift of
+    an iteration is ≤ tol. Because centroids are ROUNDED to 6 decimals
+    every iteration, exact convergence (shift == 0.0) is reachable and
+    ``tol=0.0`` is meaningful — and once an update moves nothing, every
+    further iteration reproduces the same table, so an early stop at
+    iteration m is BIT-IDENTICAL to running all ``iters`` (which is the
+    oracle contract: a converged tol-stopped fit still matches the
+    full generated-CTE replay; pinned in tests). ``stats``, when given,
+    records ``iters_run`` for callers auditing the early stop."""
     dim = int(embeddings.select(F.size(F.col(vec_col)).alias("_d")).first()["_d"])
     cents = seed_centroids(embeddings, k, vec_col, id_col)
+    ran = 0
     for _ in range(iters):
-        cents = update_centroids(
+        new = update_centroids(
             assign_clusters(embeddings, cents, vec_col), dim, vec_col
         )
+        ran += 1
+        converged = tol is not None and _max_centroid_shift(cents, new) <= tol
+        cents = new
+        if converged:
+            break
+    if stats is not None:
+        stats["iters_run"] = ran
     return cents
 
 

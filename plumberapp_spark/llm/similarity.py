@@ -1432,6 +1432,73 @@ def append_to_ivf_index(
     return delta
 
 
+def codebook_drift_advice(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 2,
+    min_recall: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Close the monitoring→maintenance loop for the frozen-codebook
+    index (VERDICT r9 #6): appends assign against centroids that never
+    move, so a drifting embedding feed degrades probe recall silently —
+    the q72 recall measurement, run against the INDEX'S OWN live
+    content (base ∪ deltas − tombstones) over a bounded sampled query
+    set, is the signal; this turns it into an actionable row, the
+    optimizer/advisor pattern applied to the index tier.
+
+    One row: (k, nprobe, n_deltas, n_true, n_hit, recall,
+    recommend_rebuild, advice). ``recommend_rebuild`` is True when
+    recall@k over the sample drops below ``min_recall`` — the moment a
+    deliberate re-train (build_ivf_index over the live corpus, which
+    re-draws the codebook) buys back more than the append path saves.
+    Cost: one exact pass over the index content (brute force's bounded
+    broadcast-query contract) + one probed search — the same two
+    routes q72 compares, so running this after every N appends is the
+    documented maintenance cadence."""
+    corpus = _read_ivf_cells(spark, path).drop("_cell")
+    exact = brute_force_topk(
+        corpus, queries, k, id_col, vec_col, query_id_col
+    ).select(query_id_col, "neighbor_id")
+    approx = ivf_topk_indexed(
+        spark, path, queries, k, nprobe, id_col, vec_col, query_id_col
+    ).select(query_id_col, "neighbor_id")
+    n_true = exact.groupBy().agg(F.count("*").alias("n_true"))
+    n_hit = (
+        exact.join(approx, [query_id_col, "neighbor_id"], "left_semi")
+        .groupBy()
+        .agg(F.count("*").alias("n_hit"))
+    )
+    n_deltas = len(_ivf_delta_dirs(path))
+    recall = F.round(F.col("n_hit") / F.greatest(F.col("n_true"), F.lit(1)), 6)
+    return (
+        n_true.crossJoin(n_hit)
+        .select(
+            F.lit(int(k)).alias("k"),
+            F.lit(int(nprobe)).alias("nprobe"),
+            F.lit(n_deltas).cast("bigint").alias("n_deltas"),
+            "n_true",
+            "n_hit",
+            recall.alias("recall"),
+            (recall < F.lit(float(min_recall))).alias("recommend_rebuild"),
+            F.when(
+                recall < F.lit(float(min_recall)),
+                F.lit(
+                    f"recall@{k} below {min_recall} after {n_deltas} appends — "
+                    "the frozen codebook no longer matches the corpus; "
+                    "re-train (build_ivf_index over the live content)"
+                ),
+            )
+            .otherwise(F.lit("codebook healthy — keep appending"))
+            .alias("advice"),
+        )
+    )
+
+
 def ensure_ivf_index(
     spark,
     sf_dir: str,

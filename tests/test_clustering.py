@@ -175,3 +175,45 @@ def test_ensure_centroids_fit_once(spark, tmp_path, monkeypatch):
     clear_table_cache()
     cl.ensure_kmeans_centroids(spark, sf_dir, k=4, iters=1)
     assert calls == [1], "source rewrite did not refit"
+
+
+# ---- round 10 hardening (VERDICT r9 #8) ---------------------------------
+
+
+def test_update_centroids_high_dim_route_matches_expr_route(spark):
+    """dim 256: the posexplode route (constant codegen cost in dim)
+    must reproduce the wide-agg route's table on the same assignment."""
+    import random
+
+    from plumberapp_spark.llm.clustering import assign_clusters, update_centroids
+
+    rng = random.Random(7)
+    dim = 256
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(dim)]) for i in range(60)]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    cents = [(0, rows[0][1]), (1, rows[1][1]), (2, rows[2][1])]
+    assigned = assign_clusters(emb, cents)
+    wide = update_centroids(assigned, dim, max_expr_dim=1024)
+    tall = update_centroids(assigned, dim, max_expr_dim=16)
+    assert [c for c, _ in wide] == [c for c, _ in tall]
+    for (_, a), (_, b) in zip(wide, tall):
+        assert len(a) == len(b) == dim
+        assert all(abs(x - y) < 1e-9 for x, y in zip(a, b))
+
+
+def test_kmeans_tol_early_stop_is_bit_identical_to_full_run(spark):
+    """Two tight, well-separated blobs: the fit converges after one
+    real move, so tol=0.0 stops early — and the stopped table must be
+    BIT-identical to the all-iterations run (the oracle contract: a
+    converged tol fit still matches the full generated-CTE replay)."""
+    from plumberapp_spark.llm.clustering import kmeans_fit
+
+    rows = [(i, [0.0 + 0.001 * i, 1.0]) for i in range(5)]
+    rows += [(10 + i, [10.0 + 0.001 * i, -3.0]) for i in range(5)]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+
+    stats: dict = {}
+    stopped = kmeans_fit(emb, k=2, iters=8, tol=0.0, stats=stats)
+    full = kmeans_fit(emb, k=2, iters=8)
+    assert stats["iters_run"] < 8, "tol must actually stop early"
+    assert stopped == full

@@ -313,3 +313,59 @@ def test_bigram_lm_segments_additive_and_compactable(spark, tmp_path):
     self_fit = sorted(tuple(r) for r in bigram_logprob_score(fifth).collect())
     assert {r[0] for r in served} == {r[0] for r in self_fit}
     assert served != self_fit, "segmented serving must use the corpus LM"
+
+
+def test_codebook_drift_advice_flags_drifted_delta(spark, tmp_path):
+    """VERDICT r9 #6: a delta that crowds the boundary BETWEEN two
+    frozen centroids splits true neighbor sets across cells, so an
+    nprobe=1 probe must lose recall — the advice flips to rebuild.
+    Control: boundary-free queries on the same index stay healthy."""
+    import math
+
+    from plumberapp_spark.llm.similarity import (
+        append_to_ivf_index,
+        build_ivf_index,
+        codebook_drift_advice,
+    )
+
+    def vec(angle_deg):
+        a = math.radians(angle_deg)
+        return [math.cos(a), math.sin(a)]
+
+    # base corpus = the two axis vectors -> centroids are exactly those
+    base = spark.createDataFrame(
+        [(0, vec(0.0)), (1, vec(90.0))], "vec_id bigint, embedding array<double>"
+    )
+    path = str(tmp_path / "idx")
+    build_ivf_index(base, path, n_centroids=2)
+
+    # drifted delta: dense around the 45-degree boundary (the frozen
+    # codebook has no centroid there, so assignments split at 45)
+    delta = spark.createDataFrame(
+        [(100 + i, vec(40.0 + 0.5 * i)) for i in range(21)],
+        "vec_id bigint, embedding array<double>",
+    )
+    append_to_ivf_index(delta, path)
+
+    boundary_queries = spark.createDataFrame(
+        [(900, vec(44.8)), (901, vec(45.2)), (902, vec(44.6)), (903, vec(45.4))],
+        "vec_id bigint, embedding array<double>",
+    )
+    row = codebook_drift_advice(
+        spark, path, boundary_queries, k=5, nprobe=1, min_recall=0.9
+    ).first()
+    assert row["n_deltas"] == 1
+    assert row["recall"] < 0.9
+    assert row["recommend_rebuild"] is True
+    assert "re-train" in row["advice"]
+
+    # away from the boundary the same index is healthy
+    safe_queries = spark.createDataFrame(
+        [(910, vec(5.0)), (911, vec(85.0))],
+        "vec_id bigint, embedding array<double>",
+    )
+    ok = codebook_drift_advice(
+        spark, path, safe_queries, k=3, nprobe=1, min_recall=0.9
+    ).first()
+    assert ok["recommend_rebuild"] is False
+    assert ok["recall"] >= 0.9
