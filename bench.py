@@ -138,6 +138,21 @@ PRIMARY_INPUT = {
     "q101_tfidf_freetext_search": "documents",
     "q102_bm25_freetext_search": "documents",
     "q103_hybrid_freetext_search": "documents",
+    "q104_bm25_incremental_index": "documents",
+    "q105_bm25_compacted_index": "documents",
+    "q106_streaming_index_ingest": "documents",
+    "q107_kmeans_cluster_profile": "embeddings",
+    "q108_cluster_balanced_sample": "embeddings",
+    "q109_ivf_incremental_append": "embeddings",
+    "q110_bigram_logprob": "documents",
+    "q111_tfidf_segmented_search": "documents",
+    "q112_streaming_ivf_ingest": "embeddings",
+    "q113_bm25_serve_after_delete": "documents",
+    "q114_bm25_compact_after_delete": "documents",
+    "q115_tfidf_serve_after_delete": "documents",
+    "q116_ivf_serve_after_delete": "embeddings",
+    "q117_ivf_compact_after_delete": "embeddings",
+    "q118_bigram_lm_segmented": "documents",
 }
 
 RATE_TABLES = ("lineitem", "orders", "events", "documents", "embeddings", "customer")
@@ -169,6 +184,9 @@ AMORTIZED_TO_INDEXED = {
     "q80_tfidf_search": "q94_tfidf_indexed_search",
     "q83_bm25_search": "q95_bm25_indexed_search",
     "q98_hybrid_search": "q99_hybrid_indexed_search",
+    # round 10: the bigram LM gained its persisted twin (same oracle,
+    # hash-identical) — the direct fit is now a build-lineage form too
+    "q110_bigram_logprob": "q118_bigram_lm_segmented",
 }
 
 
@@ -475,7 +493,8 @@ def main() -> None:
             in {
                 "q94", "q95", "q96", "q97", "q98", "q99", "q100", "q101",
                 "q102", "q103", "q104", "q105", "q106", "q107", "q108",
-                "q109", "q111", "q112",
+                "q109", "q111", "q112", "q113", "q114", "q115", "q116",
+                "q117",
             }
         )
         detail["index_serving_family"] = index_family
@@ -503,6 +522,40 @@ def main() -> None:
                 if AMORTIZED_TO_INDEXED.get(n, n) in detail["vs_duckdb"]
             ]
         )
+        # Machine-readable gate grading (VERDICT r9 #1): the sf0.1
+        # substantive geomean mixes floor-bound serving plans (0.05-0.2 s
+        # oracles, where Spark's multi-stage scheduling floor dominates)
+        # with real corpus passes, so BASELINE.md's ≤2x gate stopped
+        # being checkable from the artifact alone. GRADED.json (next to
+        # this script, refreshed each round from tools/time_queries.py
+        # runs at the .scaled beds) records each scale-bed-waived
+        # query's measured ratio at its graded bed; every other
+        # substantive query grades at THIS run's sf ratio. Result:
+        # per-query graded_bed/graded_ratio maps plus ONE
+        # vs_gate_geomean the gate check reads directly.
+        try:
+            with open(Path(__file__).resolve().parent / "GRADED.json") as fh:
+                graded = json.load(fh)
+        except OSError:
+            graded = {}
+        graded_bed: dict[str, str] = {}
+        graded_ratio: dict[str, float] = {}
+        for n in substantive:
+            if n in graded and graded[n].get("ratio") is not None:
+                graded_bed[n] = graded[n]["bed"]
+                graded_ratio[n] = graded[n]["ratio"]
+            elif n in detail["vs_duckdb"]:
+                graded_bed[n] = f"sf{sf}"
+                graded_ratio[n] = detail["vs_duckdb"][n]
+        # waived queries whose sf oracle sits under the substantive
+        # floor still carry their scale-bed grade into the headline
+        for n, rec in graded.items():
+            if n in REGISTRY and n not in graded_ratio and rec.get("ratio") is not None:
+                graded_bed[n] = rec["bed"]
+                graded_ratio[n] = rec["ratio"]
+        detail["graded_bed"] = graded_bed
+        detail["graded_ratio"] = graded_ratio
+        detail["vs_gate_geomean"] = _geomean(list(graded_ratio.values()))
         # drift bracket (VERDICT r6 #6): the same geomean computed from the
         # WORST warm rep per query — [min-based, max-based] bounds what any
         # single-sample protocol could have reported on this host today.
@@ -546,6 +599,7 @@ def main() -> None:
         "n_failed": len(failed),
         "vs_duckdb_geomean": detail.get("vs_duckdb_geomean"),
         "vs_duckdb_geomean_substantive": detail.get("vs_duckdb_geomean_substantive"),
+        "vs_gate_geomean": detail.get("vs_gate_geomean"),
         "geomean_bracket": detail.get("vs_duckdb_geomean_substantive_bracket"),
         "detail": "BENCH_local.json",
     }

@@ -180,6 +180,77 @@ _PROMOTE_R9 = (
 for _name in [n for n in list(REGISTRY) if n not in _PROMOTE_R9]:
     REGISTRY[_name] = REGISTRY.pop(_name)
 
+# Round-10 rotation (VERDICT r9 #5): the window is exactly the 50
+# STALEST queries by last-driver-green round, computed from the
+# CORRECTNESS_r01..r09 union — the 6 NEW round-10 queries (deletion
+# tier q113-q117, segmented bigram LM q118; never driver-checked),
+# then q33 (r4), the r6 four (q17/q20/q23/q25), the r7 band
+# (q35-q41), and 32 of the r8-green set (name-order tie-break:
+# q06/q100/q24/q26/q29/q50/q54-q56/q58-q65/q67-q81). Displaced into
+# the tail: everything green in r9 plus the most recent half of the
+# r8 set (q82-q99) — every one driver-green within the last two
+# rounds. With this rotation the r1-r10 union again covers all 118
+# registered queries with no row older than two rounds except none.
+_PROMOTE_R10 = (
+    # new this round — first driver rows needed:
+    "q113_bm25_serve_after_delete",
+    "q114_bm25_compact_after_delete",
+    "q115_tfidf_serve_after_delete",
+    "q116_ivf_serve_after_delete",
+    "q117_ivf_compact_after_delete",
+    "q118_bigram_lm_segmented",
+    # last driver-checked r4 (missed the r9 window at position 50):
+    "q33_plateau_detection",
+    # last driver-checked r6:
+    "q17_minhash_lsh_pairs",
+    "q20_embedding_topk",
+    "q23_language_id",
+    "q25_multimodal_features",
+    # last driver-checked r7:
+    "q35_revenue_by_nation",
+    "q36_order_priority_window",
+    "q37_cache_placement",
+    "q38_padded_batch",
+    "q39_shipping_priority",
+    "q40_forecast_revenue",
+    "q41_returned_items",
+    # last driver-checked r8 (stalest 32 by name-order tie-break):
+    "q06_zip_by_index",
+    "q100_hybrid_ivf_search",
+    "q24_token_stats",
+    "q26_shuffle_multiset",
+    "q29_bottleneck_node",
+    "q50_dedup_then_lsh",
+    "q54_ivf_topk",
+    "q55_stateful_rate_monitor",
+    "q56_lsh_bucketed_topk",
+    "q58_ngram_jaccard_capped",
+    "q59_simhash_hamming_pairs",
+    "q60_repetition_stats",
+    "q61_stratified_sample",
+    "q62_quality_filter",
+    "q63_near_dup_clusters",
+    "q64_top_ngrams",
+    "q65_token_budget_packing",
+    "q67_decontamination",
+    "q68_incremental_dedup",
+    "q69_document_chunking",
+    "q70_quota_sample",
+    "q71_hash_split",
+    "q72_ann_recall",
+    "q73_lsh_multiprobe",
+    "q74_semantic_dedup",
+    "q75_pii_redaction",
+    "q76_line_dedup",
+    "q77_unigram_logprob",
+    "q78_lp_bandwidth_bound",
+    "q79_perplexity_buckets",
+    "q80_tfidf_search",
+    "q81_bloom_decontamination",
+)
+for _name in [n for n in list(REGISTRY) if n not in _PROMOTE_R10]:
+    REGISTRY[_name] = REGISTRY.pop(_name)
+
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: qd.fn for name, qd in REGISTRY.items()}

@@ -369,3 +369,34 @@ def test_codebook_drift_advice_flags_drifted_delta(spark, tmp_path):
     ).first()
     assert ok["recommend_rebuild"] is False
     assert ok["recall"] >= 0.9
+
+
+def test_lexical_maybe_compact_swap_hook(spark, tmp_path):
+    """VERDICT r9 #7: on object stores rename is not atomic — a caller
+    may supply the swap; maybe_compact then performs no filesystem
+    mutation of its own."""
+    from plumberapp_spark.llm.segments import (
+        _list_segments,
+        append_segment,
+        build_segmented_index,
+        maybe_compact,
+    )
+
+    docs = _docs(spark)
+    path = str(tmp_path / "idx")
+    build_segmented_index(docs.filter(F.col("doc_id") % 3 == 0), path)
+    append_segment(docs.filter(F.col("doc_id") % 3 == 1), path)
+    append_segment(docs.filter(F.col("doc_id") % 3 == 2), path)
+
+    assert maybe_compact(spark, path, max_segments=8) is None  # under bound
+    seen = {}
+
+    def my_swap(tmp, live):
+        seen["args"] = (tmp, live)
+        return "retired-by-hook"
+
+    assert maybe_compact(spark, path, max_segments=2, swap=my_swap) == "retired-by-hook"
+    assert seen["args"] == (f"{path}.compact", path)
+    assert os.path.exists(f"{path}.compact"), "hook swap leaves dirs to the caller"
+    assert len(_list_segments(path)) == 3, "live index untouched by hook swap"
+    assert len(_list_segments(f"{path}.compact")) == 1

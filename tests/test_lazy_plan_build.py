@@ -86,6 +86,16 @@ EAGER_ALLOWED = {
     # driver (k×dim bounded collect; cached per source mtime)
     "q107_kmeans_cluster_profile": "Lloyd fit collects (k×dim bounded contract)",
     "q108_cluster_balanced_sample": "Lloyd fit collects (q107 contract)",
+    # round-10 deletion tier: same build-once materialization shape,
+    # plus the tombstone write (a delete IS a materialization)
+    "q113_bm25_serve_after_delete": "segment+tombstone materialization + bucket-list collect",
+    "q114_bm25_compact_after_delete": "segment+tombstone+compaction materialization + bucket-list collect",
+    "q115_tfidf_serve_after_delete": "segment+tombstone+norms materialization + bucket-list collect",
+    "q116_ivf_serve_after_delete": "index+delta+tombstone materialization + bounded collects",
+    "q117_ivf_compact_after_delete": "index+compaction materialization + bounded collects",
+    # round-10 segmented bigram LM: segment materialization only (the
+    # serving plan itself is lazy — counts merge inside the plan)
+    "q118_bigram_lm_segmented": "LM segment materialization (build-once warehouse contract)",
     # Structured Streaming queries start and drain their micro-batches
     "q52_streaming_window_counts": "micro-batch execution is the query",
     "q55_stateful_rate_monitor": "micro-batch execution is the query",
