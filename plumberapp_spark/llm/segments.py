@@ -292,29 +292,21 @@ def _apply_tombstones(
     spark, path: str, postings: DataFrame, dfreq: DataFrame
 ) -> tuple[DataFrame, DataFrame, list[str]]:
     """Splice deletions into a serving plan: anti-join the (broadcast)
-    tombstoned ids out of the pruned postings, and correct the pruned
-    df relation by counting the rows being removed (one extra aggregate
-    over rows the scan already touches — each (doc, term) posting row
-    is one df unit). Returns (live postings, corrected dfreq, tombs)."""
+    tombstoned ids out of the pruned postings, and REPLACE the
+    termstats-derived df with a count over the live postings — each
+    (doc, term) posting row is one df unit, so ``count(live rows per
+    tk)`` IS ``Σ termstats − removed`` exactly (the q101 free-text
+    trick: the postings are their own df relation). That costs one
+    aggregate over rows the scoring scan touches anyway and saves both
+    the termstats scans and a correction join; with no tombstones the
+    cheaper summed-termstats ``dfreq`` passes through untouched.
+    Returns (live postings, effective dfreq, tombs)."""
     tombs = _list_tombstones(path)
     dead_ids = _tombstone_ids(spark, tombs)
     if dead_ids is None:
         return postings, dfreq, tombs
-    dead_ids = F.broadcast(dead_ids)
-    removed_df = (
-        postings.join(dead_ids, "doc_id", "left_semi")
-        .groupBy("tk")
-        .agg(F.count("*").alias("_rdf"))
-    )
-    dfreq = (
-        dfreq.join(removed_df, "tk", "left")
-        .select(
-            "tk",
-            (F.col("_df") - F.coalesce(F.col("_rdf"), F.lit(0))).alias("_df"),
-        )
-        .filter(F.col("_df") > 0)
-    )
-    return postings.join(dead_ids, "doc_id", "left_anti"), dfreq, tombs
+    live = postings.join(F.broadcast(dead_ids), "doc_id", "left_anti")
+    return live, live.groupBy("tk").agg(F.count("*").alias("_df")), tombs
 
 
 def build_segmented_index(
@@ -476,9 +468,25 @@ def bm25_topk_segmented(
         F.broadcast(qterms.select("tk").distinct()), "tk", "left_semi"
     )
     postings, dfreq, tombs = _apply_tombstones(spark, path, postings, dfreq)
+    if tombs:
+        # BM25 needs df only per posting row, so on a tombstoned index
+        # it rides a window COUNT over the single live pruned scan —
+        # the separate dfreq relation would re-execute that scan (its
+        # termstats shortcut is invalid once deletes shift df). One
+        # Zipf-hot query term makes one fat window partition; that
+        # beats doubling the scan (measured at zipf100: 6.7 s → 4.9 s).
+        from pyspark.sql import Window
+
+        postings = postings.withColumn(
+            "_df", F.count("*").over(Window.partitionBy("tk"))
+        )
+        weighted = postings.join(F.broadcast(qterms), "tk")
+    else:
+        weighted = postings.join(F.broadcast(qterms), "tk").join(
+            F.broadcast(dfreq), "tk"
+        )
     scored = (
-        postings.join(F.broadcast(qterms), "tk")
-        .join(F.broadcast(dfreq), "tk")
+        weighted
         .crossJoin(F.broadcast(_global_scalars(spark, segs, tombs)))
         .select(
             "query_id",

@@ -1,6 +1,11 @@
 """Ad-hoc per-query timing: spark wall + DuckDB oracle wall at a given
-sf dir. Usage: python tools/time_queries.py SF_DIR q24_token_stats ...
-(repeats each query twice, reports the second/warm run)."""
+sf dir. Usage: python tools/time_queries.py [--noop] SF_DIR q24_token_stats ...
+(repeats each query twice, reports the second/warm run).
+
+``--noop`` consumes the Spark side with bench.py's count-free noop
+write instead of collect() — the protocol of record for corpus-sized
+outputs, where collect()'s driver transfer tax is a measurement
+artifact (the r9 q97 dissection: 2.2x by collect, 1.38x by noop)."""
 
 from __future__ import annotations
 
@@ -15,8 +20,12 @@ from tools.check_correctness import TABLES, get_spark
 
 
 def main() -> None:
-    sf_dir = sys.argv[1]
-    names = sys.argv[2:]
+    args = sys.argv[1:]
+    noop = "--noop" in args
+    if noop:
+        args = [a for a in args if a != "--noop"]
+    sf_dir = args[0]
+    names = args[1:]
     spark = get_spark("time_queries")
     duck = duckdb.connect()
     import os
@@ -32,7 +41,13 @@ def main() -> None:
             walls = []
             for _ in range(3):
                 t0 = time.perf_counter()
-                n = len(qd.fn(spark, sf_dir).collect())
+                if noop:
+                    qd.fn(spark, sf_dir).write.format("noop").mode(
+                        "overwrite"
+                    ).save()
+                    n = -1
+                else:
+                    n = len(qd.fn(spark, sf_dir).collect())
                 walls.append(time.perf_counter() - t0)
             best = min(walls[1:])  # exclude the cold first rep
             if qd.oracle:
