@@ -1092,6 +1092,14 @@ def _merged_bigram_counts(spark, segs: list[str]):
             out = df if out is None else out.unionByName(df)
         return out
 
+    if len(segs) == 1:
+        # compacted / single-build LM: the counts ARE final — skip the
+        # merge rollup exchanges entirely (what compact_bigram_lm buys)
+        return (
+            spark.read.parquet(f"{segs[0]}/bgc"),
+            spark.read.parquet(f"{segs[0]}/uni"),
+            spark.read.parquet(f"{segs[0]}/scalars"),
+        )
     bgc = _union("bgc").groupBy("w1", "w2").agg(F.sum("_c12").alias("_c12"))
     uni = _union("uni").groupBy("tk").agg(F.sum("_c").alias("_c"))
     sc = _union("scalars").groupBy().agg(F.sum("_n").alias("_n"))
