@@ -233,6 +233,23 @@ def _list_tombstones(path: str) -> list[str]:
     ]
 
 
+def _absorbed_segments(path: str) -> set[str]:
+    """Names of segments a PRIOR COMPACTION folded into this index
+    (``absorbed.json``, written by compact_segments). An epoch-keyed
+    replay must treat an absorbed segment as complete — its rows are
+    already in the compacted segment — or a post-compaction replay
+    would double-ingest the epoch. This is what makes in-sink
+    auto-compaction (streaming_segment_ingest's ``max_segments``)
+    exactly-once-preserving."""
+    import json
+
+    try:
+        with open(os.path.join(path, "absorbed.json")) as fh:
+            return set(json.load(fh))
+    except (OSError, ValueError):
+        return set()
+
+
 def _tombstone_ids(spark, tombs: list[str]) -> DataFrame | None:
     """Union of all tombstoned doc_ids, or None when no deletes exist.
     Takedown sets are tiny relative to the corpus — the broadcast
@@ -349,8 +366,9 @@ def append_segment(
         if not _SEG_RE.match(name):
             raise ValueError(f"segment name {name!r} must match {_SEG_RE.pattern}")
         seg = os.path.join(path, name)
-        if skip_if_complete and os.path.exists(
-            os.path.join(seg, "scalars", "_SUCCESS")
+        if skip_if_complete and (
+            os.path.exists(os.path.join(seg, "scalars", "_SUCCESS"))
+            or name in _absorbed_segments(path)
         ):
             return seg
         # first segment of an empty index keeps the caller's name — a
@@ -742,6 +760,17 @@ def compact_segments(spark, path: str, out_path: str) -> str:
         .write.mode("overwrite")
         .parquet(f"{seg}/scalars")
     )
+    # record what was folded in: absorbed = the source's own absorbed
+    # set plus every segment this compaction merged — the idempotency
+    # ledger an epoch-keyed replay checks after a swap (see
+    # _absorbed_segments)
+    import json
+
+    absorbed = sorted(
+        _absorbed_segments(path) | {os.path.basename(s) for s in segs}
+    )
+    with open(os.path.join(out_path, "absorbed.json"), "w") as fh:
+        json.dump(absorbed, fh)
     return seg
 
 
@@ -752,6 +781,7 @@ def streaming_segment_ingest(
     text_col: str = "text",
     id_col: str = "doc_id",
     available_now: bool = True,
+    max_segments: int | None = None,
 ):
     """Live index maintenance: each non-empty micro-batch of the
     document stream becomes ONE immutable segment, named by its epoch
@@ -764,10 +794,17 @@ def streaming_segment_ingest(
     This is the streaming face of :func:`append_segment`, exactly as
     ``streaming_exact_dedup`` is the streaming face of the batch dedup
     family — same engine, same relations, provably the same results
-    (q106 shares the full-corpus q102 oracle). Compaction cadence is
-    the operator's knob: micro-batch-per-segment keeps ingest latency
-    flat; a periodic :func:`compact_segments` bounds the per-query
-    segment fan-out."""
+    (q106 shares the full-corpus q102 oracle).
+
+    ``max_segments`` (round 10) wires the compaction policy INTO the
+    sink: after each append, :func:`maybe_compact` runs under the
+    given bound, so the per-query segment fan-out stays bounded under
+    indefinite ingest with no external orchestration. Exactly-once
+    survives the swap because compaction records the epoch segments it
+    folded in (``absorbed.json``) and a replayed epoch treats an
+    absorbed segment as complete. Left None, compaction cadence stays
+    the caller's knob (micro-batch-per-segment = flattest ingest
+    latency)."""
 
     def _sink(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.limit(1).count() == 0:
@@ -780,6 +817,8 @@ def streaming_segment_ingest(
             name=f"seg_s{epoch_id:09d}",
             skip_if_complete=True,
         )
+        if max_segments is not None:
+            maybe_compact(batch_df.sparkSession, path, max_segments)
 
     writer = (
         stream_docs.writeStream.foreachBatch(_sink)

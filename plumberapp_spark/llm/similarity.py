@@ -1324,6 +1324,21 @@ def _read_ivf_cells(spark, path: str) -> DataFrame:
     return cells
 
 
+def _ivf_absorbed(path: str) -> set[str]:
+    """Delta names a prior compaction folded into this index
+    (``absorbed.json`` — segments._absorbed_segments' dense twin): a
+    replayed epoch treats an absorbed delta as complete, so in-sink
+    auto-compaction preserves exactly-once ingest."""
+    import json
+    import os
+
+    try:
+        with open(os.path.join(path, "absorbed.json")) as fh:
+            return set(json.load(fh))
+    except (OSError, ValueError):
+        return set()
+
+
 def compact_ivf_index(spark, path: str, out_path: str) -> str:
     """Merge base + every delta into ONE cells relation, dropping
     tombstoned vectors physically — the bound on q112's per-query delta
@@ -1336,6 +1351,8 @@ def compact_ivf_index(spark, path: str, out_path: str) -> str:
     oracle). Runs beside serving; swap is the caller's problem —
     :func:`maybe_compact_ivf` carries the same swap contract as
     segments.maybe_compact."""
+    import json
+    import os
     import shutil
 
     cells = _read_ivf_cells(spark, path)
@@ -1345,6 +1362,11 @@ def compact_ivf_index(spark, path: str, out_path: str) -> str:
     shutil.copytree(
         f"{path}/centroids", f"{out_path}/centroids", dirs_exist_ok=True
     )
+    absorbed = sorted(
+        _ivf_absorbed(path) | {os.path.basename(d) for d in _ivf_delta_dirs(path)}
+    )
+    with open(os.path.join(out_path, "absorbed.json"), "w") as fh:
+        json.dump(absorbed, fh)
     return out_path
 
 
@@ -1403,8 +1425,9 @@ def append_to_ivf_index(
         if not _re.match(r"^delta_[0-9A-Za-z]+$", name):
             raise ValueError(f"delta name {name!r} must match delta_[0-9A-Za-z]+")
         delta = os.path.join(path, name)
-        if skip_if_complete and os.path.exists(
-            os.path.join(delta, "cells", "_SUCCESS")
+        if skip_if_complete and (
+            os.path.exists(os.path.join(delta, "cells", "_SUCCESS"))
+            or name in _ivf_absorbed(path)
         ):
             return delta
     else:

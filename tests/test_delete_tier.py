@@ -400,3 +400,75 @@ def test_lexical_maybe_compact_swap_hook(spark, tmp_path):
     assert os.path.exists(f"{path}.compact"), "hook swap leaves dirs to the caller"
     assert len(_list_segments(path)) == 3, "live index untouched by hook swap"
     assert len(_list_segments(f"{path}.compact")) == 1
+
+
+def test_autocompact_preserves_exactly_once_across_replay(spark, tmp_path):
+    """Round 10: compaction swaps epoch segments away, so a replayed
+    epoch would re-ingest (double count) unless the compacted index
+    remembers what it absorbed. absorbed.json is that ledger — pinned
+    here end-to-end: append epochs, compact via the size-bounded
+    policy, replay every epoch, and serving must not move."""
+    from plumberapp_spark.llm.segments import (
+        _absorbed_segments,
+        _global_scalars,
+        _list_segments,
+        append_segment,
+        maybe_compact,
+    )
+
+    docs = _docs(spark)
+    path = str(tmp_path / "idx")
+    for epoch in range(4):
+        append_segment(
+            docs.filter(F.col("doc_id") % 4 == epoch), path,
+            name=f"seg_s{epoch:09d}", skip_if_complete=True,
+        )
+    before = _bm25(spark, path)
+    n_before = _global_scalars(spark, _list_segments(path), []).first()["_nd"]
+
+    assert maybe_compact(spark, path, max_segments=2) is not None
+    assert len(_list_segments(path)) == 1
+    assert _absorbed_segments(path) == {f"seg_s{e:09d}" for e in range(4)}
+
+    # at-least-once delivery: every epoch replays after the swap
+    for epoch in range(4):
+        append_segment(
+            docs.filter(F.col("doc_id") % 4 == epoch), path,
+            name=f"seg_s{epoch:09d}", skip_if_complete=True,
+        )
+    assert len(_list_segments(path)) == 1, "replay of an absorbed epoch re-ingested"
+    segs = _list_segments(path)
+    assert _global_scalars(spark, segs, []).first()["_nd"] == n_before
+    assert _bm25(spark, path) == before
+
+    # a genuinely NEW epoch still lands
+    append_segment(docs.limit(0), path, name="seg_s000000009")
+    assert len(_list_segments(path)) == 2
+
+
+def test_ivf_absorbed_ledger_preserves_exactly_once(spark, tmp_path):
+    from plumberapp_spark.llm.similarity import (
+        _ivf_absorbed,
+        _read_ivf_cells,
+        append_to_ivf_index,
+        build_ivf_index,
+        maybe_compact_ivf,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    path = str(tmp_path / "idx")
+    build_ivf_index(emb.filter(F.col("vec_id") % 3 == 0), path, n_centroids=4)
+    for epoch in (1, 2):
+        append_to_ivf_index(
+            emb.filter(F.col("vec_id") % 3 == epoch), path,
+            name=f"delta_e{epoch:09d}", skip_if_complete=True,
+        )
+    n = _read_ivf_cells(spark, path).count()
+    assert maybe_compact_ivf(spark, path, max_deltas=1) is not None
+    assert _ivf_absorbed(path) == {"delta_e000000001", "delta_e000000002"}
+    for epoch in (1, 2):  # replay after swap
+        append_to_ivf_index(
+            emb.filter(F.col("vec_id") % 3 == epoch), path,
+            name=f"delta_e{epoch:09d}", skip_if_complete=True,
+        )
+    assert _read_ivf_cells(spark, path).count() == n, "absorbed delta re-ingested"
