@@ -153,6 +153,7 @@ PRIMARY_INPUT = {
     "q116_ivf_serve_after_delete": "embeddings",
     "q117_ivf_compact_after_delete": "embeddings",
     "q118_bigram_lm_segmented": "documents",
+    "q119_bigram_lm_after_delete": "documents",
 }
 
 RATE_TABLES = ("lineitem", "orders", "events", "documents", "embeddings", "customer")

@@ -182,8 +182,9 @@ for _name in [n for n in list(REGISTRY) if n not in _PROMOTE_R9]:
 
 # Round-10 rotation (VERDICT r9 #5): the window is exactly the 50
 # STALEST queries by last-driver-green round, computed from the
-# CORRECTNESS_r01..r09 union — the 6 NEW round-10 queries (deletion
-# tier q113-q117, segmented bigram LM q118; never driver-checked),
+# CORRECTNESS_r01..r09 union — the 7 NEW round-10 queries (deletion
+# tier q113-q117 and q119, segmented bigram LM q118; never
+# driver-checked),
 # then q33 (r4), the r6 four (q17/q20/q23/q25), the r7 band
 # (q35-q41), and 32 of the r8-green set (name-order tie-break:
 # q06/q100/q24/q26/q29/q50/q54-q56/q58-q65/q67-q81). Displaced into
@@ -194,6 +195,7 @@ for _name in [n for n in list(REGISTRY) if n not in _PROMOTE_R9]:
 _PROMOTE_R10 = (
     # new this round — first driver rows needed:
     "q113_bm25_serve_after_delete",
+    "q119_bigram_lm_after_delete",
     "q114_bm25_compact_after_delete",
     "q115_tfidf_serve_after_delete",
     "q116_ivf_serve_after_delete",
@@ -246,7 +248,8 @@ _PROMOTE_R10 = (
     "q78_lp_bandwidth_bound",
     "q79_perplexity_buckets",
     "q80_tfidf_search",
-    "q81_bloom_decontamination",
+    # (q81 displaced by q119, the 7th new round-10 registration —
+    # r8-green, the least-stale of the r8 band's name-order slice)
 )
 for _name in [n for n in list(REGISTRY) if n not in _PROMOTE_R10]:
     REGISTRY[_name] = REGISTRY.pop(_name)

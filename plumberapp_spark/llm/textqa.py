@@ -1065,6 +1065,66 @@ def append_bigram_segment(
     return seg
 
 
+def delete_bigram_docs(
+    deleted_docs: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    name: str | None = None,
+    skip_if_complete: bool = False,
+) -> str:
+    """Remove documents from the LM by appending a NEGATIVE segment —
+    the same counts a build would add, with sign flipped. Because the
+    merge SUMS counts, serving after the delete is exactly a fresh fit
+    on corpus-minus-deleted (bigrams/tokens whose merged count reaches
+    zero vanish via the merge's positivity filter), and compaction
+    folds the debt physically like any other segment.
+
+    Caller contract (documented divergence from the lexical tier): the
+    LM stores NO doc-keyed relation, so a delete must be charged with
+    the documents' TEXT — pass the rows being taken down, and only rows
+    that were actually ingested (a double-delete would over-subtract;
+    the epoch-keyed ``name``/``skip_if_complete`` pair is the replay
+    guard, same as appends). Takedown pipelines have the documents in
+    hand by definition; callers that only have ids join them against
+    the corpus first."""
+    import os
+    import re as _re
+
+    segs = _bigram_segments(path)
+    if not segs:
+        raise ValueError(f"no segments under {path!r} — nothing to delete from")
+    if name is not None:
+        if not _re.match(r"^seg_[0-9A-Za-z]+$", name):
+            raise ValueError(f"segment name {name!r} must match seg_[0-9A-Za-z]+")
+        seg = os.path.join(path, name)
+        if skip_if_complete and (
+            os.path.exists(os.path.join(seg, "scalars", "_SUCCESS"))
+        ):
+            return seg
+    else:
+        nums = [
+            int(m.group(1))
+            for s in segs
+            if (m := _re.match(r"^seg_(\d+)$", os.path.basename(s)))
+        ]
+        seg = os.path.join(path, f"seg_{(max(nums, default=-1)) + 1:05d}")
+    bg = _bigram_pairs(deleted_docs, text_col, id_col)
+    bg.groupBy("w1", "w2").agg((-F.count("*")).alias("_c12")).write.mode(
+        "overwrite"
+    ).parquet(f"{seg}/bgc")
+    tok = deleted_docs.select(
+        F.explode(tokenize(F.coalesce(F.col(text_col), F.lit("")))).alias("tk")
+    )
+    tok.groupBy("tk").agg((-F.count("*")).alias("_c")).write.mode(
+        "overwrite"
+    ).parquet(f"{seg}/uni")
+    tok.groupBy().agg((-F.count("*")).alias("_n")).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{seg}/scalars")
+    return seg
+
+
 def compact_bigram_lm(spark, path: str, out_path: str) -> str:
     """Merge every segment into one — a numeric rollup (counts sum),
     no re-tokenization. Serving pre/post is bit-identical (the counts
@@ -1100,8 +1160,22 @@ def _merged_bigram_counts(spark, segs: list[str]):
             spark.read.parquet(f"{segs[0]}/uni"),
             spark.read.parquet(f"{segs[0]}/scalars"),
         )
-    bgc = _union("bgc").groupBy("w1", "w2").agg(F.sum("_c12").alias("_c12"))
-    uni = _union("uni").groupBy("tk").agg(F.sum("_c").alias("_c"))
+    # positivity filter: a count summed to zero means the bigram/token
+    # no longer exists in the corpus (negative delete segments cancel
+    # build/append segments exactly) — identical to a fresh fit on the
+    # surviving documents
+    bgc = (
+        _union("bgc")
+        .groupBy("w1", "w2")
+        .agg(F.sum("_c12").alias("_c12"))
+        .filter(F.col("_c12") > 0)
+    )
+    uni = (
+        _union("uni")
+        .groupBy("tk")
+        .agg(F.sum("_c").alias("_c"))
+        .filter(F.col("_c") > 0)
+    )
     sc = _union("scalars").groupBy().agg(F.sum("_n").alias("_n"))
     return bgc, uni, sc
 
@@ -1134,6 +1208,59 @@ def bigram_logprob_score_segmented(
     ).distinct()
     uni = uni.join(need_tk, "tk", "left_semi")
     return _score_with_bigram_counts(df, bg, bgc, uni, sc, id_col, lam)
+
+
+def ensure_deleted_bigram_lm(
+    spark,
+    sf_dir: str,
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """Fixture for the LM deletion query: the ensure_bigram_lm shape
+    (80/20 build+append) followed by a takedown of every
+    ``doc_id % 7 == 3`` as one NEGATIVE segment — the deleted set cuts
+    across both positive segments, so the merge exercises real
+    cancellation (counts reaching zero must vanish)."""
+    import os
+    import re as _re
+    from urllib.parse import urlparse
+
+    from plumberapp_spark.session import _path_mtime, load_table
+
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", "")).path or "spark-warehouse"
+    tag = _re.sub(r"[^0-9A-Za-z]+", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1])
+    path = os.path.join(wh, f"bglmdel_{table}_{tag}")
+    sidecar = os.path.join(path, "source_mtime.txt")
+    source_mtime = _path_mtime(f"{sf_dir}/{table}.parquet")
+    recorded, rec_format = None, None
+    try:
+        with open(sidecar) as fh:
+            parts = fh.read().split()
+            recorded = float(parts[0])
+            rec_format = int(parts[1])
+    except (OSError, ValueError, IndexError):
+        recorded = None
+    if (
+        recorded is None
+        or recorded != source_mtime
+        or rec_format != BIGRAM_LM_FORMAT
+        or len(_bigram_segments(path)) < 3
+    ):
+        import shutil
+
+        shutil.rmtree(path, ignore_errors=True)
+        docs = load_table(spark, sf_dir, table)
+        build_bigram_lm(docs.filter(F.col(id_col) % 5 != 0), path, text_col, id_col)
+        append_bigram_segment(
+            docs.filter(F.col(id_col) % 5 == 0), path, text_col, id_col
+        )
+        delete_bigram_docs(
+            docs.filter(F.col(id_col) % 7 == 3), path, text_col, id_col
+        )
+        with open(sidecar, "w") as fh:
+            fh.write(f"{source_mtime!r} {BIGRAM_LM_FORMAT}")
+    return path
 
 
 def ensure_bigram_lm(

@@ -2891,3 +2891,36 @@ def q118_bigram_lm_segmented(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_logprob_score_segmented(
         spark, path, load_table(spark, sf_dir, "documents")
     )
+
+
+# q110's derivation over corpus-minus-deleted: the LM delete is exact
+# iff scoring survivors against the deleted LM equals a fresh fit on
+# the survivors — every count, the token total, and every per-doc mean
+_BIGRAM_DELETED_ORACLE = _BIGRAM_ORACLE.replace(
+    "AS toks FROM documents)",
+    "AS toks FROM documents WHERE doc_id % 7 != 3)",
+).replace(
+    "FROM documents d LEFT JOIN",
+    "FROM (SELECT * FROM documents WHERE doc_id % 7 != 3) d LEFT JOIN",
+)
+
+
+@register("q119_bigram_lm_after_delete", oracle=_BIGRAM_DELETED_ORACLE)
+def q119_bigram_lm_after_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELETION for the LM family (round 10) — deletes now exist across
+    all three index families. The LM stores no doc-keyed relation, so a
+    takedown appends a NEGATIVE segment (the counts a build would add,
+    sign flipped — the documents' text is in hand by definition in a
+    takedown pipeline); the additive merge cancels them exactly and the
+    positivity filter drops bigrams/tokens whose count reaches zero.
+    Serving survivors against the deleted LM is a fresh fit on
+    corpus-minus-deleted — the oracle replays that fit in full, so the
+    hash proves cancellation is exact, not approximate."""
+    from plumberapp_spark.llm.textqa import (
+        bigram_logprob_score_segmented,
+        ensure_deleted_bigram_lm,
+    )
+
+    path = ensure_deleted_bigram_lm(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 7 != 3)
+    return bigram_logprob_score_segmented(spark, path, docs)

@@ -472,3 +472,48 @@ def test_ivf_absorbed_ledger_preserves_exactly_once(spark, tmp_path):
             name=f"delta_e{epoch:09d}", skip_if_complete=True,
         )
     assert _read_ivf_cells(spark, path).count() == n, "absorbed delta re-ingested"
+
+
+def test_bigram_lm_delete_cancels_exactly(spark, tmp_path):
+    """A negative segment must cancel counts exactly: scoring the
+    survivors against the deleted LM == a fresh fit on the survivors;
+    fully-cancelled bigrams/tokens vanish; compaction folds the debt
+    physically; an epoch-keyed delete replays as a no-op."""
+    from plumberapp_spark.llm.textqa import (
+        _bigram_segments,
+        _merged_bigram_counts,
+        append_bigram_segment,
+        bigram_logprob_score,
+        bigram_logprob_score_segmented,
+        build_bigram_lm,
+        compact_bigram_lm,
+        delete_bigram_docs,
+    )
+
+    docs = _docs(spark)
+    gone = docs.filter(F.col("doc_id") % 7 == 3)
+    kept = docs.filter(F.col("doc_id") % 7 != 3)
+    path = str(tmp_path / "lm")
+    build_bigram_lm(docs.filter(F.col("doc_id") % 5 != 0), path)
+    append_bigram_segment(docs.filter(F.col("doc_id") % 5 == 0), path)
+    delete_bigram_docs(gone, path, name="seg_d000000001", skip_if_complete=True)
+    delete_bigram_docs(gone, path, name="seg_d000000001", skip_if_complete=True)
+    assert len(_bigram_segments(path)) == 3, "delete replay must be a no-op"
+
+    got = sorted(
+        tuple(r) for r in bigram_logprob_score_segmented(spark, path, kept).collect()
+    )
+    want = sorted(tuple(r) for r in bigram_logprob_score(kept).collect())
+    assert got == want and got
+
+    # no zero/negative residue survives the merge
+    bgc, uni, sc = _merged_bigram_counts(spark, _bigram_segments(path))
+    assert bgc.filter(F.col("_c12") <= 0).count() == 0
+    assert uni.filter(F.col("_c") <= 0).count() == 0
+
+    out = str(tmp_path / "compacted")
+    compact_bigram_lm(spark, path, out)
+    after = sorted(
+        tuple(r) for r in bigram_logprob_score_segmented(spark, out, kept).collect()
+    )
+    assert after == got

@@ -96,6 +96,7 @@ EAGER_ALLOWED = {
     # round-10 segmented bigram LM: segment materialization only (the
     # serving plan itself is lazy — counts merge inside the plan)
     "q118_bigram_lm_segmented": "LM segment materialization (build-once warehouse contract)",
+    "q119_bigram_lm_after_delete": "LM segment + negative-segment materialization",
     # Structured Streaming queries start and drain their micro-batches
     "q52_streaming_window_counts": "micro-batch execution is the query",
     "q55_stateful_rate_monitor": "micro-batch execution is the query",
