@@ -541,21 +541,37 @@ def main() -> None:
             graded = {}
         graded_bed: dict[str, str] = {}
         graded_ratio: dict[str, float] = {}
+        graded_dnf: list[str] = []
         for n in substantive:
-            if n in graded and graded[n].get("ratio") is not None:
-                graded_bed[n] = graded[n]["bed"]
-                graded_ratio[n] = graded[n]["ratio"]
+            rec = graded.get(n)
+            if rec and rec.get("dnf_baseline"):
+                # the baseline cannot COMPLETE at this query's graded
+                # bed (OOM/spill death — SCALE.md records the Spark-only
+                # wall there); its small-scale floor ratio would grade
+                # the scheduling floor, not the plan, so it carries no
+                # ratio and is listed instead of silently dropped
+                graded_bed[n] = rec["bed"]
+                graded_dnf.append(n)
+            elif rec and rec.get("ratio") is not None:
+                graded_bed[n] = rec["bed"]
+                graded_ratio[n] = rec["ratio"]
             elif n in detail["vs_duckdb"]:
                 graded_bed[n] = f"sf{sf}"
                 graded_ratio[n] = detail["vs_duckdb"][n]
         # waived queries whose sf oracle sits under the substantive
         # floor still carry their scale-bed grade into the headline
         for n, rec in graded.items():
-            if n in REGISTRY and n not in graded_ratio and rec.get("ratio") is not None:
+            if n not in REGISTRY or n in graded_ratio or n in graded_dnf:
+                continue
+            if rec.get("dnf_baseline"):
+                graded_bed[n] = rec["bed"]
+                graded_dnf.append(n)
+            elif rec.get("ratio") is not None:
                 graded_bed[n] = rec["bed"]
                 graded_ratio[n] = rec["ratio"]
         detail["graded_bed"] = graded_bed
         detail["graded_ratio"] = graded_ratio
+        detail["graded_dnf_baseline"] = sorted(graded_dnf)
         detail["vs_gate_geomean"] = _geomean(list(graded_ratio.values()))
         # drift bracket (VERDICT r6 #6): the same geomean computed from the
         # WORST warm rep per query — [min-based, max-based] bounds what any
