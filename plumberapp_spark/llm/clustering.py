@@ -133,8 +133,16 @@ def update_centroids(
       columns instead of ``dim`` expressions, so codegen cost is
       constant in ``dim``. Exchange volume is identical: hash
       aggregation partials are k×dim per task either way; the collect
-      is k×dim skinny rows reshaped driver-side. Parity between the
-      routes is pinned at dim 256 in tests."""
+      is k×dim skinny rows reshaped driver-side.
+
+    CROSS-ROUTE TOLERANCE (ADVICE r10): the two routes run different
+    physical float-sum plans, so a cluster mean sitting within one ulp
+    of a 6th-decimal rounding boundary MAY round differently between
+    them — agreement is APPROXIMATE, within one 1e-6 rounding step, not
+    bit-exact (tests pin parity at dim 256 with that epsilon). Within a
+    single fit the route is a pure function of ``dim``, so the
+    tol-stop bit-identical-early-stop contract and every oracle match
+    are unaffected; only comparing ACROSS routes carries the epsilon."""
     ev = _as_double(vec_col)
     if dim <= max_expr_dim:
         aggs = [F.round(F.avg(ev[i]), 6).alias(f"_c{i}") for i in range(dim)]

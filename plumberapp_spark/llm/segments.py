@@ -103,11 +103,79 @@ _SEG_NUM_RE = re.compile(r"^seg_(\d+)$")
 _TOMB_RE = re.compile(r"^tomb_(\d+)$")
 
 
+def _recover_swap(path: str) -> None:
+    """Complete or roll back a compaction swap that died between its two
+    renames (ADVICE r10, medium). :func:`_swap_compacted` writes a
+    sibling intent marker BEFORE touching the live path, so every crash
+    state is decidable:
+
+    * marker absent — no swap in flight; nothing to do.
+    * marker present, live path present — the crash hit either before
+      the first rename (live index untouched) or after both (swap
+      complete): the path serves correctly either way, so the marker is
+      stale — discard it.
+    * marker present, live path absent, ``<path>.compact`` present —
+      the crash hit BETWEEN the renames (the silent-data-loss window:
+      a restarted sink would otherwise recreate ``path`` holding only
+      the replayed epoch while the real corpus sits in ``.old.N``).
+      Roll FORWARD: the compacted index is complete by construction
+      (it was only renamed after :func:`compact_segments` returned).
+    * marker present, neither directory — unrecoverable externally
+      induced state; refuse loudly rather than serve an empty index.
+
+    Called from :func:`_list_segments`, the choke point every reader,
+    appender, deleter and sink passes through — so recovery happens on
+    the first touch after a crash, before any segment write could
+    recreate ``path``."""
+    intent = f"{path}.swapintent"
+    if not os.path.exists(intent):
+        return
+    tmp = f"{path}.compact"
+    if os.path.isdir(path):
+        os.remove(intent)
+        return
+    if os.path.isdir(tmp):
+        os.rename(tmp, path)
+        os.remove(intent)
+        return
+    raise RuntimeError(
+        f"interrupted compaction swap at {path!r}: neither the live index "
+        f"nor {tmp!r} survived — restore from the newest {path}.old.N "
+        "sibling before serving or appending"
+    )
+
+
+def _swap_compacted(path: str) -> str:
+    """The default two-rename POSIX swap behind :func:`maybe_compact`
+    (and the IVF twin), made crash-recoverable: an intent marker is
+    written before the first rename and removed after the second, so a
+    death anywhere in between is repaired by :func:`_recover_swap` on
+    the next index touch instead of silently serving a near-empty
+    recreated path. Returns the retired path. Still NOT atomic on
+    object stores — pass a ``swap=`` callback there (see
+    :func:`maybe_compact`'s contract)."""
+    intent = f"{path}.swapintent"
+    tmp = f"{path}.compact"
+    n = 0
+    while os.path.exists(f"{path}.old.{n}"):
+        n += 1
+    retired = f"{path}.old.{n}"
+    with open(intent, "w") as fh:
+        fh.write(retired)
+    os.rename(path, retired)
+    os.rename(tmp, path)
+    os.remove(intent)
+    return retired
+
+
 def _list_segments(path: str) -> list[str]:
     """Complete segments under ``path``. A segment is complete iff its
     scalars marker exists — scalars is the LAST relation a segment
     write lands, so a half-written segment (died mid-append) is
-    invisible to serving rather than AnalysisException."""
+    invisible to serving rather than AnalysisException. Also the
+    recovery choke point for interrupted compaction swaps
+    (:func:`_recover_swap`) — one marker stat per call."""
+    _recover_swap(path)
     try:
         names = sorted(n for n in os.listdir(path) if _SEG_RE.match(n))
     except OSError:
@@ -250,6 +318,32 @@ def _absorbed_segments(path: str) -> set[str]:
         return set()
 
 
+def _require_doclens(segs: list[str]) -> None:
+    """Fail with GUIDANCE when a segment predates the ``doclens``
+    relation (layout format ≤ 2) instead of a raw parquet
+    path-not-found deep inside a delete/compaction plan (ADVICE r10).
+    A backfill from postings would be silently WRONG: token-less
+    documents carry no postings rows, so a derived doclens would miss
+    them — a later delete of such a doc would no-op and leave ``N``
+    permanently overcounted. The only exact repair is a rebuild, which
+    every ``ensure_*`` fixture already performs via the format sidecar;
+    hand-built indexes rebuild via build_segmented_index/append_segment."""
+    missing = [
+        s
+        for s in segs
+        if not os.path.exists(os.path.join(s, "doclens", "_SUCCESS"))
+    ]
+    if missing:
+        raise ValueError(
+            f"segment(s) {[os.path.basename(s) for s in missing]} carry no "
+            f"doclens relation (written under layout format <= 2; current "
+            f"format {SEG_FORMAT}) — deletes and compaction need the exact "
+            "per-document lengths, which postings cannot reconstruct for "
+            "token-less documents. Rebuild the index (the ensure_* fixtures "
+            "do this automatically via their format sidecar)."
+        )
+
+
 def _tombstone_ids(spark, tombs: list[str]) -> DataFrame | None:
     """Union of all tombstoned doc_ids, or None when no deletes exist.
     Takedown sets are tiny relative to the corpus — the broadcast
@@ -275,6 +369,7 @@ def delete_docs(spark, path: str, ids: DataFrame, id_col: str = "doc_id") -> str
     segs = _list_segments(path)
     if not segs:
         raise ValueError(f"no segments under {path!r} — nothing to delete from")
+    _require_doclens(segs)
     tombs = _list_tombstones(path)
     nums = [int(_TOMB_RE.match(os.path.basename(t)).group(1)) for t in tombs]
     tomb = os.path.join(path, f"tomb_{(max(nums, default=-1)) + 1:05d}")
@@ -723,6 +818,7 @@ def compact_segments(spark, path: str, out_path: str) -> str:
     segs = _list_segments(path)
     if not segs:
         raise ValueError(f"no segments under {path!r} — nothing to compact")
+    _require_doclens(segs)
     n_buckets = _seg_buckets(spark, segs[0])
     tombs = _list_tombstones(path)
     dead = _tombstone_ids(spark, tombs)
@@ -909,7 +1005,14 @@ def maybe_compact(
     implementing their store's pointer flip (a manifest/alias update,
     or a versioned-prefix switch); this function then performs NO
     filesystem mutation of its own. The caller (either way) removes
-    the retired copy once no in-flight readers reference it."""
+    the retired copy once no in-flight readers reference it.
+
+    CRASH SAFETY (ADVICE r10): the default swap records an intent
+    marker around its renames; a crash between them is repaired —
+    rolled forward — by :func:`_recover_swap` the next time anything
+    touches the index, so a restarted streaming sink can no longer
+    recreate ``path`` holding only the replayed epoch while the real
+    corpus sits in ``.old.N``."""
     segs = _list_segments(path)
     if len(segs) <= max_segments:
         return None
@@ -920,13 +1023,7 @@ def maybe_compact(
     compact_segments(spark, path, tmp)
     if swap is not None:
         return swap(tmp, path)
-    n = 0
-    while os.path.exists(f"{path}.old.{n}"):
-        n += 1
-    retired = f"{path}.old.{n}"
-    os.rename(path, retired)
-    os.rename(tmp, path)
-    return retired
+    return _swap_compacted(path)
 
 
 def ensure_streamed_index(

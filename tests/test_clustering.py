@@ -182,7 +182,11 @@ def test_ensure_centroids_fit_once(spark, tmp_path, monkeypatch):
 
 def test_update_centroids_high_dim_route_matches_expr_route(spark):
     """dim 256: the posexplode route (constant codegen cost in dim)
-    must reproduce the wide-agg route's table on the same assignment."""
+    must reproduce the wide-agg route's table on the same assignment —
+    to within ONE 1e-6 rounding step, not bit-exactly: the routes run
+    different float-sum plans, so a mean within an ulp of a 6th-decimal
+    rounding boundary may legitimately round differently (the
+    documented cross-route tolerance, ADVICE r10)."""
     import random
 
     from plumberapp_spark.llm.clustering import assign_clusters, update_centroids
@@ -198,7 +202,7 @@ def test_update_centroids_high_dim_route_matches_expr_route(spark):
     assert [c for c, _ in wide] == [c for c, _ in tall]
     for (_, a), (_, b) in zip(wide, tall):
         assert len(a) == len(b) == dim
-        assert all(abs(x - y) < 1e-9 for x, y in zip(a, b))
+        assert all(abs(x - y) <= 1.000001e-6 for x, y in zip(a, b))
 
 
 def test_kmeans_tol_early_stop_is_bit_identical_to_full_run(spark):

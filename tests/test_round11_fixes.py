@@ -1,0 +1,274 @@
+"""Round-11 regression pins for the ADVICE-r10 fixes: crash-recoverable
+compaction swap, doclens format guard, empty-IVF compaction, the bigram
+negative-count invariant, and the unigram vocab broadcast ceiling."""
+
+import os
+
+import pyspark.sql.functions as F
+import pytest
+
+
+def _docs(spark, n=200):
+    return spark.read.parquet("/root/testdata/sf0.001/documents.parquet").filter(
+        F.col("doc_id") < n
+    )
+
+
+def _serve(spark, path, k=5):
+    from plumberapp_spark.llm.segments import bm25_topk_segmented
+
+    q = spark.createDataFrame(
+        [(1, "hash join table"), (2, "slow scan row")],
+        "query_id bigint, q_text string",
+    )
+    return sorted(
+        tuple(r) for r in bm25_topk_segmented(spark, path, q, k=k).collect()
+    )
+
+
+# ---- crash-recoverable swap (ADVICE r10, medium) -------------------------
+
+
+def test_swap_crash_between_renames_rolls_forward(spark, tmp_path):
+    """The silent-data-loss window: a crash after rename(path, .old.N)
+    but before rename(.compact, path) used to leave `path` absent — a
+    restarted sink would recreate it holding only the replayed epoch.
+    With the intent marker, the next index touch completes the swap."""
+    from plumberapp_spark.llm.segments import (
+        _list_segments,
+        append_segment,
+        build_segmented_index,
+        compact_segments,
+    )
+
+    docs = _docs(spark)
+    path = str(tmp_path / "idx")
+    build_segmented_index(docs.filter(F.col("doc_id") % 2 == 0), path)
+    append_segment(docs.filter(F.col("doc_id") % 2 == 1), path)
+    before = _serve(spark, path)
+
+    # compact beside serving, then simulate the exact crash state:
+    # intent written, first rename done, second rename never happened
+    compact_segments(spark, path, f"{path}.compact")
+    with open(f"{path}.swapintent", "w") as fh:
+        fh.write(f"{path}.old.0")
+    os.rename(path, f"{path}.old.0")
+    assert not os.path.exists(path)
+
+    # first touch recovers: the compacted index is swapped in
+    segs = _list_segments(path)
+    assert len(segs) == 1, "recovery must roll the compacted index forward"
+    assert not os.path.exists(f"{path}.swapintent")
+    assert _serve(spark, path) == before
+
+
+def test_swap_crash_before_first_rename_rolls_back(spark, tmp_path):
+    """Intent marker present but the live path intact (crash before the
+    first rename, or after full completion): the live index serves;
+    recovery just discards the stale marker."""
+    from plumberapp_spark.llm.segments import (
+        _list_segments,
+        build_segmented_index,
+    )
+
+    docs = _docs(spark)
+    path = str(tmp_path / "idx")
+    build_segmented_index(docs, path)
+    before = _serve(spark, path)
+    with open(f"{path}.swapintent", "w") as fh:
+        fh.write(f"{path}.old.0")
+    assert len(_list_segments(path)) == 1
+    assert not os.path.exists(f"{path}.swapintent")
+    assert _serve(spark, path) == before
+
+
+def test_swap_crash_with_nothing_left_refuses(spark, tmp_path):
+    """Marker present but neither the live path nor .compact survived —
+    refuse loudly rather than serve an empty index."""
+    from plumberapp_spark.llm.segments import _list_segments
+
+    path = str(tmp_path / "idx")
+    with open(f"{path}.swapintent", "w") as fh:
+        fh.write(f"{path}.old.0")
+    with pytest.raises(RuntimeError, match="interrupted compaction swap"):
+        _list_segments(path)
+
+
+def test_maybe_compact_leaves_no_intent_marker(spark, tmp_path):
+    """The happy path: maybe_compact's default swap cleans up its own
+    marker, and the compacted index serves identically."""
+    from plumberapp_spark.llm.segments import (
+        _list_segments,
+        append_segment,
+        build_segmented_index,
+        maybe_compact,
+    )
+
+    docs = _docs(spark)
+    path = str(tmp_path / "idx")
+    build_segmented_index(docs.filter(F.col("doc_id") % 3 == 0), path)
+    append_segment(docs.filter(F.col("doc_id") % 3 == 1), path)
+    append_segment(docs.filter(F.col("doc_id") % 3 == 2), path)
+    before = _serve(spark, path)
+    retired = maybe_compact(spark, path, max_segments=1)
+    assert retired is not None
+    assert not os.path.exists(f"{path}.swapintent")
+    assert len(_list_segments(path)) == 1
+    assert _serve(spark, path) == before
+
+
+def test_ivf_swap_crash_rolls_forward(spark, tmp_path):
+    """The IVF twin: _read_ivf_cells (every probe's entry point) runs
+    the same recovery, so a crashed maybe_compact_ivf swap heals on the
+    next probe/append instead of serving a missing path."""
+    from plumberapp_spark.llm.similarity import (
+        _read_ivf_cells,
+        append_to_ivf_index,
+        build_ivf_index,
+        compact_ivf_index,
+        ivf_topk_indexed,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    path = str(tmp_path / "ivf")
+    build_ivf_index(emb.filter(F.col("vec_id") % 5 != 0), path, n_centroids=8)
+    append_to_ivf_index(emb.filter(F.col("vec_id") % 5 == 0), path)
+    q = emb.filter(F.col("vec_id") % 50 == 0)
+    before = sorted(
+        tuple(r) for r in ivf_topk_indexed(spark, path, q, k=3, nprobe=2).collect()
+    )
+
+    compact_ivf_index(spark, path, f"{path}.compact")
+    with open(f"{path}.swapintent", "w") as fh:
+        fh.write(f"{path}.old.0")
+    os.rename(path, f"{path}.old.0")
+
+    n = _read_ivf_cells(spark, path).count()
+    assert n == emb.count()
+    assert not os.path.exists(f"{path}.swapintent")
+    after = sorted(
+        tuple(r) for r in ivf_topk_indexed(spark, path, q, k=3, nprobe=2).collect()
+    )
+    assert after == before
+
+
+# ---- empty-index IVF compaction (ADVICE r10, low) ------------------------
+
+
+def test_compact_ivf_all_tombstoned_keeps_readable_schema(spark, tmp_path):
+    """Every vector tombstoned: compaction must fall back to a plain
+    schema-preserving write (partitionBy would emit a dataless dir whose
+    read-back dies on schema inference), and the swapped-in index must
+    keep serving (zero rows, not an AnalysisException)."""
+    from plumberapp_spark.llm.similarity import (
+        _read_ivf_cells,
+        build_ivf_index,
+        delete_from_ivf_index,
+        maybe_compact_ivf,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(50)
+    path = str(tmp_path / "ivf")
+    build_ivf_index(emb, path, n_centroids=4)
+    delete_from_ivf_index(spark, path, emb.select("vec_id"))
+    retired = maybe_compact_ivf(spark, path, max_deltas=16)
+    assert retired is not None  # any tombstone triggers compaction
+    assert _read_ivf_cells(spark, path).count() == 0  # readable, empty
+
+
+# ---- doclens format guard (ADVICE r10, low) ------------------------------
+
+
+def test_delete_and_compact_refuse_pre_doclens_segments(spark, tmp_path):
+    """A hand-built index whose segment predates the doclens relation
+    (format <= 2) must fail with guidance, not a raw parquet
+    path-not-found — and must NOT be silently backfilled (token-less
+    docs are unreconstructable from postings)."""
+    import shutil
+
+    from plumberapp_spark.llm.segments import (
+        build_segmented_index,
+        compact_segments,
+        delete_docs,
+    )
+
+    docs = _docs(spark, 100)
+    path = str(tmp_path / "idx")
+    seg = build_segmented_index(docs, path)
+    shutil.rmtree(os.path.join(seg, "doclens"))
+    with pytest.raises(ValueError, match="doclens"):
+        delete_docs(spark, path, docs.select("doc_id").limit(5))
+    with pytest.raises(ValueError, match="doclens"):
+        compact_segments(spark, path, str(tmp_path / "out"))
+
+
+# ---- bigram negative-count invariant (VERDICT r10 #4) --------------------
+
+
+def test_unkeyed_double_delete_fails_loudly(spark, tmp_path):
+    """An un-keyed replay of the same takedown writes a second negative
+    segment; the merge must now raise the pinned message instead of
+    silently over-subtracting (dropping still-live bigrams and skewing
+    the token total)."""
+    from plumberapp_spark.llm.textqa import (
+        bigram_logprob_score_segmented,
+        build_bigram_lm,
+        delete_bigram_docs,
+    )
+
+    docs = _docs(spark, 100)
+    path = str(tmp_path / "lm")
+    build_bigram_lm(docs, path)
+    takedown = docs.filter(F.col("doc_id") % 7 == 3)
+    delete_bigram_docs(takedown, path)  # legitimate
+    delete_bigram_docs(takedown, path)  # un-keyed replay: over-subtracts
+    survivors = docs.filter(F.col("doc_id") % 7 != 3)
+    with pytest.raises(Exception, match="negative count"):
+        bigram_logprob_score_segmented(spark, path, survivors).collect()
+
+
+def test_epoch_keyed_double_delete_stays_idempotent(spark, tmp_path):
+    """The documented replay contract: the SAME delete replayed with its
+    epoch key is a no-op, and serving equals a fresh fit on survivors."""
+    from plumberapp_spark.llm.textqa import (
+        _bigram_segments,
+        bigram_logprob_score,
+        bigram_logprob_score_segmented,
+        build_bigram_lm,
+        delete_bigram_docs,
+    )
+
+    docs = _docs(spark, 100)
+    path = str(tmp_path / "lm")
+    build_bigram_lm(docs, path)
+    takedown = docs.filter(F.col("doc_id") % 7 == 3)
+    delete_bigram_docs(takedown, path, name="seg_del1", skip_if_complete=True)
+    delete_bigram_docs(takedown, path, name="seg_del1", skip_if_complete=True)
+    assert len(_bigram_segments(path)) == 2  # build + ONE delete
+    survivors = docs.filter(F.col("doc_id") % 7 != 3)
+    served = {
+        r["doc_id"]: (r["n_bigrams"], r["mean_logprob"])
+        for r in bigram_logprob_score_segmented(spark, path, survivors).collect()
+    }
+    fresh = {
+        r["doc_id"]: (r["n_bigrams"], r["mean_logprob"])
+        for r in bigram_logprob_score(survivors).collect()
+    }
+    assert served == fresh
+
+
+# ---- unigram vocab broadcast ceiling (VERDICT r10 #3) --------------------
+
+
+def test_vocab_above_broadcast_ceiling_fails_loudly(spark, monkeypatch):
+    """The closure/broadcast contract is enforced, not just documented:
+    a vocabulary wider than the ceiling raises with guidance instead of
+    shipping megabyte dicts to every executor."""
+    from plumberapp_spark.llm import textqa
+
+    monkeypatch.setattr(textqa, "_VOCAB_BROADCAST_CEILING", 2)
+    docs = _docs(spark, 20)
+    with pytest.raises(ValueError, match="broadcast-class ceiling"):
+        textqa._score_with_unigram_lm(
+            docs, {"a": 1, "b": 2, "c": 3}, 6, "text", "doc_id", 3
+        )
