@@ -1477,6 +1477,63 @@ def append_to_ivf_index(
     return delta
 
 
+def rebuild_ivf_index(
+    spark,
+    path: str,
+    n_centroids: int | None = None,
+    swap=None,
+) -> str:
+    """The ACTION :func:`codebook_drift_advice` recommends (VERDICT r10
+    #2): a deliberate re-train of the codebook from the index's own
+    LIVE content — base ∪ deltas − tombstones, read back through
+    :func:`_read_ivf_cells`, never the (possibly long-gone) original
+    source table — followed by reassignment and a fresh single-segment
+    index, swapped in under the same crash-recoverable contract as
+    compaction.
+
+    Semantics: rebuild ≡ :func:`build_ivf_index` over the live corpus
+    (pinned hash-equal in tests) — the codebook re-draws from the
+    CURRENT distribution, so post-append drift stops costing recall.
+    This is the full-cost member of the maintenance tier: compaction
+    reuses frozen assignments (one partitioned rewrite); rebuild
+    re-assigns every live vector against the new codebook (one
+    assignment pass + one partitioned rewrite — still no distance
+    recomputation against the old index, and centroid selection is the
+    same deterministic md5-ordered draw as the initial build). Callers
+    wanting a Lloyd's-refined codebook instead compose
+    ``clustering.kmeans_fit`` with a custom build — the sampled draw is
+    the hash-anchorable contract this operator pins.
+
+    Exactly-once is preserved across the swap: the fresh index carries
+    an ``absorbed.json`` covering every delta the rebuild folded in, so
+    an epoch-keyed replay after the swap is a no-op (the
+    :func:`maybe_compact_ivf` ledger contract). ``n_centroids``
+    defaults to the current codebook's size. Returns the retired path
+    (or ``swap``'s return on object stores)."""
+    import json
+    import os
+    import shutil
+
+    from plumberapp_spark.llm.segments import _recover_swap, _swap_compacted
+
+    _recover_swap(path)
+    live = _read_ivf_cells(spark, path).drop("_cell")
+    id_col, vec_col = live.columns[0], live.columns[1]
+    if n_centroids is None:
+        n_centroids = spark.read.parquet(f"{path}/centroids").count()
+    tmp = f"{path}.compact"
+    shutil.rmtree(tmp, ignore_errors=True)
+    build_ivf_index(live, tmp, int(n_centroids), id_col, vec_col)
+    absorbed = sorted(
+        _ivf_absorbed(path) | {os.path.basename(d) for d in _ivf_delta_dirs(path)}
+    )
+    with open(os.path.join(tmp, "absorbed.json"), "w") as fh:
+        json.dump(absorbed, fh)
+    if swap is not None:
+        return swap(tmp, path)
+    return _swap_compacted(path)
+
+
 def codebook_drift_advice(
     spark,
     path: str,
@@ -1535,7 +1592,7 @@ def codebook_drift_advice(
                 F.lit(
                     f"recall@{k} below {min_recall} after {n_deltas} appends — "
                     "the frozen codebook no longer matches the corpus; "
-                    "re-train (build_ivf_index over the live content)"
+                    "re-train: run rebuild_ivf_index(path)"
                 ),
             )
             .otherwise(F.lit("codebook healthy — keep appending"))
@@ -1865,6 +1922,71 @@ def ensure_compacted_ivf_index(
 
         shutil.rmtree(path, ignore_errors=True)
         compact_ivf_index(spark, src, path)
+        with open(sidecar, "w") as fh:
+            fh.write(f"{source_mtime!r} {IVF_INDEX_FORMAT}")
+    return path
+
+
+def ensure_rebuilt_ivf_index(
+    spark,
+    sf_dir: str,
+    table: str = "embeddings",
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """Fixture for the REBUILD query: a full drifted lifecycle — built
+    on 80 % (codebook frozen from that subset), the remaining fifth
+    appended as a delta, every ``id % 7 == 3`` tombstoned — then
+    :func:`rebuild_ivf_index` re-trains in place. The served index has
+    ONE segment, no tombstones, and a codebook re-drawn from the LIVE
+    corpus, so the oracle is the from-scratch derivation over
+    corpus-minus-deleted with centroids drawn from that same live set
+    (NOT the 80 % base — that is exactly what a rebuild moves)."""
+    import os
+    import re
+    from urllib.parse import urlparse
+
+    from plumberapp_spark.session import _path_mtime, load_table
+
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", "")).path or "spark-warehouse"
+    tag = re.sub(r"[^0-9A-Za-z]+", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1])
+    path = os.path.join(wh, f"ivfreb_{table}_{tag}_{n_centroids}")
+    sidecar = os.path.join(path, "source_mtime.txt")
+    source_mtime = _path_mtime(f"{sf_dir}/{table}.parquet")
+    recorded, rec_format = None, None
+    try:
+        with open(sidecar) as fh:
+            parts = fh.read().split()
+            recorded = float(parts[0])
+            rec_format = int(parts[1])
+    except (OSError, ValueError, IndexError):
+        recorded = None
+    if (
+        recorded is None
+        or recorded != source_mtime
+        or rec_format != IVF_INDEX_FORMAT
+        or not os.path.exists(os.path.join(path, "cells", "_SUCCESS"))
+    ):
+        import shutil
+
+        shutil.rmtree(path, ignore_errors=True)
+        for n in range(100):  # prior retired copies of this fixture
+            old = f"{path}.old.{n}"
+            if not os.path.exists(old):
+                break
+            shutil.rmtree(old, ignore_errors=True)
+        vecs = load_table(spark, sf_dir, table)
+        build_ivf_index(
+            vecs.filter(F.col(id_col) % 5 != 0), path, n_centroids, id_col, vec_col
+        )
+        append_to_ivf_index(
+            vecs.filter(F.col(id_col) % 5 == 0), path, id_col, vec_col
+        )
+        delete_from_ivf_index(
+            spark, path, vecs.filter(F.col(id_col) % 7 == 3).select(id_col), id_col
+        )
+        rebuild_ivf_index(spark, path, n_centroids)
         with open(sidecar, "w") as fh:
             fh.write(f"{source_mtime!r} {IVF_INDEX_FORMAT}")
     return path

@@ -2924,3 +2924,68 @@ def q119_bigram_lm_after_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = ensure_deleted_bigram_lm(spark, sf_dir, "documents")
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 7 != 3)
     return bigram_logprob_score_segmented(spark, path, docs)
+
+
+# ---- round 11: rebuild, filtered retrieval, unigram LM maintenance ------
+
+
+# the from-scratch derivation over corpus-minus-deleted with centroids
+# drawn from that same LIVE set — NOT the 80% base the drifted fixture
+# froze (that is exactly what a rebuild moves). Queries remain every
+# vec_id % 50 == 0 from the FULL table (searching for a deleted
+# vector's neighbors stays a valid query), assigned against the new
+# codebook; only live vectors are servable.
+_IVF_REBUILT_ORACLE = """
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         cent AS (SELECT vec_id AS c_id, e AS ce FROM v
+                  WHERE vec_id % 7 != 3
+                  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+         sim AS (SELECT v.vec_id, cent.c_id,
+                        round(list_dot_product(v.e, cent.ce) /
+                              (sqrt(list_dot_product(v.e, v.e)) * sqrt(list_dot_product(cent.ce, cent.ce))), 6) AS s
+                 FROM v CROSS JOIN cent),
+         ranked AS (SELECT vec_id, c_id,
+                           row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, c_id) AS rn
+                    FROM sim),
+         vc AS (SELECT vec_id, c_id AS cell FROM ranked
+                WHERE rn = 1 AND vec_id % 7 != 3),
+         qc AS (SELECT vec_id AS query_id, c_id AS cell FROM ranked
+                WHERE rn <= 2 AND vec_id % 50 = 0),
+         cand AS (SELECT qc.query_id, vc.vec_id AS neighbor_id
+                  FROM vc JOIN qc ON vc.cell = qc.cell
+                  WHERE vc.vec_id != qc.query_id),
+         scored AS (SELECT cand.query_id, cand.neighbor_id,
+                           round(list_dot_product(a.e, b.e) /
+                                 (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 6) AS cos_sim
+                    FROM cand
+                    JOIN v a ON a.vec_id = cand.query_id
+                    JOIN v b ON b.vec_id = cand.neighbor_id),
+         out AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+                 FROM scored)
+    SELECT query_id, neighbor_id, cos_sim, CAST(rank AS BIGINT) AS rank
+    FROM out WHERE rank <= 5
+    """
+
+
+@register("q124_ivf_rebuild_serve", oracle=_IVF_REBUILT_ORACLE)
+def q124_ivf_rebuild_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REBUILD — the action codebook_drift_advice recommends (round 11,
+    VERDICT r10 #2): the drifted fixture (80 % build + 20 % append +
+    % 7 takedown) is re-trained in place by rebuild_ivf_index — codebook
+    re-drawn from the index's own LIVE content (base ∪ delta −
+    tombstones, never the source table), every live vector re-assigned,
+    old deltas absorbed-ledgered so epoch replays stay no-ops, swap
+    crash-recoverable. The oracle is the from-scratch derivation on
+    corpus-minus-deleted with centroids drawn from that live set: the
+    hash proves rebuild ≡ build-on-live exactly — the closed loop
+    monitor → advice → rebuild → serve."""
+    from plumberapp_spark.llm.similarity import (
+        ensure_rebuilt_ivf_index,
+        ivf_topk_indexed,
+    )
+
+    path = ensure_rebuilt_ivf_index(spark, sf_dir, "embeddings", n_centroids=16)
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_topk_indexed(
+        spark, path, emb.filter(F.col("vec_id") % 50 == 0), k=5, nprobe=2
+    )
