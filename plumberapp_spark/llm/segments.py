@@ -538,6 +538,7 @@ def bm25_topk_segmented(
     id_col: str = "query_id",
     k1: float = 1.2,
     b: float = 0.75,
+    doc_filter: DataFrame | None = None,
 ) -> DataFrame:
     """Exact BM25 top-k for free-text queries over ALL segments —
     score-identical to a from-scratch index over the union corpus
@@ -549,7 +550,23 @@ def bm25_topk_segmented(
     partition filter + broadcast semi-join on the query's terms), a
     query-vocab-sized df merge from the pruned termstats scans, the
     per-row weight arithmetic, one bounded aggregate, and the family's
-    shared two-stage top-k. Nothing corpus-sized is recomputed."""
+    shared two-stage top-k. Nothing corpus-sized is recomputed.
+
+    ``doc_filter`` (round 11 — FILTERED retrieval, the production shape
+    where results are predicated on metadata: lang, source, date
+    range): a slim one-column relation of servable doc ids, semi-joined
+    against the pruned postings BEFORE scoring/top-k — so the filter
+    rides the rows the scan already touches, inside partition pruning,
+    never a post-rank re-query that could return fewer than k hits.
+    Corpus statistics (df, N, avgdl) deliberately stay those of the
+    whole live corpus — Lucene/ES filtered-query semantics: a filter
+    restricts CANDIDATES, it does not re-weigh the collection (that
+    would be a different index; deletes are the operation that moves
+    the stats, and they do). Build the relation by projecting doc_id
+    from any attribute predicate (e.g. ``docs.filter("lang='en'")
+    .select("doc_id")``); the plan semi-joins it without a forced
+    broadcast, so AQE picks broadcast for small filters and a shuffled
+    semi-join for wide ones."""
     from plumberapp_spark.functions.text import tokenize
 
     segs = _list_segments(path)
@@ -593,6 +610,14 @@ def bm25_topk_segmented(
         postings = postings.withColumn(
             "_df", F.count("*").over(Window.partitionBy("tk"))
         )
+    if doc_filter is not None:
+        # AFTER df settles (stats are corpus-level by contract), BEFORE
+        # weighting (don't score rows the filter will drop)
+        allowed = doc_filter.select(
+            F.col(doc_filter.columns[0]).alias("doc_id")
+        ).distinct()
+        postings = postings.join(allowed, "doc_id", "left_semi")
+    if tombs:
         weighted = postings.join(F.broadcast(qterms), "tk")
     else:
         weighted = postings.join(F.broadcast(qterms), "tk").join(

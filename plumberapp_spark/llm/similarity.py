@@ -1670,13 +1670,26 @@ def ivf_topk_indexed(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     max_broadcast_queries: int = 100_000,
+    id_filter: DataFrame | None = None,
 ) -> DataFrame:
     """IVF search over a :func:`build_ivf_index` on-disk index:
     output-identical to :func:`ivf_topk` on the same corpus/params, but
     the corpus scan touches ONLY the probed cells' parquet partitions
     (partition pruning on ``_cell``) — at 100 TB with n_centroids sized
     to the cluster that is the difference between scanning everything
-    per query batch and scanning ``nprobe/n_centroids`` of it."""
+    per query batch and scanning ``nprobe/n_centroids`` of it.
+
+    ``id_filter`` (round 11 — FILTERED ANN, the production predicated
+    search: "nearest English documents", "vectors from source X"): a
+    slim one-column relation of servable vector ids, semi-joined
+    against the probed cells' survivors BEFORE the per-cell top-k — the
+    filter rides the pruned scan (pre-k, so a query still returns up to
+    k FILTERED neighbors, never a post-rank subset that comes up
+    short). Probe cell selection and the codebook are untouched — a
+    filter restricts candidates, it does not move the index. Build the
+    relation by projecting the id from any attribute predicate (e.g.
+    ``emb.filter("label % 4 = 0").select("vec_id")``); no forced
+    broadcast — AQE picks the strategy by filter size."""
     import numpy as np
     import pandas as pd
 
@@ -1714,6 +1727,11 @@ def ivf_topk_indexed(
     cells_df = _read_ivf_cells(spark, path).filter(
         F.col("_cell").isin([int(c) for c in probed])
     )
+    if id_filter is not None:
+        allowed = id_filter.select(
+            F.col(id_filter.columns[0]).alias(id_col)
+        ).distinct()
+        cells_df = cells_df.join(allowed, id_col, "left_semi")
     bc = spark.sparkContext.broadcast((q_mat, q_norm, q_ids, cell_to_qpos))
     id_ddl = cells_df.schema[id_col].dataType.simpleString()
     out_schema = f"{query_id_col} {id_ddl}, neighbor_id {id_ddl}, cos_sim double"

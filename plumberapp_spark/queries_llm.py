@@ -2989,3 +2989,108 @@ def q124_ivf_rebuild_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk_indexed(
         spark, path, emb.filter(F.col("vec_id") % 50 == 0), k=5, nprobe=2
     )
+
+
+# the full-corpus BM25 derivation with ONE change: candidates are
+# restricted to the predicate's doc set INSIDE the scoring CTE (before
+# top-k), while df/N/avgdl stay corpus-level — Lucene/ES filtered-query
+# semantics: a filter restricts candidates, it does not re-weigh the
+# collection.
+_BM25_FILTERED_ORACLE = _BM25_FREETEXT_ORACLE.replace(
+    "FROM w JOIN qt USING (tk) GROUP BY 1, 2",
+    "FROM w JOIN qt USING (tk)\n"
+    "                  WHERE w.doc_id IN (SELECT doc_id FROM documents\n"
+    "                                     WHERE lang = 'en')\n"
+    "                  GROUP BY 1, 2",
+)
+
+
+@register("q120_bm25_filtered_search", oracle=_BM25_FILTERED_ORACLE)
+def q120_bm25_filtered_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED retrieval (round 11, VERDICT r10 #3): production search
+    is almost always predicated (lang, source, date range) — here
+    free-text BM25 over the segmented index restricted to lang='en'
+    documents. The predicate becomes a slim doc-id relation semi-joined
+    against the pruned postings BEFORE scoring and top-k (the doclens
+    pattern from the delete tier): the filter rides rows the scan
+    already touches, each query still returns up to k FILTERED hits,
+    and corpus statistics stay collection-level (Lucene filtered-query
+    semantics — deletes, not filters, are what move the stats).
+    Reference analog: the cache-candidate query's constrained filter
+    before the argmax (plumber_analysis/src/plumber_analysis/
+    pipeline_optimizer.py:1178-1218)."""
+    from plumberapp_spark.llm.segments import (
+        bm25_topk_segmented,
+        ensure_segmented_index,
+    )
+
+    path = ensure_segmented_index(spark, sf_dir, "documents")
+    allowed = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("lang") == "en")
+        .select("doc_id")
+    )
+    return bm25_topk_segmented(
+        spark, path, _freetext_query_frame(spark), k=10, doc_filter=allowed
+    )
+
+
+# q89's exact replay with the servable side restricted to the
+# predicate's vectors (probe cells and codebook untouched — a filter
+# restricts candidates, it does not move the index)
+_IVF_FILTERED_ORACLE = """
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         cent AS (SELECT vec_id AS c_id, e AS ce FROM v
+                  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+         sim AS (SELECT v.vec_id, cent.c_id,
+                        round(list_dot_product(v.e, cent.ce) /
+                              (sqrt(list_dot_product(v.e, v.e)) * sqrt(list_dot_product(cent.ce, cent.ce))), 6) AS s
+                 FROM v CROSS JOIN cent),
+         ranked AS (SELECT vec_id, c_id,
+                           row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, c_id) AS rn
+                    FROM sim),
+         vc AS (SELECT vec_id, c_id AS cell FROM ranked
+                WHERE rn = 1 AND vec_id IN (SELECT vec_id FROM embeddings
+                                            WHERE label % 4 = 0)),
+         qc AS (SELECT vec_id AS query_id, c_id AS cell FROM ranked
+                WHERE rn <= 2 AND vec_id % 50 = 0),
+         cand AS (SELECT qc.query_id, vc.vec_id AS neighbor_id
+                  FROM vc JOIN qc ON vc.cell = qc.cell
+                  WHERE vc.vec_id != qc.query_id),
+         scored AS (SELECT cand.query_id, cand.neighbor_id,
+                           round(list_dot_product(a.e, b.e) /
+                                 (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 6) AS cos_sim
+                    FROM cand
+                    JOIN v a ON a.vec_id = cand.query_id
+                    JOIN v b ON b.vec_id = cand.neighbor_id),
+         out AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+                 FROM scored)
+    SELECT query_id, neighbor_id, cos_sim, CAST(rank AS BIGINT) AS rank
+    FROM out WHERE rank <= 5
+    """
+
+
+@register("q121_ivf_filtered_search", oracle=_IVF_FILTERED_ORACLE)
+def q121_ivf_filtered_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED ANN (round 11, the dense twin of q120): IVF probe over
+    the persisted index with a label predicate — the servable set is a
+    slim vec-id relation semi-joined against the probed cells'
+    survivors BEFORE the per-cell top-k, so every query returns up to k
+    vectors that SATISFY the predicate (a post-rank filter would come
+    up short whenever the unfiltered top-k is predicate-sparse — the
+    classic filtered-ANN bug). Probe cell selection and the codebook
+    are untouched; at 100 TB the filter costs one semi-join over the
+    nprobe/n_centroids slice the probe already reads."""
+    from plumberapp_spark.llm.similarity import ensure_ivf_index, ivf_topk_indexed
+
+    path = ensure_ivf_index(spark, sf_dir, "embeddings", n_centroids=16)
+    emb = load_table(spark, sf_dir, "embeddings")
+    allowed = emb.filter(F.col("label") % 4 == 0).select("vec_id")
+    return ivf_topk_indexed(
+        spark,
+        path,
+        emb.filter(F.col("vec_id") % 50 == 0),
+        k=5,
+        nprobe=2,
+        id_filter=allowed,
+    )
