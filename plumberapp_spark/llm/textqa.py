@@ -1023,6 +1023,34 @@ def _bigram_segments(path: str) -> list[str]:
     ]
 
 
+def _resolve_segment(
+    path: str, segs: list[str], name: str | None, skip_if_complete: bool
+) -> tuple[str, bool]:
+    """The epoch-keyed segment-naming contract shared by every additive
+    LM write (bigram append/delete, unigram append/delete): with a
+    ``name``, the directory is pinned (a replay lands on the SAME path)
+    and ``skip_if_complete`` makes a completed replay a no-op; without
+    one, the next zero-padded number. Returns (segment dir,
+    already_complete)."""
+    import os
+    import re as _re
+
+    if name is not None:
+        if not _re.match(r"^seg_[0-9A-Za-z]+$", name):
+            raise ValueError(f"segment name {name!r} must match seg_[0-9A-Za-z]+")
+        seg = os.path.join(path, name)
+        done = skip_if_complete and os.path.exists(
+            os.path.join(seg, "scalars", "_SUCCESS")
+        )
+        return seg, done
+    nums = [
+        int(m.group(1))
+        for s in segs
+        if (m := _re.match(r"^seg_(\d+)$", os.path.basename(s)))
+    ]
+    return os.path.join(path, f"seg_{(max(nums, default=-1)) + 1:05d}"), False
+
+
 def _write_bigram_segment(
     docs: DataFrame, seg_path: str, text_col: str, id_col: str
 ) -> None:
@@ -1069,25 +1097,9 @@ def append_bigram_segment(
     ``name``/``skip_if_complete`` carry the epoch-keyed idempotency
     contract (segments.append_segment), so a streaming foreachBatch
     sink can feed this directly."""
-    import os
-    import re as _re
-
-    segs = _bigram_segments(path)
-    if name is not None:
-        if not _re.match(r"^seg_[0-9A-Za-z]+$", name):
-            raise ValueError(f"segment name {name!r} must match seg_[0-9A-Za-z]+")
-        seg = os.path.join(path, name)
-        if skip_if_complete and os.path.exists(
-            os.path.join(seg, "scalars", "_SUCCESS")
-        ):
-            return seg
-    else:
-        nums = [
-            int(m.group(1))
-            for s in segs
-            if (m := _re.match(r"^seg_(\d+)$", os.path.basename(s)))
-        ]
-        seg = os.path.join(path, f"seg_{(max(nums, default=-1)) + 1:05d}")
+    seg, done = _resolve_segment(path, _bigram_segments(path), name, skip_if_complete)
+    if done:
+        return seg
     _write_bigram_segment(new_docs, seg, text_col, id_col)
     return seg
 
@@ -1115,27 +1127,12 @@ def delete_bigram_docs(
     guard, same as appends). Takedown pipelines have the documents in
     hand by definition; callers that only have ids join them against
     the corpus first."""
-    import os
-    import re as _re
-
     segs = _bigram_segments(path)
     if not segs:
         raise ValueError(f"no segments under {path!r} — nothing to delete from")
-    if name is not None:
-        if not _re.match(r"^seg_[0-9A-Za-z]+$", name):
-            raise ValueError(f"segment name {name!r} must match seg_[0-9A-Za-z]+")
-        seg = os.path.join(path, name)
-        if skip_if_complete and (
-            os.path.exists(os.path.join(seg, "scalars", "_SUCCESS"))
-        ):
-            return seg
-    else:
-        nums = [
-            int(m.group(1))
-            for s in segs
-            if (m := _re.match(r"^seg_(\d+)$", os.path.basename(s)))
-        ]
-        seg = os.path.join(path, f"seg_{(max(nums, default=-1)) + 1:05d}")
+    seg, done = _resolve_segment(path, segs, name, skip_if_complete)
+    if done:
+        return seg
     bg = _bigram_pairs(deleted_docs, text_col, id_col)
     bg.groupBy("w1", "w2").agg((-F.count("*")).alias("_c12")).write.mode(
         "overwrite"
@@ -1362,4 +1359,294 @@ def ensure_bigram_lm(
         )
         with open(sidecar, "w") as fh:
             fh.write(f"{source_mtime!r} {BIGRAM_LM_FORMAT}")
+    return path
+
+
+# -- segmented unigram LM (round 11: maintenance parity, VERDICT r10 #6) ---
+#
+# The persisted unigram LM (q96/q97) was rebuild-only while the bigram
+# LM got segments + deletes in round 10 — yet the unigram counts are
+# JUST AS additive (c(tk) and T sum over document subsets). The one
+# subtlety the bigram tier did not have: the SERVED model is the
+# top-``vocab_size`` TRUNCATION of the counts, and a truncation is NOT
+# additive (the top-k of a union is not the union of top-ks) — so
+# segments store FULL per-segment token counts (the Zipf-bounded
+# relation, exactly the bigram tier's ``uni``), and the top-k
+# vocabulary derives AT SERVE TIME from the merged counts with
+# _fit_unigram_lm's own deterministic tie-break (count desc, token
+# asc). That makes serving provably identical to a fresh fit on the
+# union corpus (q122 shares q77/q96's oracle), and deletes — negative
+# count segments, the q119 design — exactly a fresh fit on survivors.
+
+UNIGRAM_LM_FORMAT = 1
+
+
+def _unigram_segments(path: str) -> list[str]:
+    """Complete unigram-LM segments (scalars marker last — half-written
+    appends invisible; same layout contract as _bigram_segments)."""
+    return _bigram_segments(path)
+
+
+def _write_unigram_segment(
+    docs: DataFrame, seg_path: str, text_col: str, sign: int = 1
+) -> None:
+    """One segment from one tokenize pass: RAW token counts, then the
+    token-total scalar LAST (the completion marker). ``sign=-1`` writes
+    a deletion segment (the counts a build would add, negated)."""
+    tok = docs.select(
+        F.explode(tokenize(F.coalesce(F.col(text_col), F.lit("")))).alias("tk")
+    )
+    tok.groupBy("tk").agg((sign * F.count("*")).alias("_c")).write.mode(
+        "overwrite"
+    ).parquet(f"{seg_path}/uni")
+    tok.groupBy().agg((sign * F.count("*")).alias("_n")).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{seg_path}/scalars")
+
+
+def build_segmented_unigram_lm(
+    docs: DataFrame, path: str, text_col: str = "text"
+) -> str:
+    """Initial segment from the starting corpus; everything after
+    arrives via :func:`append_unigram_segment` /
+    :func:`delete_unigram_docs`."""
+    import os
+
+    seg = os.path.join(path, "seg_00000")
+    _write_unigram_segment(docs, seg, text_col)
+    return seg
+
+
+def append_unigram_segment(
+    new_docs: DataFrame,
+    path: str,
+    text_col: str = "text",
+    name: str | None = None,
+    skip_if_complete: bool = False,
+) -> str:
+    """Absorb new documents into the LM by tokenizing ONLY the delta —
+    token counts are additive, so old segments are never read or
+    rewritten. ``name``/``skip_if_complete`` carry the epoch-keyed
+    idempotency contract, so a streaming foreachBatch sink can feed
+    this directly (the q106/q112 pattern)."""
+    seg, done = _resolve_segment(
+        path, _unigram_segments(path), name, skip_if_complete
+    )
+    if done:
+        return seg
+    _write_unigram_segment(new_docs, seg, text_col)
+    return seg
+
+
+def delete_unigram_docs(
+    deleted_docs: DataFrame,
+    path: str,
+    text_col: str = "text",
+    name: str | None = None,
+    skip_if_complete: bool = False,
+) -> str:
+    """Remove documents from the LM by appending a NEGATIVE segment
+    (the q119 design). Same caller contract as
+    :func:`delete_bigram_docs`: the LM stores no doc-keyed relation, so
+    the delete is charged with the documents' TEXT, and only rows that
+    were actually ingested — the epoch-keyed ``name``/
+    ``skip_if_complete`` pair is the replay guard, and the merge's
+    non-negative invariant (:func:`_nonneg`) fails loudly on an
+    un-keyed double delete instead of serving silently wrong scores."""
+    segs = _unigram_segments(path)
+    if not segs:
+        raise ValueError(f"no segments under {path!r} — nothing to delete from")
+    seg, done = _resolve_segment(path, segs, name, skip_if_complete)
+    if done:
+        return seg
+    _write_unigram_segment(deleted_docs, seg, text_col, sign=-1)
+    return seg
+
+
+def compact_unigram_lm(spark, path: str, out_path: str) -> str:
+    """Merge every segment into one — a numeric rollup (counts sum,
+    zero-count tokens drop physically), no re-tokenization. Serving
+    pre/post is bit-identical (the counts are the same integers)."""
+    import os
+
+    segs = _unigram_segments(path)
+    if not segs:
+        raise ValueError(f"no segments under {path!r} — nothing to compact")
+    seg = os.path.join(out_path, "seg_00000")
+    uni, sc = _merged_unigram_counts(spark, segs)
+    uni.write.mode("overwrite").parquet(f"{seg}/uni")
+    sc.coalesce(1).write.mode("overwrite").parquet(f"{seg}/scalars")
+    return seg
+
+
+def _merged_unigram_counts(spark, segs: list[str]):
+    """(uni, scalars) summed across segments — the additive merge with
+    the shared non-negative invariant and positivity filter (a count
+    summed to zero means the token no longer exists in the corpus)."""
+
+    def _union(rel):
+        out = None
+        for s in segs:
+            df = spark.read.parquet(f"{s}/{rel}")
+            out = df if out is None else out.unionByName(df)
+        return out
+
+    if len(segs) == 1:
+        return (
+            spark.read.parquet(f"{segs[0]}/uni"),
+            spark.read.parquet(f"{segs[0]}/scalars"),
+        )
+    uni = (
+        _union("uni")
+        .groupBy("tk")
+        .agg(_nonneg(F.sum("_c")).alias("_c"))
+        .filter(F.col("_c") > 0)
+    )
+    sc = _union("scalars").groupBy().agg(_nonneg(F.sum("_n")).alias("_n"))
+    return uni, sc
+
+
+def unigram_logprob_score_segmented(
+    spark,
+    path: str,
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vocab_size: int = 1000,
+) -> DataFrame:
+    """q77's scoring served from the segmented LM: ONE Zipf-bounded
+    count merge + a ``vocab_size``-row top-k gather (count desc, token
+    asc — _fit_unigram_lm's own deterministic tie-break, so the served
+    vocabulary is EXACTLY the one a fresh fit on the union corpus
+    selects), then the shared broadcast Arrow scoring pass. The
+    corpus-wide tokenize never reruns — appends and deletes already
+    paid their delta-sized passes."""
+    segs = _unigram_segments(path)
+    if not segs:
+        raise ValueError(f"no segments under {path!r} — build or append first")
+    uni, sc = _merged_unigram_counts(spark, segs)
+    rows = (
+        uni.orderBy(F.col("_c").desc(), F.col("tk")).limit(vocab_size).collect()
+    )
+    vocab = {r["tk"]: int(r["_c"]) for r in rows}
+    total = int(sc.first()["_n"] or 0)
+    return _score_with_unigram_lm(df, vocab, total, text_col, id_col, vocab_size)
+
+
+def perplexity_buckets_segmented(
+    spark,
+    path: str,
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vocab_size: int = 1000,
+    n_buckets: int | None = None,
+) -> DataFrame:
+    """q79's CCNet terciles over the segmented LM: segmented scoring +
+    the shared ranking/labeling tail (:func:`bucket_lm_scores`)."""
+    scores = unigram_logprob_score_segmented(
+        spark, path, df, text_col, id_col, vocab_size
+    )
+    return bucket_lm_scores(scores, id_col, n_buckets)
+
+
+def ensure_segmented_unigram_lm(
+    spark,
+    sf_dir: str,
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """Build-once fixture contract (the ensure_bigram_lm shape): built
+    80/20 (seg_00000 from ``doc_id % 5 != 0``, the remaining fifth
+    APPENDED) so serving exercises a real multi-segment merge while the
+    union is exactly the full table — q77/q96's oracle applies
+    verbatim."""
+    import os
+    import re as _re
+    from urllib.parse import urlparse
+
+    from plumberapp_spark.session import _path_mtime, load_table
+
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", "")).path or "spark-warehouse"
+    tag = _re.sub(r"[^0-9A-Za-z]+", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1])
+    path = os.path.join(wh, f"uglm_{table}_{tag}")
+    sidecar = os.path.join(path, "source_mtime.txt")
+    source_mtime = _path_mtime(f"{sf_dir}/{table}.parquet")
+    recorded, rec_format = None, None
+    try:
+        with open(sidecar) as fh:
+            parts = fh.read().split()
+            recorded = float(parts[0])
+            rec_format = int(parts[1])
+    except (OSError, ValueError, IndexError):
+        recorded = None
+    if (
+        recorded is None
+        or recorded != source_mtime
+        or rec_format != UNIGRAM_LM_FORMAT
+        or len(_unigram_segments(path)) < 2
+    ):
+        import shutil
+
+        shutil.rmtree(path, ignore_errors=True)
+        docs = load_table(spark, sf_dir, table)
+        build_segmented_unigram_lm(
+            docs.filter(F.col(id_col) % 5 != 0), path, text_col
+        )
+        append_unigram_segment(
+            docs.filter(F.col(id_col) % 5 == 0), path, text_col
+        )
+        with open(sidecar, "w") as fh:
+            fh.write(f"{source_mtime!r} {UNIGRAM_LM_FORMAT}")
+    return path
+
+
+def ensure_deleted_unigram_lm(
+    spark,
+    sf_dir: str,
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """Fixture for the unigram deletion query: the 80/20 build+append
+    followed by a takedown of every ``doc_id % 7 == 3`` as one NEGATIVE
+    segment — the deleted set cuts across both positive segments, so
+    the merge exercises real cancellation."""
+    import os
+    import re as _re
+    from urllib.parse import urlparse
+
+    from plumberapp_spark.session import _path_mtime, load_table
+
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", "")).path or "spark-warehouse"
+    tag = _re.sub(r"[^0-9A-Za-z]+", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1])
+    path = os.path.join(wh, f"uglmdel_{table}_{tag}")
+    sidecar = os.path.join(path, "source_mtime.txt")
+    source_mtime = _path_mtime(f"{sf_dir}/{table}.parquet")
+    recorded, rec_format = None, None
+    try:
+        with open(sidecar) as fh:
+            parts = fh.read().split()
+            recorded = float(parts[0])
+            rec_format = int(parts[1])
+    except (OSError, ValueError, IndexError):
+        recorded = None
+    if (
+        recorded is None
+        or recorded != source_mtime
+        or rec_format != UNIGRAM_LM_FORMAT
+        or len(_unigram_segments(path)) < 3
+    ):
+        import shutil
+
+        shutil.rmtree(path, ignore_errors=True)
+        docs = load_table(spark, sf_dir, table)
+        build_segmented_unigram_lm(
+            docs.filter(F.col(id_col) % 5 != 0), path, text_col
+        )
+        append_unigram_segment(docs.filter(F.col(id_col) % 5 == 0), path, text_col)
+        delete_unigram_docs(docs.filter(F.col(id_col) % 7 == 3), path, text_col)
+        with open(sidecar, "w") as fh:
+            fh.write(f"{source_mtime!r} {UNIGRAM_LM_FORMAT}")
     return path

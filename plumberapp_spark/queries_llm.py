@@ -3094,3 +3094,64 @@ def q121_ivf_filtered_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         nprobe=2,
         id_filter=allowed,
     )
+
+
+@register(
+    "q122_unigram_lm_segmented",
+    # q77/q96's oracle verbatim — the 80/20 segment fixture unions to
+    # exactly the documents table, and the serve-time top-k over merged
+    # counts uses the fit's own deterministic tie-break, so a hash
+    # match proves the additive merge + truncation is lossless
+    oracle=_REG["q77_unigram_logprob"].oracle,
+)
+def q122_unigram_lm_segmented(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEGMENTED unigram LM (round 11, VERDICT r10 #6 — maintenance
+    parity with the bigram tier): token counts are additive, so the LM
+    lives as immutable count segments; appends tokenize only the delta.
+    The one wrinkle the bigram tier lacked: the served model is a
+    top-vocab_size TRUNCATION, which is not additive — so segments
+    store FULL counts and the vocabulary derives at serve time from the
+    merged counts (one Zipf-bounded rollup + a 1000-row gather with the
+    fit's own count-desc/token-asc tie-break). Serving is bit-identical
+    to q77's fresh fit on the union corpus."""
+    from plumberapp_spark.llm.textqa import (
+        ensure_segmented_unigram_lm,
+        unigram_logprob_score_segmented,
+    )
+
+    path = ensure_segmented_unigram_lm(spark, sf_dir, "documents")
+    return unigram_logprob_score_segmented(
+        spark, path, load_table(spark, sf_dir, "documents")
+    )
+
+
+# q77's full derivation over corpus-minus-deleted: vocabulary, counts,
+# token total and every per-doc mean recompute over the survivors —
+# exactly what the negative segment's cancellation must reproduce
+_UNIGRAM_DELETED_ORACLE = _REG["q77_unigram_logprob"].oracle.replace(
+    "AS toks FROM documents)",
+    "AS toks FROM documents WHERE doc_id % 7 != 3)",
+).replace(
+    "FROM documents d LEFT JOIN",
+    "FROM (SELECT * FROM documents WHERE doc_id % 7 != 3) d LEFT JOIN",
+)
+
+
+@register("q123_unigram_lm_after_delete", oracle=_UNIGRAM_DELETED_ORACLE)
+def q123_unigram_lm_after_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELETION for the unigram LM (round 11, q119's negative-segment
+    design): a takedown appends negated counts; the additive merge
+    cancels them exactly (zero-count tokens vanish via the positivity
+    filter, negative merges fail loudly), and the serve-time top-k
+    re-derives the vocabulary over the SURVIVORS — a deleted Zipf-head
+    token falls out of the vocabulary itself, which a frozen persisted
+    vocab (q96) could never do. The oracle is q77's fit on
+    corpus-minus-deleted: the hash proves the delete is exact."""
+    from plumberapp_spark.llm.textqa import (
+        ensure_deleted_unigram_lm,
+        unigram_logprob_score_segmented,
+    )
+
+    path = ensure_deleted_unigram_lm(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 7 != 3)
+    return unigram_logprob_score_segmented(spark, path, docs)

@@ -500,3 +500,127 @@ def test_ivf_filter_is_pre_topk(spark, tmp_path):
         key = (r["query_id"], r["neighbor_id"])
         if key in unfilt:
             assert unfilt[key] == r["cos_sim"]
+
+
+# ---- segmented unigram LM (VERDICT r10 next-round #6) --------------------
+
+
+def test_unigram_segments_serve_equals_direct_fit(spark, tmp_path):
+    """Build 60% + append 40%: serving from the merged segments must be
+    bit-identical to the direct fit on the union (same vocabulary
+    selection, same totals, same per-doc means)."""
+    from plumberapp_spark.llm.textqa import (
+        append_unigram_segment,
+        build_segmented_unigram_lm,
+        unigram_logprob_score,
+        unigram_logprob_score_segmented,
+    )
+
+    docs = _docs(spark)
+    path = str(tmp_path / "lm")
+    build_segmented_unigram_lm(docs.filter(F.col("doc_id") % 5 > 1), path)
+    append_unigram_segment(docs.filter(F.col("doc_id") % 5 <= 1), path)
+    got = sorted(
+        tuple(r)
+        for r in unigram_logprob_score_segmented(spark, path, docs).collect()
+    )
+    want = sorted(tuple(r) for r in unigram_logprob_score(docs).collect())
+    assert got == want
+
+
+def test_unigram_delete_reshapes_vocabulary(spark, tmp_path):
+    """The claim q123 makes over q96: deleting the only documents that
+    carry a vocabulary token drops that token from the SERVED
+    vocabulary itself — serving equals a fresh fit on survivors, and
+    the compacted LM physically forgets the deleted counts."""
+    from plumberapp_spark.llm.textqa import (
+        build_segmented_unigram_lm,
+        compact_unigram_lm,
+        delete_unigram_docs,
+        unigram_logprob_score,
+        unigram_logprob_score_segmented,
+    )
+
+    rows = [(1, "zebra zebra zebra"), (2, "apple pie"), (3, "apple tart")]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    path = str(tmp_path / "lm")
+    build_segmented_unigram_lm(docs, path)
+    delete_unigram_docs(docs.filter(F.col("doc_id") == 1), path)
+
+    survivors = docs.filter(F.col("doc_id") != 1)
+    got = sorted(
+        tuple(r)
+        for r in unigram_logprob_score_segmented(
+            spark, path, survivors, vocab_size=3
+        ).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in unigram_logprob_score(survivors, vocab_size=3).collect()
+    )
+    assert got == want
+
+    out = str(tmp_path / "compacted")
+    compact_unigram_lm(spark, path, out)
+    uni = {r["tk"]: r["_c"] for r in spark.read.parquet(f"{out}/seg_00000/uni").collect()}
+    assert "zebra" not in uni, "compaction must physically drop zeroed tokens"
+    assert uni == {"apple": 2, "pie": 1, "tart": 1}
+    got_c = sorted(
+        tuple(r)
+        for r in unigram_logprob_score_segmented(
+            spark, out, survivors, vocab_size=3
+        ).collect()
+    )
+    assert got_c == want
+
+
+def test_unigram_unkeyed_double_delete_fails_loudly(spark, tmp_path):
+    """The shared non-negative invariant applies to the unigram merge
+    too: an un-keyed replayed takedown raises the pinned message."""
+    from plumberapp_spark.llm.textqa import (
+        build_segmented_unigram_lm,
+        delete_unigram_docs,
+        unigram_logprob_score_segmented,
+    )
+
+    rows = [(1, "zebra zebra"), (2, "apple pie"), (3, "apple tart")]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    path = str(tmp_path / "lm")
+    build_segmented_unigram_lm(docs, path)
+    takedown = docs.filter(F.col("doc_id") == 1)  # the only zebra-carrier
+    delete_unigram_docs(takedown, path)
+    delete_unigram_docs(takedown, path)  # un-keyed replay: zebra -> -2
+    with pytest.raises(Exception, match="negative count"):
+        unigram_logprob_score_segmented(
+            spark, path, docs.filter(F.col("doc_id") != 1)
+        ).collect()
+
+
+def test_unigram_epoch_keyed_replays_are_noops(spark, tmp_path):
+    """Epoch-keyed appends AND deletes replay as no-ops (the streaming
+    sink contract the bigram tier already carries)."""
+    from plumberapp_spark.llm.textqa import (
+        _unigram_segments,
+        append_unigram_segment,
+        build_segmented_unigram_lm,
+        delete_unigram_docs,
+    )
+
+    docs = _docs(spark, 100)
+    path = str(tmp_path / "lm")
+    build_segmented_unigram_lm(docs.filter(F.col("doc_id") % 2 == 0), path)
+    for _ in range(2):
+        append_unigram_segment(
+            docs.filter(F.col("doc_id") % 2 == 1),
+            path,
+            name="seg_e1",
+            skip_if_complete=True,
+        )
+    for _ in range(2):
+        delete_unigram_docs(
+            docs.filter(F.col("doc_id") % 7 == 3),
+            path,
+            name="seg_d1",
+            skip_if_complete=True,
+        )
+    assert len(_unigram_segments(path)) == 3
