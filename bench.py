@@ -495,7 +495,7 @@ def main() -> None:
                 "q94", "q95", "q96", "q97", "q98", "q99", "q100", "q101",
                 "q102", "q103", "q104", "q105", "q106", "q107", "q108",
                 "q109", "q111", "q112", "q113", "q114", "q115", "q116",
-                "q117",
+                "q117", "q120", "q121", "q122", "q123", "q124",
             }
         )
         detail["index_serving_family"] = index_family
@@ -534,6 +534,17 @@ def main() -> None:
         # substantive query grades at THIS run's sf ratio. Result:
         # per-query graded_bed/graded_ratio maps plus ONE
         # vs_gate_geomean the gate check reads directly.
+        #
+        # GATE POLICY for direct build-per-run forms (VERDICT r10 #2 —
+        # one defensible reading, not two): a direct form (q77/q79/q80/
+        # q83/q98/q110) grades at its GRADED-BED BUILD RATIO — what the
+        # fit/build actually costs vs the baseline at a scale where the
+        # work dominates the scheduling floor — NEVER at its sf0.1
+        # floor artifact, and NOT at its indexed twin's ratio inside
+        # this headline. The amortized geomean (above) remains the
+        # separate deployment answer: what a query costs once the index
+        # exists. So vs_gate_geomean has exactly one reading: every
+        # entry is a measured ratio at the query's own graded bed.
         try:
             with open(Path(__file__).resolve().parent / "GRADED.json") as fh:
                 graded = json.load(fh)

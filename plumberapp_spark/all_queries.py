@@ -254,6 +254,75 @@ _PROMOTE_R10 = (
 for _name in [n for n in list(REGISTRY) if n not in _PROMOTE_R10]:
     REGISTRY[_name] = REGISTRY.pop(_name)
 
+# Round-11 rotation (VERDICT r10 #3 + the standing policy): the window
+# is exactly the 50 STALEST queries by last-driver-green round from the
+# CORRECTNESS_r01..r10 union — the 5 NEW round-11 registrations
+# (filtered retrieval q120/q121, segmented unigram LM q122/q123, IVF
+# rebuild q124; never driver-checked, staleness 0), then the ENTIRE
+# r8-green band VERDICT r10 flagged as stalest (q81-q93 + q94-q99, 19
+# queries), then the stalest 26 of the r9-green set by name-order
+# tie-break (q01-q15 plus the q10x serving family). Displaced into the
+# tail: the rest of the r9 set and everything r10-green — nothing in
+# the registry is now older than two rounds. With this rotation the
+# r1-r11 union covers all 124 registered queries.
+_PROMOTE_R11 = (
+    # new this round — first driver rows needed:
+    "q120_bm25_filtered_search",
+    "q121_ivf_filtered_search",
+    "q122_unigram_lm_segmented",
+    "q123_unigram_lm_after_delete",
+    "q124_ivf_rebuild_serve",
+    # last driver-checked r8 (the full stale band):
+    "q81_bloom_decontamination",
+    "q82_domain_mixture",
+    "q83_bm25_search",
+    "q84_duplicate_spans",
+    "q85_dsir_selection",
+    "q86_streaming_bloom_dedup",
+    "q87_remove_duplicate_spans",
+    "q88_incremental_fuzzy_dedup",
+    "q89_ivf_indexed_topk",
+    "q90_corpus_report",
+    "q91_cluster_representatives",
+    "q92_crossmodal_candidates",
+    "q93_streaming_decontamination",
+    "q94_tfidf_indexed_search",
+    "q95_bm25_indexed_search",
+    "q96_unigram_logprob_indexed",
+    "q97_perplexity_buckets_indexed",
+    "q98_hybrid_search",
+    "q99_hybrid_indexed_search",
+    # last driver-checked r9 (stalest 26 by name-order tie-break):
+    "q01_pricing_summary",
+    "q02_filter_projection",
+    "q03_topk",
+    "q04_conditional",
+    "q05_vocab_lookup",
+    "q07_take_skip_shard",
+    "q08_batch_stats",
+    "q09_repeat_echo",
+    "q101_tfidf_freetext_search",
+    "q102_bm25_freetext_search",
+    "q103_hybrid_freetext_search",
+    "q104_bm25_incremental_index",
+    "q105_bm25_compacted_index",
+    "q106_streaming_index_ingest",
+    "q107_kmeans_cluster_profile",
+    "q108_cluster_balanced_sample",
+    "q109_ivf_incremental_append",
+    "q10_unbatch_roundtrip",
+    "q110_bigram_logprob",
+    "q111_tfidf_segmented_search",
+    "q112_streaming_ivf_ingest",
+    "q11_group_by_window",
+    "q12_string_pipeline",
+    "q13_hash_bucket",
+    "q14_exact_dedup",
+    "q15_fingerprint_clusters",
+)
+for _name in [n for n in list(REGISTRY) if n not in _PROMOTE_R11]:
+    REGISTRY[_name] = REGISTRY.pop(_name)
+
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: qd.fn for name, qd in REGISTRY.items()}

@@ -5,7 +5,12 @@ sf dir. Usage: python tools/time_queries.py [--noop] SF_DIR q24_token_stats ...
 ``--noop`` consumes the Spark side with bench.py's count-free noop
 write instead of collect() — the protocol of record for corpus-sized
 outputs, where collect()'s driver transfer tax is a measurement
-artifact (the r9 q97 dissection: 2.2x by collect, 1.38x by noop)."""
+artifact (the r9 q97 dissection: 2.2x by collect, 1.38x by noop).
+
+``--spark-only`` skips the DuckDB oracle entirely — REQUIRED at beds
+where the oracle is a documented DNF (the bigram derivation at Zipf
+scale OOMs the machine and can take the Spark JVM with it; see
+SCALE.md and GRADED.json's dnf_baseline entries)."""
 
 from __future__ import annotations
 
@@ -22,8 +27,8 @@ from tools.check_correctness import TABLES, get_spark
 def main() -> None:
     args = sys.argv[1:]
     noop = "--noop" in args
-    if noop:
-        args = [a for a in args if a != "--noop"]
+    spark_only = "--spark-only" in args
+    args = [a for a in args if a not in ("--noop", "--spark-only")]
     sf_dir = args[0]
     names = args[1:]
     spark = get_spark("time_queries")
@@ -50,7 +55,7 @@ def main() -> None:
                     n = len(qd.fn(spark, sf_dir).collect())
                 walls.append(time.perf_counter() - t0)
             best = min(walls[1:])  # exclude the cold first rep
-            if qd.oracle:
+            if qd.oracle and not spark_only:
                 dws = []
                 for _ in range(3):
                     t0 = time.perf_counter()
