@@ -495,7 +495,7 @@ def main() -> None:
                 "q94", "q95", "q96", "q97", "q98", "q99", "q100", "q101",
                 "q102", "q103", "q104", "q105", "q106", "q107", "q108",
                 "q109", "q111", "q112", "q113", "q114", "q115", "q116",
-                "q117", "q120", "q121", "q122", "q123", "q124",
+                "q117", "q120", "q121", "q122", "q123", "q124", "q125",
             }
         )
         detail["index_serving_family"] = index_family

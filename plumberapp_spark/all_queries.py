@@ -266,7 +266,13 @@ for _name in [n for n in list(REGISTRY) if n not in _PROMOTE_R10]:
 # the registry is now older than two rounds. With this rotation the
 # r1-r11 union covers all 124 registered queries.
 _PROMOTE_R11 = (
-    # new this round — first driver rows needed:
+    # new this round — first driver rows needed (q125-q128, the
+    # compressed-index tier, displace q12-q15 — the least-stale of the
+    # r9 name-order slice, all driver-green in 3+ prior rounds):
+    "q125_sq_ivf_search",
+    "q126_sq_compression_stats",
+    "q127_sq_serve_after_delete",
+    "q128_sq_compact_after_delete",
     "q120_bm25_filtered_search",
     "q121_ivf_filtered_search",
     "q122_unigram_lm_segmented",
@@ -315,10 +321,6 @@ _PROMOTE_R11 = (
     "q111_tfidf_segmented_search",
     "q112_streaming_ivf_ingest",
     "q11_group_by_window",
-    "q12_string_pipeline",
-    "q13_hash_bucket",
-    "q14_exact_dedup",
-    "q15_fingerprint_clusters",
 )
 for _name in [n for n in list(REGISTRY) if n not in _PROMOTE_R11]:
     REGISTRY[_name] = REGISTRY.pop(_name)

@@ -97,6 +97,23 @@ EAGER_ALLOWED = {
     # serving plan itself is lazy — counts merge inside the plan)
     "q118_bigram_lm_segmented": "LM segment materialization (build-once warehouse contract)",
     "q119_bigram_lm_after_delete": "LM segment + negative-segment materialization",
+    # round-11 filtered retrieval: the same index materialization +
+    # bounded collects as their unfiltered twins (q95/q89); the filter
+    # relation itself stays lazy (semi-join inside the plan)
+    "q120_bm25_filtered_search": "segment materialization + bucket-list collect (q95 contract)",
+    "q121_ivf_filtered_search": "index materialization + bounded collects (q89 contract)",
+    # round-11 segmented unigram LM + rebuild: segment/index
+    # materialization (build-once warehouse contract)
+    "q122_unigram_lm_segmented": "LM segment materialization (q118 contract)",
+    "q123_unigram_lm_after_delete": "LM segment + negative-segment materialization",
+    "q124_ivf_rebuild_serve": "index+delta+tombstone+rebuild materialization + bounded collects",
+    # round-11 compressed index: same materialization shape + the
+    # centroid/scale/query-matrix collects (IVF contract); the stats
+    # card probes the corpus dim with one limit-1 row
+    "q125_sq_ivf_search": "SQ index materialization + bounded collects",
+    "q126_sq_compression_stats": "dim probe (one limit-1 row)",
+    "q127_sq_serve_after_delete": "SQ index+delta+tombstone materialization + bounded collects",
+    "q128_sq_compact_after_delete": "SQ index+compaction materialization + bounded collects",
     # Structured Streaming queries start and drain their micro-batches
     "q52_streaming_window_counts": "micro-batch execution is the query",
     "q55_stateful_rate_monitor": "micro-batch execution is the query",
