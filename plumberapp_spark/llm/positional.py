@@ -1,0 +1,273 @@
+"""Positional postings + phrase retrieval — the lexical tier's
+exact-phrase feature (round 12).
+
+The persisted lexical index (:mod:`plumberapp_spark.llm.lexical`)
+serves bag-of-words rankings: postings are (term, doc, weight) rows
+with no record of WHERE a term sits inside its document, so "exact
+phrase" — the other half of every production search box, Lucene's
+``PhraseQuery`` next to its term queries — cannot be answered. This
+module adds the missing relation and the serving path on top of it:
+
+* **build once** (:func:`build_positional_index`): one tokenize pass
+  (``posexplode`` — the same whitespace tokenizer as every lexical
+  operator, positions 1-based) materializes
+  ``{path}/positions`` = ``(tk, doc_id, pos, _b)`` PARTITIONED BY
+  ``_b = crc32(tk) % n_buckets`` — the exact bucket layout the
+  weights postings use, so a phrase run's parquet scan prunes to the
+  buckets its terms hash into. ``{path}/scalars`` records the bucket
+  modulus (serve-time pruning reads it back, never re-derives it from
+  the constant).
+
+* **serve many** (:func:`phrase_topk_indexed`): the classic
+  positional-intersection identity. Tokenize the phrase into
+  ``(off, tk)`` pairs (offset 1..m), prune the positions scan to
+  those terms' buckets, broadcast-join the pair map, and reduce each
+  candidate row to an ANCHOR = ``pos - off`` — the position the
+  phrase would have to START at for this row to participate. A
+  ``(doc, anchor)`` holds a genuine occurrence iff ALL m offsets are
+  present there: one ``groupBy(query, doc, anchor)`` counting
+  DISTINCT offsets (repeated phrase terms contribute distinct
+  offsets, so self-overlapping phrases count correctly), filtered to
+  ``== m``, then a second count rolls anchors up to per-doc
+  occurrence totals. No m-way self-join — the m-term intersection is
+  ONE aggregation keyed on (query, doc, anchor).
+
+* **phrase-constrained ranking** (:func:`phrase_bm25_topk`): the
+  production composition "match the phrase exactly, rank matches by
+  relevance". Phrase matches come from the positional relation;
+  BM25 scores come from the weights index's pruned postings —
+  candidates are semi-joined against the (broadcast) phrase-match
+  pairs BEFORE the dot aggregate, so the scoring aggregation's input
+  shrinks to the phrase survivors instead of every doc sharing any
+  query term.
+
+100 TB posture: positions are ~doc-length rows where weight postings
+are ~distinct-term rows (a constant small factor on the same layout —
+Lucene pays the same ratio for its .pos files); a phrase run reads
+``|phrase-term buckets| / n_buckets`` of that relation, everything
+query-sided broadcasts, and the match reduction is one exchange keyed
+(query, doc, anchor) whose width is the pruned scan, not the corpus.
+Hot-head phrase terms (stopwords) stretch the pruned scan exactly as
+they stretch Lucene's position lists — the documented mitigation is
+the same (stop lists / gap-encoded skips), not a different plan.
+
+Reference anchor: the reference's vocab/serving split
+(``pa/pipeline_optimizer.py:1250-1350`` — calibrate once, serve many)
+is the same build/serve boundary; phrase matching itself has no
+reference counterpart (north-star tier).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from plumberapp_spark.llm.lexical import (
+    DEFAULT_BUCKETS,
+    _bucket,
+    _two_stage_topk,
+)
+
+# Bumped whenever the on-disk layout changes; sidecar-recorded so a
+# layout change forces a rebuild instead of serving garbage.
+POS_FORMAT = 1
+
+
+def build_positional_index(
+    corpus: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = DEFAULT_BUCKETS,
+) -> None:
+    """Materialize ``{path}/positions`` and ``{path}/scalars``
+    (docstring above). One tokenize+posexplode pass, one partitioned
+    write compacted to one file per bucket — no joins, no corpus-wide
+    aggregation; the only exchange is the bucket repartition."""
+    from plumberapp_spark.functions.text import tokenize
+
+    spark = corpus.sparkSession
+    spark.createDataFrame(
+        [(int(n_buckets), int(POS_FORMAT))], "_n_buckets int, _format int"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/scalars")
+    (
+        corpus.select(
+            F.col(id_col).alias("doc_id"),
+            F.posexplode(tokenize(F.col(text_col))).alias("_p0", "tk"),
+        )
+        # 1-based positions: matches the oracle's range(1, len+1) and
+        # keeps anchor arithmetic sign-friendly
+        .select("tk", "doc_id", (F.col("_p0") + 1).alias("pos"))
+        .withColumn("_b", _bucket("tk", n_buckets).cast("int"))
+        # one file per bucket: a pruned phrase read opens
+        # |phrase buckets| files, not |buckets| x |shuffle partitions|
+        .repartition("_b")
+        .write.partitionBy("_b")
+        .mode("overwrite")
+        .parquet(f"{path}/positions")
+    )
+
+
+def ensure_positional_index(
+    spark,
+    sf_dir: str,
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """Build-once path contract — ``ensure_lexical_index``'s sidecar
+    pattern verbatim: rebuilt when the marker is missing, the recorded
+    source mtime differs, or the recorded layout format differs."""
+    import re
+    from urllib.parse import urlparse
+
+    from plumberapp_spark.session import _path_mtime, load_table
+
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", "")).path or "spark-warehouse"
+    tag = re.sub(r"[^0-9A-Za-z]+", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1])
+    path = os.path.join(wh, f"pos_{table}_{tag}")
+    marker = os.path.join(path, "positions", "_SUCCESS")
+    sidecar = os.path.join(path, "source_mtime.txt")
+    source_mtime = _path_mtime(f"{sf_dir}/{table}.parquet")
+    recorded, rec_format = None, None
+    try:
+        with open(sidecar) as fh:
+            parts = fh.read().split()
+            recorded = float(parts[0])
+            rec_format = int(parts[1]) if len(parts) > 1 else 1
+    except (OSError, ValueError, IndexError):
+        recorded = None
+    if (
+        not os.path.exists(marker)
+        or recorded is None
+        or recorded != source_mtime
+        or rec_format != POS_FORMAT
+    ):
+        build_positional_index(
+            load_table(spark, sf_dir, table), path, text_col, id_col
+        )
+        with open(sidecar, "w") as fh:
+            fh.write(f"{source_mtime!r} {POS_FORMAT}")
+    return path
+
+
+def _pos_scalars(spark, path: str) -> int:
+    row = spark.read.parquet(f"{path}/scalars").collect()[0]
+    return int(row["_n_buckets"])
+
+
+def _phrase_pairs(queries: DataFrame) -> DataFrame:
+    """``(query_id, off, tk)`` — the phrase terms with their 1-based
+    offsets; a bounded explode on the small-side query frame."""
+    return queries.select(
+        "query_id", F.posexplode("phrase").alias("_o0", "tk")
+    ).select("query_id", (F.col("_o0") + 1).alias("off"), "tk")
+
+
+def phrase_matches(
+    spark,
+    path: str,
+    queries: DataFrame,
+    min_count: int = 1,
+) -> DataFrame:
+    """``(query_id, doc_id, n_occ)`` — every doc containing each
+    query's exact phrase at least ``min_count`` times, with its
+    occurrence count. ``queries`` carries ``(query_id,
+    phrase array<string>)``; docs equal to the query id are excluded
+    (the family's self-exclusion rule). This is the reusable core —
+    :func:`phrase_topk_indexed` ranks it, :func:`phrase_bm25_topk`
+    uses it as a candidate filter."""
+    n_buckets = _pos_scalars(spark, path)
+    qt = _phrase_pairs(queries)
+    plen = queries.select(
+        "query_id", F.size("phrase").cast("long").alias("_plen")
+    )
+    buckets = [
+        r["_b"]
+        for r in qt.select(_bucket("tk", n_buckets).cast("int").alias("_b"))
+        .distinct()
+        .collect()
+    ]
+    positions = spark.read.parquet(f"{path}/positions")
+    if buckets:
+        positions = positions.filter(F.col("_b").isin(buckets))
+    hits = (
+        positions.join(F.broadcast(qt), "tk")
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .select(
+            "query_id", "doc_id", (F.col("pos") - F.col("off")).alias("_anchor"),
+            "off",
+        )
+    )
+    occ = (
+        hits.groupBy("query_id", "doc_id", "_anchor")
+        .agg(F.countDistinct("off").alias("_cov"))
+        .join(F.broadcast(plen), "query_id")
+        .filter(F.col("_cov") == F.col("_plen"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.count("*").alias("n_occ"))
+    )
+    if min_count > 1:
+        occ = occ.filter(F.col("n_occ") >= min_count)
+    return occ
+
+
+def phrase_topk_indexed(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+) -> DataFrame:
+    """Exact-phrase top-k over a persisted positional index: docs
+    containing the phrase, ranked by occurrence count (desc, doc-id
+    tie-break) — Lucene ``PhraseQuery`` semantics with a frequency
+    ranking. Columns ``(query_id, neighbor_id, n_occ, rank)``."""
+    scored = phrase_matches(spark, path, queries).select(
+        "query_id", F.col("doc_id").alias("neighbor_id"),
+        F.col("n_occ").cast("long").alias("n_occ"),
+    )
+    return _two_stage_topk(scored, k, "n_occ")
+
+
+def phrase_bm25_topk(
+    spark,
+    lex_path: str,
+    pos_path: str,
+    queries: DataFrame,
+    k: int = 10,
+) -> DataFrame:
+    """Phrase-constrained BM25: candidates must contain the query's
+    exact phrase (positional index); survivors are ranked by the BM25
+    dot of the query's full term set against the weights index.
+
+    ``queries`` carries ``(query_id, phrase array<string>,
+    terms array<string>)`` — the phrase that must match and the term
+    set to rank by (for a search box these coincide; the fixture ranks
+    by the source doc's full text so scores are discriminative).
+
+    The phrase-match pair set is per-query tiny (exact phrases are
+    rare), so it broadcasts INTO the postings scan: the BM25 aggregate
+    only ever sees rows for docs that already matched the phrase —
+    scoring cost scales with match count, not with term popularity."""
+    from plumberapp_spark.llm.lexical import _index_scalars, _query_postings
+
+    pairs = phrase_matches(spark, pos_path, queries).select(
+        "query_id", "doc_id"
+    )
+    _, n_buckets = _index_scalars(spark, lex_path)
+    qterms = (
+        queries.select("query_id", F.explode("terms").alias("tk")).distinct()
+    )
+    cand = _query_postings(
+        spark, lex_path, qterms.select("tk").distinct(), n_buckets
+    )
+    scored = (
+        cand.join(F.broadcast(qterms), "tk")
+        .join(F.broadcast(pairs), ["query_id", "doc_id"], "left_semi")
+        .groupBy("query_id", "doc_id")
+        .agg(F.round(F.sum("w_bm25"), 6).alias("bm25"))
+        .select("query_id", F.col("doc_id").alias("neighbor_id"), "bm25")
+    )
+    return _two_stage_topk(scored, k, "bm25")

@@ -3400,3 +3400,388 @@ def q128_sq_compact_after_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         nprobe=2,
         rerank=20,
     )
+
+
+# ---- phrase retrieval (positional index, round 12) -------------------
+
+def _phrase_query_frame(spark: SparkSession, sf_dir: str, with_terms: bool = False):
+    """Phrase fixture: every doc_id % 10 == 0 document contributes its
+    leading bigram as the phrase to search for (``len(toks) >= 2``
+    guard mirrors the oracle). ``with_terms`` rides the doc's FULL
+    token list along for phrase-constrained BM25 ranking."""
+    from plumberapp_spark.functions.text import tokenize
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.filter(F.col("doc_id") % 10 == 0).select(
+        F.col("doc_id").alias("query_id"), tokenize(F.col("text")).alias("_toks")
+    ).filter(F.size("_toks") >= 2)
+    cols = ["query_id", F.slice("_toks", 1, 2).alias("phrase")]
+    if with_terms:
+        cols.append(F.col("_toks").alias("terms"))
+    return toks.select(*cols)
+
+
+# The shared phrase-match CTE chain: 1-based token positions, phrase
+# (off, tk) pairs, anchor = pos - off, full-coverage anchors counted
+# per doc. count(DISTINCT off) = 2 is the phrase length (the fixture's
+# bigram); self-matches excluded inside m (the family rule).
+_PHRASE_CTES = f"""
+         t AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+         q AS (SELECT doc_id AS query_id, toks[1:2] AS ph FROM t
+               WHERE doc_id % 10 = 0 AND len(toks) >= 2),
+         pos AS (SELECT doc_id, unnest(toks) AS tk,
+                        unnest(range(1, len(toks)+1)) AS p FROM t),
+         qt AS (SELECT query_id, unnest(ph) AS tk,
+                       unnest(range(1, len(ph)+1)) AS off FROM q),
+         m AS (SELECT qt.query_id, pos.doc_id, pos.p - qt.off AS anchor,
+                      qt.off
+               FROM qt JOIN pos USING (tk)
+               WHERE pos.doc_id != qt.query_id),
+         occ AS (SELECT query_id, doc_id FROM m
+                 GROUP BY query_id, doc_id, anchor
+                 HAVING count(DISTINCT off) = 2)"""
+
+
+@register(
+    "q129_phrase_search",
+    oracle=f"""
+    WITH {_PHRASE_CTES.strip()},
+         cnt AS (SELECT query_id, doc_id AS neighbor_id,
+                        CAST(count(*) AS BIGINT) AS n_occ
+                 FROM occ GROUP BY 1, 2),
+         ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                ORDER BY n_occ DESC, neighbor_id) AS rank
+                    FROM cnt)
+    SELECT query_id, neighbor_id, n_occ, CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= 10
+    """,
+)
+def q129_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-PHRASE retrieval (round 12): Lucene ``PhraseQuery``
+    semantics over a persisted positional index. The build tokenizes
+    once and lays (tk, doc_id, pos) out under the lexical tier's
+    crc32-bucket partitioning; a phrase run prunes the scan to its
+    terms' buckets, reduces every hit to an anchor = pos - offset, and
+    ONE aggregation keyed (query, doc, anchor) counting distinct
+    offsets finds the full-coverage anchors — the m-term positional
+    intersection with no m-way self-join. Ranked by occurrence count.
+    Reference has no phrase feature (north-star tier); the build/serve
+    split is the pa/pipeline_optimizer.py:1250-1350 calibration
+    boundary."""
+    from plumberapp_spark.llm.positional import (
+        ensure_positional_index,
+        phrase_topk_indexed,
+    )
+
+    path = ensure_positional_index(spark, sf_dir, "documents")
+    return phrase_topk_indexed(
+        spark, path, _phrase_query_frame(spark, sf_dir), k=10
+    )
+
+
+@register(
+    "q130_phrase_bm25_search",
+    oracle=f"""
+    WITH {_PHRASE_CTES.strip()},
+         tok AS (SELECT doc_id, unnest(toks) AS tk FROM t),
+         tf AS (SELECT doc_id, tk, count(*) AS tf FROM tok GROUP BY 1, 2),
+         dfreq AS (SELECT tk, count(*) AS df FROM tf GROUP BY 1),
+         dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+         sc AS (SELECT count(*) AS nd, avg(len(toks)) AS avgdl FROM t),
+         w AS (SELECT tf.doc_id, tf.tk,
+                      ln(1.0 + (sc.nd - tf2.df + 0.5) / (tf2.df + 0.5))
+                        * (tf.tf * 2.2)
+                        / (tf.tf + 1.2 * (0.25 + (0.75 * dl.dl) / sc.avgdl)) AS w
+               FROM tf JOIN dfreq tf2 USING (tk) JOIN dl USING (doc_id), sc),
+         qterm AS (SELECT DISTINCT q.query_id, tok.tk
+                   FROM q JOIN tok ON tok.doc_id = q.query_id),
+         occd AS (SELECT DISTINCT query_id, doc_id FROM occ),
+         dots AS (SELECT qterm.query_id, w.doc_id AS neighbor_id,
+                         round(sum(w.w), 6) AS bm25
+                  FROM w
+                  JOIN qterm USING (tk)
+                  JOIN occd ON occd.query_id = qterm.query_id
+                           AND occd.doc_id = w.doc_id
+                  GROUP BY 1, 2),
+         ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                ORDER BY bm25 DESC, neighbor_id) AS rank
+                    FROM dots)
+    SELECT query_id, neighbor_id, bm25, CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= 10
+    """,
+)
+def q130_phrase_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PHRASE-CONSTRAINED BM25 (round 12): "match the phrase exactly,
+    rank the matches by relevance" — the production search-box
+    composition. Candidates come from q129's positional intersection;
+    the per-query match set is tiny, so it broadcasts INTO the weights
+    postings scan as a semi-join BEFORE the BM25 dot aggregate — the
+    scoring aggregation's input scales with phrase-match count, not
+    with the query terms' posting-list lengths. Both indexes are
+    build-once (ensure_* sidecars); a serve run reads two pruned
+    bucket scans and pays two bounded aggregates."""
+    from plumberapp_spark.llm.lexical import ensure_lexical_index
+    from plumberapp_spark.llm.positional import (
+        ensure_positional_index,
+        phrase_bm25_topk,
+    )
+
+    lex = ensure_lexical_index(spark, sf_dir, "documents")
+    pos = ensure_positional_index(spark, sf_dir, "documents")
+    return phrase_bm25_topk(
+        spark, lex, pos, _phrase_query_frame(spark, sf_dir, with_terms=True), k=10
+    )
+
+
+# ---- product quantization (IVF-PQ, round 12) -------------------------
+#
+# The PQ encode/decode CTE block shared by q131/q132: a 16-anchor
+# codebook per 8-dim subspace (anchors = the salted-md5-first 16
+# vectors, j = rank in that order), assignment by round-6 squared L2
+# expanded as vv - 2vc + cc (the same expression numpy evaluates),
+# ties to the smaller j, reconstruction = concatenated selected
+# entries ordered by subspace.
+_PQ_DEQ_CTES = """
+         anch AS (SELECT e, row_number() OVER (
+                      ORDER BY md5('pq' || CAST(vec_id AS VARCHAR)), vec_id) AS r
+                  FROM v),
+         cbs AS (SELECT unnest(range(0, 8)) AS s),
+         cb AS (SELECT cbs.s, anch.r - 1 AS j,
+                       anch.e[(cbs.s*8+1):(cbs.s*8+8)] AS sub
+                FROM anch, cbs WHERE anch.r <= 16),
+         dv AS (SELECT v.vec_id, cbs.s,
+                       v.e[(cbs.s*8+1):(cbs.s*8+8)] AS sub
+                FROM v, cbs),
+         d2 AS (SELECT dv.vec_id, dv.s, cb.j,
+                       round(list_dot_product(dv.sub, dv.sub)
+                             - 2*list_dot_product(dv.sub, cb.sub)
+                             + list_dot_product(cb.sub, cb.sub), 6) AS d
+                FROM dv JOIN cb ON cb.s = dv.s),
+         code AS (SELECT vec_id, s, j FROM (
+                      SELECT *, row_number() OVER (
+                          PARTITION BY vec_id, s ORDER BY d, j) AS rn FROM d2)
+                  WHERE rn = 1),
+         dq AS (SELECT code.vec_id, flatten(list(cb.sub ORDER BY code.s)) AS de
+                FROM code JOIN cb ON cb.s = code.s AND cb.j = code.j
+                GROUP BY code.vec_id)"""
+
+
+_PQ_IVF_ORACLE = f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         {_PQ_DEQ_CTES.strip()},
+         cent AS (SELECT vec_id AS c_id, e AS ce FROM v
+                  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+         sim AS (SELECT v.vec_id, cent.c_id,
+                        round(list_dot_product(v.e, cent.ce) /
+                              (sqrt(list_dot_product(v.e, v.e)) * sqrt(list_dot_product(cent.ce, cent.ce))), 6) AS s
+                 FROM v CROSS JOIN cent),
+         ranked AS (SELECT vec_id, c_id,
+                           row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, c_id) AS rn
+                    FROM sim),
+         vc AS (SELECT vec_id, c_id AS cell FROM ranked WHERE rn = 1),
+         qc AS (SELECT vec_id AS query_id, c_id AS cell FROM ranked
+                WHERE rn <= 2 AND vec_id % 50 = 0),
+         cand AS (SELECT qc.query_id, vc.vec_id AS neighbor_id
+                  FROM vc JOIN qc ON vc.cell = qc.cell
+                  WHERE vc.vec_id != qc.query_id),
+         approx AS (SELECT cand.query_id, cand.neighbor_id,
+                           round(list_dot_product(a.e, b.de) /
+                                 (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.de, b.de))), 6) AS asim
+                    FROM cand JOIN v a ON a.vec_id = cand.query_id
+                              JOIN dq b ON b.vec_id = cand.neighbor_id),
+         short AS (SELECT query_id, neighbor_id,
+                          row_number() OVER (PARTITION BY query_id ORDER BY asim DESC, neighbor_id) AS rn
+                   FROM approx),
+         resc AS (SELECT s.query_id, s.neighbor_id,
+                         round(list_dot_product(a.e, b.e) /
+                               (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 6) AS cos_sim
+                  FROM short s JOIN v a ON a.vec_id = s.query_id
+                               JOIN v b ON b.vec_id = s.neighbor_id
+                  WHERE s.rn <= 20),
+         out AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+                 FROM resc)
+    SELECT query_id, neighbor_id, cos_sim, CAST(rank AS BIGINT) AS rank
+    FROM out WHERE rank <= 5
+    """
+
+
+@register("q131_pq_ivf_search", oracle=_PQ_IVF_ORACLE)
+def q131_pq_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ SEARCH (round 12): the compression tier past q125's int8
+    scalar quantization — one byte per SUBSPACE instead of one byte
+    per dimension (m_sub=8 on 64 dims: 8 bytes/vector, 32x over
+    float32, 8x over SQ), scored by ADC: each query precomputes an
+    m_sub x ks lookup table of subvector dots against the frozen
+    codebook, and every code in a probed cell scores with m_sub
+    gathers + an add — never reconstructing, never touching floats.
+    Probe geometry (md5-seeded centroids, nprobe=2) is bit-identical
+    to q54/q125; the top-20 shortlist reranks EXACTLY against the
+    full-precision table. At 100 TB the code store is ~0.8 % of the
+    corpus bytes and probe IO shrinks by the same factor; recall loss
+    vs SQ is the price, measured by the q72 recall monitor."""
+    from plumberapp_spark.llm.pq import ensure_pq_ivf_index, pq_ivf_topk_indexed
+
+    path = ensure_pq_ivf_index(spark, sf_dir, "embeddings", n_centroids=16)
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pq_ivf_topk_indexed(
+        spark,
+        path,
+        emb.filter(F.col("vec_id") % 50 == 0),
+        emb,
+        k=5,
+        nprobe=2,
+        rerank=20,
+    )
+
+
+_PQ_STATS_ORACLE = f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         {_PQ_DEQ_CTES.strip()},
+         err AS (SELECT len(v.e) AS dim,
+                        list_aggregate(list_transform(range(1, len(v.e)+1),
+                            i -> (v.e[i]-dq.de[i])*(v.e[i]-dq.de[i])), 'sum') AS sq,
+                        list_max(list_transform(range(1, len(v.e)+1),
+                            i -> abs(v.e[i]-dq.de[i]))) AS mx
+                 FROM v JOIN dq USING (vec_id))
+    SELECT count(*) AS n_vecs, CAST(max(dim) AS INT) AS dim,
+           CAST(8 AS INT) AS m_sub, CAST(16 AS INT) AS ks,
+           CAST(count(*)*max(dim)*4 AS BIGINT) AS fp32_bytes,
+           CAST(count(*)*8 AS BIGINT) AS code_bytes,
+           round(max(dim)*4.0/8, 6) AS compression_x,
+           round(max(mx), 6) AS max_abs_err,
+           round(sum(sq)/(count(*)*max(dim)), 10) AS mse
+    FROM err
+    """
+
+
+@register("q132_pq_compression_stats", oracle=_PQ_STATS_ORACLE)
+def q132_pq_compression_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PQ data card — q126's compression card at the next tier:
+    fp32 vs 8-byte-code storage (32x), worst-case and mean-square
+    reconstruction error under the frozen codebook. The operator's
+    go/no-go read before flipping a 100 TB corpus to IVF-PQ: is the
+    reconstruction error small against the score margins the exact
+    rerank must recover? One bounded codebook collect + one Arrow
+    error pass folded to a single row — nothing corpus-sized moves."""
+    from plumberapp_spark.llm.pq import pq_compression_stats
+
+    return pq_compression_stats(load_table(spark, sf_dir, "embeddings"))
+
+
+# q131's derivation under the q127 lifecycle fixture: codebook AND
+# centroids freeze on the 80 % base, the 20 % delta encodes under the
+# frozen codebook, the servable side excludes the takedown set.
+_PQ_DELETED_ORACLE = """
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         anch AS (SELECT e, row_number() OVER (
+                      ORDER BY md5('pq' || CAST(vec_id AS VARCHAR)), vec_id) AS r
+                  FROM v WHERE vec_id % 5 != 0),
+         cbs AS (SELECT unnest(range(0, 8)) AS s),
+         cb AS (SELECT cbs.s, anch.r - 1 AS j,
+                       anch.e[(cbs.s*8+1):(cbs.s*8+8)] AS sub
+                FROM anch, cbs WHERE anch.r <= 16),
+         dv AS (SELECT v.vec_id, cbs.s,
+                       v.e[(cbs.s*8+1):(cbs.s*8+8)] AS sub
+                FROM v, cbs),
+         d2 AS (SELECT dv.vec_id, dv.s, cb.j,
+                       round(list_dot_product(dv.sub, dv.sub)
+                             - 2*list_dot_product(dv.sub, cb.sub)
+                             + list_dot_product(cb.sub, cb.sub), 6) AS d
+                FROM dv JOIN cb ON cb.s = dv.s),
+         code AS (SELECT vec_id, s, j FROM (
+                      SELECT *, row_number() OVER (
+                          PARTITION BY vec_id, s ORDER BY d, j) AS rn FROM d2)
+                  WHERE rn = 1),
+         dq AS (SELECT code.vec_id, flatten(list(cb.sub ORDER BY code.s)) AS de
+                FROM code JOIN cb ON cb.s = code.s AND cb.j = code.j
+                GROUP BY code.vec_id),
+         cent AS (SELECT vec_id AS c_id, e AS ce FROM v
+                  WHERE vec_id % 5 != 0
+                  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+         sim AS (SELECT v.vec_id, cent.c_id,
+                        round(list_dot_product(v.e, cent.ce) /
+                              (sqrt(list_dot_product(v.e, v.e)) * sqrt(list_dot_product(cent.ce, cent.ce))), 6) AS s
+                 FROM v CROSS JOIN cent),
+         ranked AS (SELECT vec_id, c_id,
+                           row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, c_id) AS rn
+                    FROM sim),
+         vc AS (SELECT vec_id, c_id AS cell FROM ranked
+                WHERE rn = 1 AND vec_id % 7 != 3),
+         qc AS (SELECT vec_id AS query_id, c_id AS cell FROM ranked
+                WHERE rn <= 2 AND vec_id % 50 = 0),
+         cand AS (SELECT qc.query_id, vc.vec_id AS neighbor_id
+                  FROM vc JOIN qc ON vc.cell = qc.cell
+                  WHERE vc.vec_id != qc.query_id),
+         approx AS (SELECT cand.query_id, cand.neighbor_id,
+                           round(list_dot_product(a.e, b.de) /
+                                 (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.de, b.de))), 6) AS asim
+                    FROM cand JOIN v a ON a.vec_id = cand.query_id
+                              JOIN dq b ON b.vec_id = cand.neighbor_id),
+         short AS (SELECT query_id, neighbor_id,
+                          row_number() OVER (PARTITION BY query_id ORDER BY asim DESC, neighbor_id) AS rn
+                   FROM approx),
+         resc AS (SELECT s.query_id, s.neighbor_id,
+                         round(list_dot_product(a.e, b.e) /
+                               (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 6) AS cos_sim
+                  FROM short s JOIN v a ON a.vec_id = s.query_id
+                               JOIN v b ON b.vec_id = s.neighbor_id
+                  WHERE s.rn <= 20),
+         out AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+                 FROM resc)
+    SELECT query_id, neighbor_id, cos_sim, CAST(rank AS BIGINT) AS rank
+    FROM out WHERE rank <= 5
+    """
+
+
+@register("q133_pq_serve_after_delete", oracle=_PQ_DELETED_ORACLE)
+def q133_pq_serve_after_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIFECYCLE for the PQ index (round 12 — the q127 proof on the
+    8-byte layout): 80 % build freezes codebook and centroids, a 20 %
+    delta append encodes under the frozen codebook into an immutable
+    segment, a takedown tombstones vec_id % 7 == 3 across base and
+    delta, and serving anti-joins the tombstones inside the pruned ADC
+    probe. The oracle is the full corpus-minus-deleted derivation —
+    hash-green means append, delete, and ADC compose losslessly."""
+    from plumberapp_spark.llm.pq import (
+        ensure_deleted_pq_ivf_index,
+        pq_ivf_topk_indexed,
+    )
+
+    path = ensure_deleted_pq_ivf_index(spark, sf_dir, "embeddings", n_centroids=16)
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pq_ivf_topk_indexed(
+        spark,
+        path,
+        emb.filter(F.col("vec_id") % 50 == 0),
+        emb,
+        k=5,
+        nprobe=2,
+        rerank=20,
+    )
+
+
+@register("q134_pq_compact_after_delete", oracle=_PQ_DELETED_ORACLE)
+def q134_pq_compact_after_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPACTION on the PQ index: q133's fixture folded into one
+    cells_pq relation (deltas absorbed, tombstoned codes physically
+    dropped, codebook and centroids copied through Spark I/O) — shares
+    q133's oracle verbatim; the hash proves compaction changes nothing
+    an ADC probe can observe. At 100 TB this bounds delta fan-out:
+    probe IO returns to nprobe/n_centroids of ONE 8-byte-code
+    relation."""
+    from plumberapp_spark.llm.pq import (
+        ensure_compacted_pq_ivf_index,
+        pq_ivf_topk_indexed,
+    )
+
+    path = ensure_compacted_pq_ivf_index(spark, sf_dir, "embeddings", n_centroids=16)
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pq_ivf_topk_indexed(
+        spark,
+        path,
+        emb.filter(F.col("vec_id") % 50 == 0),
+        emb,
+        k=5,
+        nprobe=2,
+        rerank=20,
+    )
