@@ -76,7 +76,23 @@ def _index_scalars(spark, path: str):
     plays no role at serve time, so a constant change can never compute
     buckets under a new modulus against partitions laid out under the
     old one."""
-    sc = spark.read.parquet(f"{path}/scalars")
+    from plumberapp_spark.session import local_parquet_rows, read_parquet_cached
+
+    rows = local_parquet_rows(f"{path}/scalars")
+    if rows:
+        # one-row relation: driver-side pyarrow fast path (zero Spark
+        # jobs — the stats_bounds precedent); values identical, shipped
+        # as a local one-row relation so downstream crossJoin(broadcast)
+        # plans a LocalTableScan instead of a file scan per serve
+        sc = spark.createDataFrame(
+            [tuple(rows[0].values())],
+            ", ".join(
+                f"{k} {'bigint' if isinstance(v, int) else 'double'}"
+                for k, v in rows[0].items()
+            ),
+        )
+        return sc, int(rows[0]["_n_buckets"])
+    sc = read_parquet_cached(spark, f"{path}/scalars")
     n_buckets = int(sc.select("_n_buckets").first()[0])
     return sc, n_buckets
 
@@ -225,18 +241,29 @@ def _query_postings(
     ``n_buckets`` MUST be the modulus recorded in the index's scalars
     (``_index_scalars``) — pruning under any other modulus silently
     drops postings rows."""
-    buckets = [
-        r["_b"]
-        for r in query_terms.select(_bucket("tk", n_buckets).cast("int").alias("_b"))
-        .distinct()
-        .collect()
-    ]
-    postings = spark.read.parquet(f"{path}/postings")
+    from plumberapp_spark.session import read_parquet_cached
+
+    # one bounded collect of the distinct terms (small-side contract,
+    # guarded); buckets compute driver-side (zlib.crc32 == Spark crc32
+    # over utf-8 bytes) and the semi-join broadcasts a LOCAL relation —
+    # the collected output of the exact plan it replaces (round 11:
+    # one job instead of a collect plus a re-executed broadcast build)
+    import zlib
+
+    tk_rows = query_terms.select("tk").distinct().limit(100_001).collect()
+    if len(tk_rows) > 100_000:
+        raise ValueError(
+            "_query_postings: query term set exceeds the broadcastable "
+            "contract (> 100000 distinct terms); batch the queries"
+        )
+    buckets = sorted(
+        {zlib.crc32(r["tk"].encode("utf-8")) % n_buckets for r in tk_rows}
+    )
+    local_terms = spark.createDataFrame(tk_rows, "tk string")
+    postings = read_parquet_cached(spark, f"{path}/postings")
     if buckets:
         postings = postings.filter(F.col("_b").isin(buckets))
-    return postings.join(
-        F.broadcast(query_terms.select("tk").distinct()), "tk", "left_semi"
-    )
+    return postings.join(F.broadcast(local_terms), "tk", "left_semi")
 
 
 def _two_stage_topk(scored: DataFrame, k: int, score_col: str) -> DataFrame:

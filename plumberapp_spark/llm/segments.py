@@ -259,8 +259,19 @@ def _write_segment(
 
 
 def _seg_buckets(spark, seg_path: str) -> int:
+    """The segment's recorded bucket modulus. One-row relation: the
+    driver-side pyarrow fast path (the ``stats_bounds`` precedent)
+    reads it with ZERO Spark jobs; non-local paths fall back to the
+    Spark read (cached thereafter)."""
+    from plumberapp_spark.session import local_parquet_rows, read_parquet_cached
+
+    rows = local_parquet_rows(f"{seg_path}/scalars")
+    if rows:
+        return int(rows[0]["_n_buckets"])
     return int(
-        spark.read.parquet(f"{seg_path}/scalars").select("_n_buckets").first()[0]
+        read_parquet_cached(spark, f"{seg_path}/scalars")
+        .select("_n_buckets")
+        .first()[0]
     )
 
 
@@ -351,9 +362,11 @@ def _tombstone_ids(spark, tombs: list[str]) -> DataFrame | None:
     broadcast maps)."""
     if not tombs:
         return None
+    from plumberapp_spark.session import read_parquet_cached
+
     out = None
     for t in tombs:
-        df = spark.read.parquet(f"{t}/ids")
+        df = read_parquet_cached(spark, f"{t}/ids")
         out = df if out is None else out.unionByName(df)
     return out
 
@@ -489,10 +502,16 @@ def append_segment(
 def _union_pruned(spark, segs: list[str], rel: str, buckets: list[int]) -> DataFrame:
     """Union of one relation across segments, each scan pruned to the
     query terms' buckets (an IN filter on the int partition column —
-    partition pruning, not a runtime row filter)."""
+    partition pruning, not a runtime row filter). Segment relations are
+    immutable, so each read is footer-cached per (session, path, mtime)
+    — the round-11 profiler measured repeated ``read.parquet``
+    resolutions as the bulk of the 10-14 driver-side jobs a serve paid
+    before any task ran (guide §1/§7.3: driver-side planning work)."""
+    from plumberapp_spark.session import read_parquet_cached
+
     frames = []
     for seg in segs:
-        df = spark.read.parquet(f"{seg}/{rel}")
+        df = read_parquet_cached(spark, f"{seg}/{rel}")
         if buckets:
             df = df.filter(F.col("_b").isin(buckets))
         frames.append(df)
@@ -508,7 +527,38 @@ def _global_scalars(spark, segs: list[str], tombs: list[str] = ()) -> DataFrame:
     reconstructs them exactly, which is the algebraic fact the whole
     module stands on. Tombstones are the same fact WITH SIGN: each
     contributes its (_nd, _tt) negatively, so the sum is exactly the
-    globals of corpus-minus-deleted."""
+    globals of corpus-minus-deleted.
+
+    Fast path (round 11): every input is a one-row parquet relation, so
+    when all of them are locally readable the sums happen on the driver
+    (exact integer adds; the float division ``Σtt / Σnd`` is the same
+    IEEE double Spark's long/long division produces) and the result
+    ships as a one-row local relation — removing one distributed
+    aggregate + its scan jobs from EVERY serve. Falls back to the
+    distributed form whenever any path isn't locally readable."""
+    from plumberapp_spark.session import local_parquet_rows
+
+    acc_nd, acc_tt, ok = 0, 0, True
+    for s in segs:
+        rows = local_parquet_rows(f"{s}/scalars")
+        if not rows:
+            ok = False
+            break
+        acc_nd += int(rows[0]["_nd"])
+        acc_tt += int(rows[0]["_tt"])
+    if ok:
+        for t in tombs:
+            rows = local_parquet_rows(f"{t}/scalars")
+            if not rows:
+                ok = False
+                break
+            acc_nd -= int(rows[0]["_nd"])
+            acc_tt -= int(rows[0]["_tt"])
+    if ok:
+        avgdl = (acc_tt / acc_nd) if acc_nd else None
+        return spark.createDataFrame(
+            [(acc_nd, avgdl)], "_nd bigint, _avgdl double"
+        )
     return _signed_scalars(spark, segs, tombs).groupBy().agg(
         F.sum("_nd").alias("_nd"),
         (F.sum("_tt") / F.sum("_nd")).alias("_avgdl"),
@@ -573,21 +623,31 @@ def bm25_topk_segmented(
     if not segs:
         raise ValueError(f"no segments under {path!r} — build or append first")
     n_buckets = _seg_buckets(spark, segs[0])
-    qterms = (
-        queries.select(
-            F.col(id_col).alias("query_id"),
-            F.explode(tokenize(F.col(text_col))).alias("tk"),
+    # ONE bounded collect of the (query, term) pairs (the same
+    # small-side contract as the ANN query-matrix collects, guarded);
+    # everything query-sided then serves from a LOCAL relation — the
+    # pruning buckets compute driver-side under the index's RECORDED
+    # modulus (zlib.crc32 == Spark's crc32, both CRC-32/zlib over the
+    # utf-8 bytes), and the three broadcast joins of qterms ship a
+    # LocalTableScan instead of re-executing tokenize+distinct per
+    # branch (round 11: 3 fewer jobs per serve, identical rows by
+    # construction — they ARE the collected output of the old plan).
+    qterms_plan = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.explode(tokenize(F.col(text_col))).alias("tk"),
+    ).distinct()
+    q_rows = qterms_plan.limit(100_001).collect()
+    if len(q_rows) > 100_000:
+        raise ValueError(
+            "bm25_topk_segmented: query term set exceeds the broadcastable "
+            "contract (> 100000 (query, term) pairs); batch the queries"
         )
-        .distinct()
+    qterms = spark.createDataFrame(q_rows, qterms_plan.schema)
+    import zlib
+
+    buckets = sorted(
+        {zlib.crc32(r["tk"].encode("utf-8")) % n_buckets for r in q_rows}
     )
-    # pruning key under the index's RECORDED modulus (never the
-    # constant) — a bounded collect of ≤ n_buckets ints
-    buckets = [
-        r["_b"]
-        for r in qterms.select(_bucket("tk", n_buckets).cast("int").alias("_b"))
-        .distinct()
-        .collect()
-    ]
     dfreq = (
         _union_pruned(spark, segs, "termstats", buckets)
         .join(F.broadcast(qterms.select("tk").distinct()), "tk", "left_semi")
@@ -732,7 +792,9 @@ def _covered_norms(spark, path: str, segs: list[str]) -> DataFrame:
             f"holds {current!r} — run refresh_tfidf_norms(path) after "
             "appends or deletes (BM25 serving needs no refresh)"
         )
-    return spark.read.parquet(f"{path}/norms")
+    from plumberapp_spark.session import read_parquet_cached
+
+    return read_parquet_cached(spark, f"{path}/norms")
 
 
 def tfidf_topk_segmented(
@@ -759,7 +821,9 @@ def tfidf_topk_segmented(
         raise ValueError(f"no segments under {path!r} — build or append first")
     norms = _covered_norms(spark, path, segs)
     n_buckets = _seg_buckets(spark, segs[0])
-    qtf = (
+    # one bounded collect; local query relations thereafter (see
+    # bm25_topk_segmented — same contract, same crc32 parity)
+    qtf_plan = (
         queries.select(
             F.col(id_col).alias("query_id"),
             F.explode(tokenize(F.col(text_col))).alias("tk"),
@@ -767,12 +831,18 @@ def tfidf_topk_segmented(
         .groupBy("query_id", "tk")
         .agg(F.count("*").alias("_qtf"))
     )
-    buckets = [
-        r["_b"]
-        for r in qtf.select(_bucket("tk", n_buckets).cast("int").alias("_b"))
-        .distinct()
-        .collect()
-    ]
+    q_rows = qtf_plan.limit(100_001).collect()
+    if len(q_rows) > 100_000:
+        raise ValueError(
+            "tfidf_topk_segmented: query term set exceeds the broadcastable "
+            "contract (> 100000 (query, term) pairs); batch the queries"
+        )
+    qtf = spark.createDataFrame(q_rows, qtf_plan.schema)
+    import zlib
+
+    buckets = sorted(
+        {zlib.crc32(r["tk"].encode("utf-8")) % n_buckets for r in q_rows}
+    )
     qterms = qtf.select("tk").distinct()
     dfreq = (
         _union_pruned(spark, segs, "termstats", buckets)
