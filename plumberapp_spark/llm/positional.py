@@ -63,6 +63,7 @@ import os
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StructField, StructType
 
 from plumberapp_spark.llm.lexical import (
     DEFAULT_BUCKETS,
@@ -154,7 +155,12 @@ def ensure_positional_index(
 
 
 def _pos_scalars(spark, path: str) -> int:
-    row = spark.read.parquet(f"{path}/scalars").collect()[0]
+    from plumberapp_spark.session import local_parquet_rows, read_parquet_cached
+
+    rows = local_parquet_rows(f"{path}/scalars")
+    if rows:
+        return int(rows[0]["_n_buckets"])
+    row = read_parquet_cached(spark, f"{path}/scalars").collect()[0]
     return int(row["_n_buckets"])
 
 
@@ -179,18 +185,42 @@ def phrase_matches(
     (the family's self-exclusion rule). This is the reusable core —
     :func:`phrase_topk_indexed` ranks it, :func:`phrase_bm25_topk`
     uses it as a candidate filter."""
+    import zlib
+
+    from plumberapp_spark.session import read_parquet_cached
+
     n_buckets = _pos_scalars(spark, path)
-    qt = _phrase_pairs(queries)
-    plen = queries.select(
-        "query_id", F.size("phrase").cast("long").alias("_plen")
+    # ONE bounded collect of the (query, off, term) pairs (the
+    # bm25_topk_segmented contract): pruning buckets compute driver-side
+    # under the index's recorded modulus (zlib.crc32 == Spark crc32 over
+    # utf-8 bytes — parity pinned by test), phrase lengths fall out as
+    # per-query row counts (posexplode emits exactly size(phrase) rows),
+    # and both query-side relations broadcast as LocalTableScans instead
+    # of re-executing the explode per join branch.
+    qt_plan = _phrase_pairs(queries)
+    qt_rows = qt_plan.limit(100_001).collect()
+    if len(qt_rows) > 100_000:
+        raise ValueError(
+            "phrase_matches: query phrase set exceeds the broadcastable "
+            "contract (> 100000 (query, off, term) pairs); batch the queries"
+        )
+    qt = spark.createDataFrame(qt_rows, qt_plan.schema)
+    plen_counts: dict = {}
+    for r in qt_rows:
+        plen_counts[r["query_id"]] = plen_counts.get(r["query_id"], 0) + 1
+    plen = spark.createDataFrame(
+        [(qid, n) for qid, n in plen_counts.items()],
+        StructType(
+            [
+                qt_plan.schema["query_id"],
+                StructField("_plen", LongType(), False),
+            ]
+        ),
     )
-    buckets = [
-        r["_b"]
-        for r in qt.select(_bucket("tk", n_buckets).cast("int").alias("_b"))
-        .distinct()
-        .collect()
-    ]
-    positions = spark.read.parquet(f"{path}/positions")
+    buckets = sorted(
+        {zlib.crc32(r["tk"].encode("utf-8")) % n_buckets for r in qt_rows}
+    )
+    positions = read_parquet_cached(spark, f"{path}/positions")
     if buckets:
         positions = positions.filter(F.col("_b").isin(buckets))
     hits = (
@@ -257,9 +287,20 @@ def phrase_bm25_topk(
         "query_id", "doc_id"
     )
     _, n_buckets = _index_scalars(spark, lex_path)
-    qterms = (
+    # one bounded collect; the (query, term) relation broadcasts as a
+    # LocalTableScan and _query_postings receives the already-local term
+    # set instead of re-running the explode per consumer (see
+    # phrase_matches / bm25_topk_segmented — same contract)
+    qterms_plan = (
         queries.select("query_id", F.explode("terms").alias("tk")).distinct()
     )
+    q_rows = qterms_plan.limit(100_001).collect()
+    if len(q_rows) > 100_000:
+        raise ValueError(
+            "phrase_bm25_topk: query term set exceeds the broadcastable "
+            "contract (> 100000 (query, term) pairs); batch the queries"
+        )
+    qterms = spark.createDataFrame(q_rows, qterms_plan.schema)
     cand = _query_postings(
         spark, lex_path, qterms.select("tk").distinct(), n_buckets
     )

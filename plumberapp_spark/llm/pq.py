@@ -228,7 +228,11 @@ def _encode_into(
 def _load_pq_codebook(spark, path: str):
     import numpy as np
 
-    rows = spark.read.parquet(f"{path}/codebook").collect()
+    from plumberapp_spark.session import local_parquet_rows, read_parquet_cached
+
+    rows = local_parquet_rows(f"{path}/codebook", max_rows=1 << 20)
+    if rows is None:
+        rows = read_parquet_cached(spark, f"{path}/codebook").collect()
     m_sub = max(r["s"] for r in rows) + 1
     ks = max(r["j"] for r in rows) + 1
     sub = len(rows[0]["sub"])
@@ -260,10 +264,12 @@ def _read_pq_cells(spark, path: str) -> DataFrame:
     the union to every segment scan."""
     from plumberapp_spark.llm.segments import _recover_swap
 
+    from plumberapp_spark.session import read_parquet_cached
+
     _recover_swap(path)
-    cells = spark.read.parquet(f"{path}/cells_pq")
+    cells = read_parquet_cached(spark, f"{path}/cells_pq")
     for d in _pq_delta_dirs(path):
-        cells = cells.unionByName(spark.read.parquet(f"{d}/cells_pq"))
+        cells = cells.unionByName(read_parquet_cached(spark, f"{d}/cells_pq"))
     tomb = _ivf_tomb_ids(spark, path)
     if tomb is not None:
         cells = cells.join(F.broadcast(tomb), tomb.columns[0], "left_anti")

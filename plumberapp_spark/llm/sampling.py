@@ -218,6 +218,24 @@ def domain_mixture(
     )
 
 
+# Persisted feature frame from the most recent dsir_importance call —
+# the ann_recall_report cache-lifetime contract (similarity.py): the
+# report is lazy, so the frame is released by the NEXT call (or
+# release_dsir_caches()), keeping at most one call's cache live.
+_DSIR_CACHES: list = []
+
+
+def release_dsir_caches() -> None:
+    """Unpersist the feature frame cached by the last dsir_importance
+    call. Safe any time after the result has been materialized (or
+    abandoned); a no-op when nothing is cached."""
+    while _DSIR_CACHES:
+        try:
+            _DSIR_CACHES.pop().unpersist(blocking=False)
+        except Exception:
+            pass  # session already stopped — nothing to free
+
+
 def dsir_importance(
     corpus: DataFrame,
     target: DataFrame,
@@ -319,12 +337,28 @@ def dsir_importance(
         )
         return dist, tot
 
+    # One Arrow feature pass over the corpus, not two (round 11, guide
+    # §5 / §1.2 step 1): the with-id feature frame is computed once,
+    # persisted (narrow (id, _b, _c) rows — the md5-per-feature Python
+    # pass is the expensive part, the cache is skinny), and BOTH the raw
+    # distribution (its id-dropped rollup — identical totals by
+    # construction: the generator emits the same per-doc (bucket, count)
+    # rows either way) and the scoring join read it. The target keeps
+    # its own pass (an arbitrary caller frame, usually a small slice).
+    # Cache lifetime mirrors ann_recall_report's contract: lazy report,
+    # so each NEW call releases the previous call's frame.
+    from pyspark import StorageLevel
+
+    release_dsir_caches()
+    feats = _features(corpus, with_id=True).persist(StorageLevel.MEMORY_AND_DISK)
+    _DSIR_CACHES.append(feats)
+
     # unseen buckets fall back to the smoothed floor ln(1 / (T + m)), so
     # the scoring join carries the totals alongside the distributions
-    raw, raw_tot = _dist(_features(corpus, with_id=False), "_lr", "_rt")
+    raw, raw_tot = _dist(feats.select("_b", "_c"), "_lr", "_rt")
     tgt, tgt_tot = _dist(_features(target, with_id=False), "_lt", "_tt")
     scored = (
-        _features(corpus, with_id=True)
+        feats
         .join(F.broadcast(raw), "_b", "left")
         .join(F.broadcast(tgt), "_b", "left")
         .crossJoin(F.broadcast(raw_tot))

@@ -1217,10 +1217,19 @@ def _assign_to_cells(
 def _load_centroids(spark, path: str):
     """(c_mat, c_norm) from the index's persisted centroid relation,
     c_id-ascending — the matrix every assignment and probe ranks
-    against."""
+    against. The relation ends up on the driver either way (it IS the
+    probe matrix); the pyarrow fast path just skips the Spark collect
+    job (round 11, guide §7.3 driver-side floor) — column order is the
+    file's own, the same order the positional Spark collect assumed."""
     import numpy as np
 
-    cent_rows = spark.read.parquet(f"{path}/centroids").collect()
+    from plumberapp_spark.session import local_parquet_rows, read_parquet_cached
+
+    local = local_parquet_rows(f"{path}/centroids", max_rows=1 << 20)
+    if local is not None:
+        cent_rows = [tuple(r.values()) for r in local]
+    else:
+        cent_rows = read_parquet_cached(spark, f"{path}/centroids").collect()
     order = np.argsort(np.array([r[0] for r in cent_rows]))
     c_mat = np.array([list(cent_rows[i][1]) for i in order], dtype=np.float64)
     c_norm = np.sqrt((c_mat * c_mat).sum(axis=1))
@@ -1272,12 +1281,14 @@ def _ivf_tomb_ids(spark, path: str) -> DataFrame | None:
     """Union of all tombstoned vector ids, or None when no deletes
     exist. Takedown sets are tiny relative to the corpus — broadcast
     by contract."""
+    from plumberapp_spark.session import read_parquet_cached
+
     tombs = _ivf_tomb_dirs(path)
     if not tombs:
         return None
     out = None
     for t in tombs:
-        df = spark.read.parquet(f"{t}/ids")
+        df = read_parquet_cached(spark, f"{t}/ids")
         out = df if out is None else out.unionByName(df)
     return out
 
@@ -1319,11 +1330,12 @@ def _read_ivf_cells(spark, path: str) -> DataFrame:
     the union to every scan — partition pruning holds across
     segments; the anti-join runs on the pruned survivors only."""
     from plumberapp_spark.llm.segments import _recover_swap
+    from plumberapp_spark.session import read_parquet_cached
 
     _recover_swap(path)
-    cells = spark.read.parquet(f"{path}/cells")
+    cells = read_parquet_cached(spark, f"{path}/cells")
     for d in _ivf_delta_dirs(path):
-        cells = cells.unionByName(spark.read.parquet(f"{d}/cells"))
+        cells = cells.unionByName(read_parquet_cached(spark, f"{d}/cells"))
     tomb = _ivf_tomb_ids(spark, path)
     if tomb is not None:
         cells = cells.join(F.broadcast(tomb), tomb.columns[0], "left_anti")
@@ -2232,7 +2244,12 @@ def build_sq_ivf_index(
 def _load_sq_scales(spark, path: str):
     import numpy as np
 
-    row = spark.read.parquet(f"{path}/scales").collect()[0]
+    from plumberapp_spark.session import local_parquet_rows, read_parquet_cached
+
+    local = local_parquet_rows(f"{path}/scales")
+    if local is not None:
+        return np.array(list(next(iter(local[0].values()))), dtype=np.float64)
+    row = read_parquet_cached(spark, f"{path}/scales").collect()[0]
     return np.array(list(row[0]), dtype=np.float64)
 
 
@@ -2542,11 +2559,12 @@ def _read_sq_cells(spark, path: str) -> DataFrame:
     filter pushes through the union to every scan, so ``_cell``
     partition pruning holds across segments."""
     from plumberapp_spark.llm.segments import _recover_swap
+    from plumberapp_spark.session import read_parquet_cached
 
     _recover_swap(path)
-    cells = spark.read.parquet(f"{path}/cells_sq")
+    cells = read_parquet_cached(spark, f"{path}/cells_sq")
     for d in _sq_delta_dirs(path):
-        cells = cells.unionByName(spark.read.parquet(f"{d}/cells_sq"))
+        cells = cells.unionByName(read_parquet_cached(spark, f"{d}/cells_sq"))
     tomb = _ivf_tomb_ids(spark, path)
     if tomb is not None:
         cells = cells.join(F.broadcast(tomb), tomb.columns[0], "left_anti")

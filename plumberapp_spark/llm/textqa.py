@@ -854,10 +854,21 @@ def _load_unigram_lm(spark, path: str) -> tuple[dict[str, int], int, int]:
     """Read a persisted LM back: (vocab counts, token total, vocab_size).
     The vocab relation is vocab_size rows — the same plan-sized collect
     contract as the fit's own top-k gather."""
+    from plumberapp_spark.session import local_parquet_rows, read_parquet_cached
+
+    # the vocab relation lands on the driver either way (it IS the
+    # broadcast scoring map); the pyarrow fast path skips two Spark
+    # jobs per serve (round 11, guide §7.3 driver-side floor)
+    sc_rows = local_parquet_rows(f"{path}/scalars")
+    v_rows = local_parquet_rows(f"{path}/vocab", max_rows=1 << 20)
+    if sc_rows and v_rows is not None:
+        vocab = {r["tk"]: int(r["cnt"]) for r in v_rows}
+        return vocab, int(sc_rows[0]["total_tokens"]), int(sc_rows[0]["vocab_size"])
     vocab = {
-        r["tk"]: int(r["cnt"]) for r in spark.read.parquet(f"{path}/vocab").collect()
+        r["tk"]: int(r["cnt"])
+        for r in read_parquet_cached(spark, f"{path}/vocab").collect()
     }
-    sc = spark.read.parquet(f"{path}/scalars").first()
+    sc = read_parquet_cached(spark, f"{path}/scalars").first()
     return vocab, int(sc["total_tokens"]), int(sc["vocab_size"])
 
 
@@ -1187,14 +1198,50 @@ def _nonneg(c):
     return F.when(c < 0, F.raise_error(F.lit(_NEG_COUNT_MSG)).cast("bigint")).otherwise(c)
 
 
+def _merged_scalar_n(spark, segs: list[str]):
+    """One-row ``_n`` total across segments. Every input is a one-row
+    parquet relation, so when all are locally readable the signed sum
+    happens on the driver (exact integer adds — the lexical
+    _global_scalars precedent) and ships as a LocalTableScan, removing
+    a distributed union+agg from every serve; the non-negative
+    invariant (:func:`_nonneg`) is enforced identically — the driver
+    path raises the SAME pinned message, just at plan-build time
+    instead of first action. Falls back to the distributed form when
+    any path is not locally readable."""
+    from plumberapp_spark.session import local_parquet_rows, read_parquet_cached
+
+    total, ok = 0, True
+    for seg in segs:
+        rows = local_parquet_rows(f"{seg}/scalars")
+        if not rows:
+            ok = False
+            break
+        total += int(rows[0]["_n"])
+    if ok:
+        if total < 0:
+            raise ValueError(_NEG_COUNT_MSG)
+        return spark.createDataFrame([(total,)], "_n bigint")
+
+    def _union_sc():
+        out = None
+        for seg in segs:
+            df = read_parquet_cached(spark, f"{seg}/scalars")
+            out = df if out is None else out.unionByName(df)
+        return out
+
+    return _union_sc().groupBy().agg(_nonneg(F.sum("_n")).alias("_n"))
+
+
 def _merged_bigram_counts(spark, segs: list[str]):
     """(bgc, uni, scalars) summed across segments — the additive merge
     every serve/compact shares. Merged counts are invariant-checked
     non-negative (:func:`_nonneg`)."""
+    from plumberapp_spark.session import read_parquet_cached
+
     def _union(rel):
         out = None
         for s in segs:
-            df = spark.read.parquet(f"{s}/{rel}")
+            df = read_parquet_cached(spark, f"{s}/{rel}")
             out = df if out is None else out.unionByName(df)
         return out
 
@@ -1202,9 +1249,9 @@ def _merged_bigram_counts(spark, segs: list[str]):
         # compacted / single-build LM: the counts ARE final — skip the
         # merge rollup exchanges entirely (what compact_bigram_lm buys)
         return (
-            spark.read.parquet(f"{segs[0]}/bgc"),
-            spark.read.parquet(f"{segs[0]}/uni"),
-            spark.read.parquet(f"{segs[0]}/scalars"),
+            read_parquet_cached(spark, f"{segs[0]}/bgc"),
+            read_parquet_cached(spark, f"{segs[0]}/uni"),
+            read_parquet_cached(spark, f"{segs[0]}/scalars"),
         )
     # positivity filter: a count summed to zero means the bigram/token
     # no longer exists in the corpus (negative delete segments cancel
@@ -1222,7 +1269,7 @@ def _merged_bigram_counts(spark, segs: list[str]):
         .agg(_nonneg(F.sum("_c")).alias("_c"))
         .filter(F.col("_c") > 0)
     )
-    sc = _union("scalars").groupBy().agg(_nonneg(F.sum("_n")).alias("_n"))
+    sc = _merged_scalar_n(spark, segs)
     return bgc, uni, sc
 
 
@@ -1484,17 +1531,19 @@ def _merged_unigram_counts(spark, segs: list[str]):
     the shared non-negative invariant and positivity filter (a count
     summed to zero means the token no longer exists in the corpus)."""
 
+    from plumberapp_spark.session import read_parquet_cached
+
     def _union(rel):
         out = None
         for s in segs:
-            df = spark.read.parquet(f"{s}/{rel}")
+            df = read_parquet_cached(spark, f"{s}/{rel}")
             out = df if out is None else out.unionByName(df)
         return out
 
     if len(segs) == 1:
         return (
-            spark.read.parquet(f"{segs[0]}/uni"),
-            spark.read.parquet(f"{segs[0]}/scalars"),
+            read_parquet_cached(spark, f"{segs[0]}/uni"),
+            read_parquet_cached(spark, f"{segs[0]}/scalars"),
         )
     uni = (
         _union("uni")
@@ -1502,7 +1551,7 @@ def _merged_unigram_counts(spark, segs: list[str]):
         .agg(_nonneg(F.sum("_c")).alias("_c"))
         .filter(F.col("_c") > 0)
     )
-    sc = _union("scalars").groupBy().agg(_nonneg(F.sum("_n")).alias("_n"))
+    sc = _merged_scalar_n(spark, segs)
     return uni, sc
 
 

@@ -114,6 +114,17 @@ EAGER_ALLOWED = {
     "q126_sq_compression_stats": "dim probe (one limit-1 row)",
     "q127_sq_serve_after_delete": "SQ index+delta+tombstone materialization + bounded collects",
     "q128_sq_compact_after_delete": "SQ index+compaction materialization + bounded collects",
+    # round-12 phrase retrieval: positional-index materialization
+    # (build-once warehouse contract) + the bounded phrase-pair /
+    # term-set collects (the bucket-list contract)
+    "q129_phrase_search": "positional index materialization + phrase-pair collect",
+    "q130_phrase_bm25_search": "positional+lexical index materialization + bounded collects",
+    # round-12 PQ tier: same materialization shape + codebook/
+    # query-matrix collects (the SQ/IVF contract)
+    "q131_pq_ivf_search": "PQ index materialization + bounded collects",
+    "q132_pq_compression_stats": "codebook collect + dim probe (q126 contract)",
+    "q133_pq_serve_after_delete": "PQ index+delta+tombstone materialization + bounded collects",
+    "q134_pq_compact_after_delete": "PQ index+compaction materialization + bounded collects",
     # Structured Streaming queries start and drain their micro-batches
     "q52_streaming_window_counts": "micro-batch execution is the query",
     "q55_stateful_rate_monitor": "micro-batch execution is the query",
