@@ -588,6 +588,16 @@ def ngram_jaccard_pairs(
         inv = inv.withColumn("_df", F.count("*").over(hot)).filter(
             F.col("_df") <= max_shingle_freq
         ).drop("_df")
+    # Uncapped branch: the shingle pass is consumed up to three times —
+    # the candidate-volume probe plus BOTH sides of the self-join (the
+    # plan shows two MapInPandas nodes, no ReusedExchange — the
+    # broadcast side canonicalizes differently). Persist once per call
+    # (guide §5), released by the next retrieval call.
+    from pyspark import StorageLevel
+
+    release_retrieval_caches()
+    inv = inv.persist(StorageLevel.MEMORY_AND_DISK)
+    _RETRIEVAL_CACHES.append(inv)
     if max_shingle_freq is None and max_candidate_pairs is not None:
         projected = (
             inv.groupBy("shingle")
@@ -693,6 +703,25 @@ def _doc_frequencies(tf: DataFrame) -> DataFrame:
     return tf.groupBy("tk").agg(F.count("*").alias("_df"))
 
 
+# Persisted frames from the most recent direct-form retrieval call
+# (tfidf_topk / bm25_topk) — the ann_recall_report cache-lifetime
+# contract (similarity.py): results are lazy, so each NEW call releases
+# the previous call's frames and release_retrieval_caches() frees the
+# last ones. At most one call's caches are ever live.
+_RETRIEVAL_CACHES: list = []
+
+
+def release_retrieval_caches() -> None:
+    """Unpersist the shared frames cached by the last tfidf_topk /
+    bm25_topk call. Safe any time after the result has been
+    materialized (or abandoned); a no-op when nothing is cached."""
+    while _RETRIEVAL_CACHES:
+        try:
+            _RETRIEVAL_CACHES.pop().unpersist(blocking=False)
+        except Exception:
+            pass  # session already stopped — nothing to free
+
+
 def _tfidf_weights(
     df: DataFrame, text_col: str, id_col: str
 ) -> tuple[DataFrame, DataFrame]:
@@ -704,7 +733,19 @@ def _tfidf_weights(
     over the exchange-free Arrow tf extraction
     (:func:`term_frequencies`); the corpus-size scalar broadcasts as a
     one-row aggregate."""
-    tf = term_frequencies(df, text_col, id_col)
+    # The Arrow tokenize pass is opaque to Catalyst (guide §4.1), so its
+    # four consumers (df rollup, weights join, query projections, norms)
+    # would each re-run it — no exchange sits between the pass and most
+    # consumers for ReuseExchange to rescue. Persist the skinny
+    # (id, tk, _tf) relation once per call (guide §5: reused AND
+    # expensive to recompute); released by the next call.
+    from pyspark import StorageLevel
+
+    release_retrieval_caches()
+    tf = term_frequencies(df, text_col, id_col).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    _RETRIEVAL_CACHES.append(tf)
     n_docs = df.groupBy().agg(F.count("*").alias("_nd"))
     wts = (
         tf.join(_doc_frequencies(tf), "tk")
@@ -747,7 +788,13 @@ def tfidf_topk(
     (the brute_force_topk contract). Returns ``(query_id, neighbor_id,
     cos_sim, rank)``.
     """
+    from pyspark import StorageLevel
+
     wts, norms = _tfidf_weights(df, text_col, id_col)
+    # norms is doc-sized and consumed twice (query norms + the scored
+    # join); its lineage re-runs the weights join otherwise
+    norms = norms.persist(StorageLevel.MEMORY_AND_DISK)
+    _RETRIEVAL_CACHES.append(norms)
     qids = queries.select(F.col(id_col).alias("_qid")).distinct()
     qw = (
         wts.join(F.broadcast(qids), wts[id_col] == F.col("_qid"))
@@ -1437,7 +1484,16 @@ def bm25_topk(
     # corpus-mean doc length derives from the tf lineage (exact integer
     # sum / doc count, bit-equal to avg(len(toks)) over all docs since
     # empty docs contribute 0 tokens to both forms)
-    tf = term_frequencies(df, text_col, id_col, with_doc_len=True)
+    from pyspark import StorageLevel
+
+    # same §4.1/§5 rationale as _tfidf_weights: the opaque Arrow pass
+    # has FOUR consumers here (corpus scalars, df rollup, weights join,
+    # query term projection) — persist once per call, release on next
+    release_retrieval_caches()
+    tf = term_frequencies(df, text_col, id_col, with_doc_len=True).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    _RETRIEVAL_CACHES.append(tf)
     nd = df.groupBy().agg(F.count("*").alias("_nd"))
     scalars = (
         tf.groupBy()
