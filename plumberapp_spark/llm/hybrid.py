@@ -201,6 +201,19 @@ def hybrid_search_freetext(
     from plumberapp_spark.llm.lexical import bm25_topk_freetext
     from plumberapp_spark.llm.similarity import ivf_topk_indexed
 
+    # BOTH routes collect from the query frame (term pairs / the query
+    # matrix), each executing its full lineage — for a derived frame
+    # (e.g. vectors assembled by joins) that doubles the query-side
+    # work. Materialize it once as a local relation under the same
+    # bounded contract ivf_topk_indexed enforces anyway (round 11).
+    q_rows = queries.limit(100_001).collect()
+    if len(q_rows) > 100_000:
+        raise ValueError(
+            "hybrid_search_freetext: query side exceeds the broadcastable "
+            "contract (> 100000 rows); batch the queries"
+        )
+    queries = spark.createDataFrame(q_rows, queries.schema)
+
     sparse = bm25_topk_freetext(
         spark, lex_path, queries, k=k_route, text_col=text_col, id_col=id_col
     )

@@ -283,6 +283,18 @@ def phrase_bm25_topk(
     scoring cost scales with match count, not with term popularity."""
     from plumberapp_spark.llm.lexical import _index_scalars, _query_postings
 
+    # the query frame feeds two bounded collects (phrase pairs + term
+    # set), each executing its full lineage — for a doc-derived fixture
+    # that is two corpus-side tokenize scans. Materialize it once as a
+    # local relation under the same 100k contract (round 11).
+    q_raw = queries.limit(100_001).collect()
+    if len(q_raw) > 100_000:
+        raise ValueError(
+            "phrase_bm25_topk: query side exceeds the broadcastable "
+            "contract (> 100000 rows); batch the queries"
+        )
+    queries = spark.createDataFrame(q_raw, queries.schema)
+
     pairs = phrase_matches(spark, pos_path, queries).select(
         "query_id", "doc_id"
     )
