@@ -212,7 +212,9 @@ def hybrid_search_freetext(
             "hybrid_search_freetext: query side exceeds the broadcastable "
             "contract (> 100000 rows); batch the queries"
         )
-    queries = spark.createDataFrame(q_rows, queries.schema)
+    from plumberapp_spark.session import local_relation
+
+    queries = local_relation(spark, q_rows, queries.schema)
 
     sparse = bm25_topk_freetext(
         spark, lex_path, queries, k=k_route, text_col=text_col, id_col=id_col

@@ -76,20 +76,26 @@ def _index_scalars(spark, path: str):
     plays no role at serve time, so a constant change can never compute
     buckets under a new modulus against partitions laid out under the
     old one."""
-    from plumberapp_spark.session import local_parquet_rows, read_parquet_cached
+    from plumberapp_spark.session import (
+        local_parquet_rows,
+        one_row_relation,
+        read_parquet_cached,
+    )
 
     rows = local_parquet_rows(f"{path}/scalars")
     if rows:
         # one-row relation: driver-side pyarrow fast path (zero Spark
         # jobs — the stats_bounds precedent); values identical, shipped
-        # as a local one-row relation so downstream crossJoin(broadcast)
-        # plans a LocalTableScan instead of a file scan per serve
-        sc = spark.createDataFrame(
-            [tuple(rows[0].values())],
+        # as a pure-JVM one-row relation (range+literals — never a
+        # Python RDD) so downstream crossJoin(broadcast) plans off a
+        # local scan per serve with no Python-worker round trip
+        sc = one_row_relation(
+            spark,
             ", ".join(
                 f"{k} {'bigint' if isinstance(v, int) else 'double'}"
                 for k, v in rows[0].items()
             ),
+            *rows[0].values(),
         )
         return sc, int(rows[0]["_n_buckets"])
     sc = read_parquet_cached(spark, f"{path}/scalars")
@@ -241,7 +247,7 @@ def _query_postings(
     ``n_buckets`` MUST be the modulus recorded in the index's scalars
     (``_index_scalars``) — pruning under any other modulus silently
     drops postings rows."""
-    from plumberapp_spark.session import read_parquet_cached
+    from plumberapp_spark.session import local_relation, read_parquet_cached
 
     # one bounded collect of the distinct terms (small-side contract,
     # guarded); buckets compute driver-side (zlib.crc32 == Spark crc32
@@ -259,7 +265,7 @@ def _query_postings(
     buckets = sorted(
         {zlib.crc32(r["tk"].encode("utf-8")) % n_buckets for r in tk_rows}
     )
-    local_terms = spark.createDataFrame(tk_rows, "tk string")
+    local_terms = local_relation(spark, tk_rows, "tk string")
     postings = read_parquet_cached(spark, f"{path}/postings")
     if buckets:
         postings = postings.filter(F.col("_b").isin(buckets))

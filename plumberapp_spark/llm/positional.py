@@ -187,7 +187,7 @@ def phrase_matches(
     uses it as a candidate filter."""
     import zlib
 
-    from plumberapp_spark.session import read_parquet_cached
+    from plumberapp_spark.session import local_relation, read_parquet_cached
 
     n_buckets = _pos_scalars(spark, path)
     # ONE bounded collect of the (query, off, term) pairs (the
@@ -204,11 +204,12 @@ def phrase_matches(
             "phrase_matches: query phrase set exceeds the broadcastable "
             "contract (> 100000 (query, off, term) pairs); batch the queries"
         )
-    qt = spark.createDataFrame(qt_rows, qt_plan.schema)
+    qt = local_relation(spark, qt_rows, qt_plan.schema)
     plen_counts: dict = {}
     for r in qt_rows:
         plen_counts[r["query_id"]] = plen_counts.get(r["query_id"], 0) + 1
-    plen = spark.createDataFrame(
+    plen = local_relation(
+        spark,
         [(qid, n) for qid, n in plen_counts.items()],
         StructType(
             [
@@ -231,9 +232,14 @@ def phrase_matches(
             "off",
         )
     )
+    # count(*) ≡ count(DISTINCT off) here: within a (query, doc, anchor)
+    # group the off values are unique by construction — pos = anchor +
+    # off uniquely picks the (doc, tk, pos) row, and positions holds one
+    # row per occurrence — so the distinct-expand double aggregation
+    # (no map-side partial) collapses to a plain count (guide §2.3).
     occ = (
         hits.groupBy("query_id", "doc_id", "_anchor")
-        .agg(F.countDistinct("off").alias("_cov"))
+        .agg(F.count(F.lit(1)).alias("_cov"))
         .join(F.broadcast(plen), "query_id")
         .filter(F.col("_cov") == F.col("_plen"))
         .groupBy("query_id", "doc_id")
@@ -282,6 +288,7 @@ def phrase_bm25_topk(
     only ever sees rows for docs that already matched the phrase —
     scoring cost scales with match count, not with term popularity."""
     from plumberapp_spark.llm.lexical import _index_scalars, _query_postings
+    from plumberapp_spark.session import local_relation
 
     # the query frame feeds two bounded collects (phrase pairs + term
     # set), each executing its full lineage — for a doc-derived fixture
@@ -293,7 +300,7 @@ def phrase_bm25_topk(
             "phrase_bm25_topk: query side exceeds the broadcastable "
             "contract (> 100000 rows); batch the queries"
         )
-    queries = spark.createDataFrame(q_raw, queries.schema)
+    queries = local_relation(spark, q_raw, queries.schema)
 
     pairs = phrase_matches(spark, pos_path, queries).select(
         "query_id", "doc_id"
@@ -312,13 +319,22 @@ def phrase_bm25_topk(
             "phrase_bm25_topk: query term set exceeds the broadcastable "
             "contract (> 100000 (query, term) pairs); batch the queries"
         )
-    qterms = spark.createDataFrame(q_rows, qterms_plan.schema)
+    qterms = local_relation(spark, q_rows, qterms_plan.schema)
     cand = _query_postings(
         spark, lex_path, qterms.select("tk").distinct(), n_buckets
     )
+    # join ORDER matters (guide §3.4): probing the tiny distinct
+    # phrase-match pair set FIRST (on doc_id) keeps the pipelined
+    # intermediate at |postings-of-matched-docs × matching-queries|;
+    # probing qterms first fans every common-term posting row out to
+    # every query sharing that term before the semi-join can cut it.
+    # pairs is distinct (query, doc) by construction (phrase_matches
+    # ends in a groupBy on exactly those keys), so the inner join
+    # duplicates nothing; the qterms semi-join then applies the same
+    # t ∈ terms(q) predicate — identical (q, d, t) triples either way.
     scored = (
-        cand.join(F.broadcast(qterms), "tk")
-        .join(F.broadcast(pairs), ["query_id", "doc_id"], "left_semi")
+        cand.join(F.broadcast(pairs), "doc_id")
+        .join(F.broadcast(qterms), ["query_id", "tk"], "left_semi")
         .groupBy("query_id", "doc_id")
         .agg(F.round(F.sum("w_bm25"), 6).alias("bm25"))
         .select("query_id", F.col("doc_id").alias("neighbor_id"), "bm25")

@@ -157,8 +157,10 @@ def quota_sample(
         rank_name="sample_rank",
         total_name=None,
     )
-    qdf = spark.createDataFrame(
-        [(k, v) for k, v in quotas.items()], f"{strata_col} string, _quota int"
+    from plumberapp_spark.session import local_relation
+
+    qdf = local_relation(
+        spark, [(k, v) for k, v in quotas.items()], f"{strata_col} string, _quota int"
     )
     return (
         ranked.join(F.broadcast(qdf), on=strata_col)

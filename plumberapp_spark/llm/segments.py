@@ -536,7 +536,7 @@ def _global_scalars(spark, segs: list[str], tombs: list[str] = ()) -> DataFrame:
     ships as a one-row local relation — removing one distributed
     aggregate + its scan jobs from EVERY serve. Falls back to the
     distributed form whenever any path isn't locally readable."""
-    from plumberapp_spark.session import local_parquet_rows
+    from plumberapp_spark.session import local_parquet_rows, one_row_relation
 
     acc_nd, acc_tt, ok = 0, 0, True
     for s in segs:
@@ -556,9 +556,7 @@ def _global_scalars(spark, segs: list[str], tombs: list[str] = ()) -> DataFrame:
             acc_tt -= int(rows[0]["_tt"])
     if ok:
         avgdl = (acc_tt / acc_nd) if acc_nd else None
-        return spark.createDataFrame(
-            [(acc_nd, avgdl)], "_nd bigint, _avgdl double"
-        )
+        return one_row_relation(spark, "_nd bigint, _avgdl double", acc_nd, avgdl)
     return _signed_scalars(spark, segs, tombs).groupBy().agg(
         F.sum("_nd").alias("_nd"),
         (F.sum("_tt") / F.sum("_nd")).alias("_avgdl"),
@@ -618,6 +616,7 @@ def bm25_topk_segmented(
     broadcast, so AQE picks broadcast for small filters and a shuffled
     semi-join for wide ones."""
     from plumberapp_spark.functions.text import tokenize
+    from plumberapp_spark.session import local_relation
 
     segs = _list_segments(path)
     if not segs:
@@ -642,7 +641,7 @@ def bm25_topk_segmented(
             "bm25_topk_segmented: query term set exceeds the broadcastable "
             "contract (> 100000 (query, term) pairs); batch the queries"
         )
-    qterms = spark.createDataFrame(q_rows, qterms_plan.schema)
+    qterms = local_relation(spark, q_rows, qterms_plan.schema)
     import zlib
 
     buckets = sorted(
@@ -815,6 +814,7 @@ def tfidf_topk_segmented(
     scored frame (one slim doc-keyed scan per run)."""
     from plumberapp_spark.functions.text import tokenize
     from plumberapp_spark.llm.lexical import _two_stage_topk
+    from plumberapp_spark.session import local_relation
 
     segs = _list_segments(path)
     if not segs:
@@ -837,7 +837,7 @@ def tfidf_topk_segmented(
             "tfidf_topk_segmented: query term set exceeds the broadcastable "
             "contract (> 100000 (query, term) pairs); batch the queries"
         )
-    qtf = spark.createDataFrame(q_rows, qtf_plan.schema)
+    qtf = local_relation(spark, q_rows, qtf_plan.schema)
     import zlib
 
     buckets = sorted(

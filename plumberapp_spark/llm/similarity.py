@@ -2391,7 +2391,10 @@ def sq_ivf_topk_indexed(
         .select(query_id_col, "neighbor_id")
     )
 
-    qvec_df = spark.createDataFrame(
+    from plumberapp_spark.session import local_relation
+
+    qvec_df = local_relation(
+        spark,
         [(r[0], list(r[1])) for r in q_rows],
         f"{query_id_col} {id_ddl}, _qvec array<double>",
     )

@@ -1208,7 +1208,11 @@ def _merged_scalar_n(spark, segs: list[str]):
     path raises the SAME pinned message, just at plan-build time
     instead of first action. Falls back to the distributed form when
     any path is not locally readable."""
-    from plumberapp_spark.session import local_parquet_rows, read_parquet_cached
+    from plumberapp_spark.session import (
+        local_parquet_rows,
+        one_row_relation,
+        read_parquet_cached,
+    )
 
     total, ok = 0, True
     for seg in segs:
@@ -1220,7 +1224,7 @@ def _merged_scalar_n(spark, segs: list[str]):
     if ok:
         if total < 0:
             raise ValueError(_NEG_COUNT_MSG)
-        return spark.createDataFrame([(total,)], "_n bigint")
+        return one_row_relation(spark, "_n bigint", total)
 
     def _union_sc():
         out = None

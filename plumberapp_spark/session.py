@@ -13,6 +13,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
@@ -401,6 +402,57 @@ def local_parquet_rows(path: str, max_rows: int = 1024) -> list[dict] | None:
         return pa.concat_tables(batches).to_pylist()
     except Exception:  # noqa: BLE001 — callers fall back to Spark
         return None
+
+
+def local_relation(spark: SparkSession, rows, schema):
+    """JVM-resident local relation from already-collected rows.
+
+    ``spark.createDataFrame(list_of_rows)`` parks the data in a
+    *Python* RDD: every downstream action (broadcast build, collect,
+    scan) re-pays a Python-worker round trip — measured ~0.5 s per
+    action warm for a 6 k-row relation, 1.0 s for a one-row scalar
+    (the queries_analytic VALUES-literal finding, guide §4). The Arrow
+    path ships the rows to the JVM once at creation (~30 ms) and every
+    action stays JVM-only (~3x cheaper per action, measured). Rows are
+    positional (Row is a tuple subclass), matched to ``schema`` — by
+    construction the schema of the plan they were collected from.
+    Falls back to the plain path when pandas/Arrow cannot represent
+    the rows; ``schema`` must be a DDL string or StructType either
+    way, so the relation's types never depend on inference."""
+    try:
+        import pandas as pd
+        from pyspark.sql.types import StructType
+
+        st = (
+            StructType.fromDDL(schema) if isinstance(schema, str) else schema
+        )
+        if not rows:
+            return spark.createDataFrame([], st)
+        pdf = pd.DataFrame(
+            [tuple(r) for r in rows],
+            columns=[f.name for f in st.fields],
+            dtype=object,
+        )
+        return spark.createDataFrame(pdf, st)
+    except Exception:  # noqa: BLE001 — identical rows, slower path
+        return spark.createDataFrame(list(rows), schema)
+
+
+def one_row_relation(spark: SparkSession, schema: str, *values):
+    """One-row relation as ``range(1) + literals`` — a pure-JVM plan
+    (no Python RDD: 87 ms vs 1056 ms per ``.first()`` measured, and a
+    broadcast build off it never spins a Python worker). For the
+    driver-side-merged scalar relations every serve cross-joins."""
+    from pyspark.sql.types import StructType
+
+    st = StructType.fromDDL(schema)
+    assert len(st.fields) == len(values)
+    return spark.range(1).select(
+        *[
+            F.lit(v).cast(f.dataType).alias(f.name)
+            for f, v in zip(st.fields, values)
+        ]
+    )
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict:
