@@ -940,10 +940,38 @@ def connected_components(
         .unionAll(edges.select(F.col("id_b").alias("_src"), F.col("id_a").alias("_dst")))
         .persist()
     )
-    labels = nodes.select(F.col(id_col).alias("_node"), F.col(id_col).alias("_label"))
-    labels = labels.localCheckpoint(eager=True)
-    rounds = 0
-    for _ in range(max_iters):
+    # Round-11 loop restructure (guide §1.2 step 1, §2.1), three
+    # fixpoint-preserving changes measured at 24 -> ~8 jobs per call:
+    #
+    # * iterate ONLY over edge-endpoint nodes — an edgeless node can
+    #   never change label, so it skips the loop entirely and rejoins
+    #   as a singleton at the end. At 100 TB this turns every round's
+    #   corpus-sized label joins into edge-endpoint-sized ones (near-dup
+    #   graphs are sparse: most docs are singletons).
+    # * round 1 is algebraically specialized: labels start as identity,
+    #   so min-of-neighbor-labels IS min-of-neighbor-ids and the jump
+    #   through identity labels is the identity — one aggregation + one
+    #   join instead of three joins.
+    # * localCheckpoint is LAZY: the convergence-probe count is the
+    #   action that materializes each round (one job per round, not an
+    #   eager-checkpoint job plus a count job).
+    active = sym.select(F.col("_src").alias("_node")).distinct()
+    r1_nbr = sym.groupBy("_dst").agg(F.min("_src").alias("_nbr"))
+    labels = (
+        active.join(r1_nbr, active["_node"] == r1_nbr["_dst"], "left")
+        .select(
+            "_node",
+            F.least(
+                F.col("_node"), F.coalesce(F.col("_nbr"), F.col("_node"))
+            ).alias("_label"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    rounds = 1
+    # an edge always lowers its larger endpoint below its own id, so
+    # round 1 leaves every label at identity iff there are no edges
+    converged = labels.filter(F.col("_label") < F.col("_node")).count() == 0
+    while not converged and rounds < max_iters:
         rounds += 1
         nbr_min = (
             sym.join(labels, sym["_src"] == labels["_node"])
@@ -978,13 +1006,12 @@ def connected_components(
                 ) < F.col("_label")).alias("_changed"),
             )
             .withColumnRenamed("_new", "_label")
+            .localCheckpoint(eager=False)
         )
-        new_labels = new_labels.localCheckpoint(eager=True)
         changed = new_labels.filter(F.col("_changed")).count()
         labels = new_labels.drop("_changed")
-        if changed == 0:
-            break
-    else:
+        converged = changed == 0
+    if not converged:
         sym.unpersist()
         raise RuntimeError(
             f"connected_components did not converge in {max_iters} rounds "
@@ -994,15 +1021,26 @@ def connected_components(
     sym.unpersist()
     if stats is not None:
         stats["rounds"] = rounds
+    # active nodes: label + component size from the converged labels.
+    # singletons (never entered the loop): label = own id, size 1 — an
+    # active component's label is an ACTIVE node's id, so the two label
+    # spaces cannot collide and sizes need no cross-term.
     sizes = labels.groupBy("_label").agg(F.count("*").alias("cluster_size"))
-    return (
-        labels.join(sizes, on="_label")
+    clustered = labels.join(sizes, on="_label").select(
+        F.col("_node").alias(id_col),
+        F.col("_label").alias("cluster_label"),
+        "cluster_size",
+    )
+    singles = (
+        nodes.select(F.col(id_col).alias("_node"))
+        .join(labels.select("_node"), "_node", "left_anti")
         .select(
             F.col("_node").alias(id_col),
-            F.col("_label").alias("cluster_label"),
-            "cluster_size",
+            F.col("_node").alias("cluster_label"),
+            F.lit(1).cast("long").alias("cluster_size"),
         )
     )
+    return clustered.unionByName(singles)
 
 
 def near_dup_clusters(
