@@ -193,10 +193,7 @@ def phrase_matches(
     # ONE bounded collect of the (query, off, term) pairs (the
     # bm25_topk_segmented contract): pruning buckets compute driver-side
     # under the index's recorded modulus (zlib.crc32 == Spark crc32 over
-    # utf-8 bytes — parity pinned by test), phrase lengths fall out as
-    # per-query row counts (posexplode emits exactly size(phrase) rows),
-    # and both query-side relations broadcast as LocalTableScans instead
-    # of re-executing the explode per join branch.
+    # utf-8 bytes — parity pinned by test).
     qt_plan = _phrase_pairs(queries)
     qt_rows = qt_plan.limit(100_001).collect()
     if len(qt_rows) > 100_000:
@@ -204,46 +201,131 @@ def phrase_matches(
             "phrase_matches: query phrase set exceeds the broadcastable "
             "contract (> 100000 (query, off, term) pairs); batch the queries"
         )
-    qt = local_relation(spark, qt_rows, qt_plan.schema)
-    plen_counts: dict = {}
+    # Round-11 restructure (guide §1.2 step 1, §2.3): the old plan
+    # joined every pruned position row against every (query, off, term)
+    # pair sharing its term, so a zipf-head phrase term was replicated
+    # once per QUERY that used it before the anchor aggregation ever
+    # saw it (measured at sf0.1: 270k pruned positions fanned out to
+    # 9.0M hit rows feeding an 8.9M-group aggregate). The intersection
+    # is now computed per DISTINCT PHRASE with corpus-bounded fan-out:
+    #
+    # * adjacency once: lead(tk) over (doc, pos-order) on the pruned
+    #   scan yields (tk, tk2) token bigrams — ONE exchange, ≤ |pruned
+    #   positions| rows, no query-side replication. Pruning cannot fake
+    #   an adjacency: lead sees the next SURVIVING row and the filter
+    #   keeps pos2 == pos+1 only; a pruned-out true neighbour is by
+    #   construction not any phrase's term, so its bigram could never
+    #   match a phrase prefix anyway.
+    # * each distinct phrase's (t1, t2) prefix broadcast-joins that
+    #   bigram relation → (pid, doc, anchor) genuine prefix matches;
+    #   offsets 3..m (rare) extend matches by one bounded semi-join per
+    #   offset against the pruned scan keyed (tk, doc, pos).
+    # * query ids re-attach AFTER the per-phrase occurrence count — a
+    #   broadcast map join on the aggregated (pid, doc) rows, where the
+    #   self-exclusion filter drops whole pairs (counts are per-phrase,
+    #   so exclusion timing cannot change them).
+    by_q: dict = {}
     for r in qt_rows:
-        plen_counts[r["query_id"]] = plen_counts.get(r["query_id"], 0) + 1
-    plen = local_relation(
-        spark,
-        [(qid, n) for qid, n in plen_counts.items()],
-        StructType(
-            [
-                qt_plan.schema["query_id"],
-                StructField("_plen", LongType(), False),
-            ]
-        ),
-    )
+        by_q.setdefault(r["query_id"], set()).add((r["off"], r["tk"]))
+    pid_of: dict = {}
+    q2p_rows = []
+    for qid, offs in by_q.items():
+        key = tuple(tk for _, tk in sorted(offs))
+        pid = pid_of.setdefault(key, len(pid_of))
+        q2p_rows.append((qid, pid))
     buckets = sorted(
         {zlib.crc32(r["tk"].encode("utf-8")) % n_buckets for r in qt_rows}
     )
     positions = read_parquet_cached(spark, f"{path}/positions")
     if buckets:
         positions = positions.filter(F.col("_b").isin(buckets))
-    hits = (
-        positions.join(F.broadcast(qt), "tk")
-        .filter(F.col("doc_id") != F.col("query_id"))
-        .select(
-            "query_id", "doc_id", (F.col("pos") - F.col("off")).alias("_anchor"),
-            "off",
+    positions = positions.select("tk", "doc_id", "pos")
+
+    long_f = StructField("_pid", LongType(), False)
+    mlen_f = StructField("_m", LongType(), False)
+    singles = [(ph[0], pid, 1) for ph, pid in pid_of.items() if len(ph) == 1]
+    multis = [
+        (ph[0], ph[1], pid, len(ph)) for ph, pid in pid_of.items() if len(ph) >= 2
+    ]
+    branches = []
+    if singles:
+        one = local_relation(
+            spark,
+            singles,
+            StructType([qt_plan.schema["tk"], long_f, mlen_f]),
         )
+        branches.append(
+            positions.join(F.broadcast(one), "tk").select(
+                "_pid", "doc_id", F.col("pos").alias("_anchor"), "_m"
+            )
+        )
+    if multis:
+        w = Window.partitionBy("doc_id").orderBy("pos")
+        adj = positions.select(
+            "tk",
+            "doc_id",
+            "pos",
+            F.lead("tk").over(w).alias("_tk2"),
+            F.lead("pos").over(w).alias("_pos2"),
+        ).filter(F.col("_pos2") == F.col("pos") + 1)
+        tk_f = qt_plan.schema["tk"]
+        first2 = local_relation(
+            spark,
+            multis,
+            StructType(
+                [tk_f, StructField("_tk2", tk_f.dataType, True), long_f, mlen_f]
+            ),
+        )
+        matched = adj.join(F.broadcast(first2), ["tk", "_tk2"]).select(
+            "_pid", "doc_id", F.col("pos").alias("_anchor"), "_m"
+        )
+        max_m = max(m for _, _, _, m in multis)
+        for j in range(3, max_m + 1):
+            step = [
+                (ph[j - 1], pid)
+                for ph, pid in pid_of.items()
+                if len(ph) >= j
+            ]
+            done = matched.filter(F.col("_m") < j)
+            cont = (
+                matched.filter(F.col("_m") >= j)
+                .join(
+                    F.broadcast(
+                        local_relation(
+                            spark, step, StructType([tk_f, long_f])
+                        )
+                    ),
+                    "_pid",
+                )
+                .withColumn("pos", F.col("_anchor") + F.lit(j - 1))
+                .join(positions, ["tk", "doc_id", "pos"], "left_semi")
+                .select("_pid", "doc_id", "_anchor", "_m")
+            )
+            matched = done.unionByName(cont)
+        branches.append(matched)
+    if not branches:
+        return queries.sparkSession.createDataFrame(
+            [],
+            StructType(
+                [
+                    qt_plan.schema["query_id"],
+                    StructField("doc_id", LongType(), True),
+                    StructField("n_occ", LongType(), False),
+                ]
+            ),
+        )
+    hits = branches[0]
+    for b in branches[1:]:
+        hits = hits.unionByName(b)
+    q2p = local_relation(
+        spark, q2p_rows, StructType([qt_plan.schema["query_id"], long_f])
     )
-    # count(*) ≡ count(DISTINCT off) here: within a (query, doc, anchor)
-    # group the off values are unique by construction — pos = anchor +
-    # off uniquely picks the (doc, tk, pos) row, and positions holds one
-    # row per occurrence — so the distinct-expand double aggregation
-    # (no map-side partial) collapses to a plain count (guide §2.3).
     occ = (
-        hits.groupBy("query_id", "doc_id", "_anchor")
-        .agg(F.count(F.lit(1)).alias("_cov"))
-        .join(F.broadcast(plen), "query_id")
-        .filter(F.col("_cov") == F.col("_plen"))
-        .groupBy("query_id", "doc_id")
-        .agg(F.count("*").alias("n_occ"))
+        hits.groupBy("_pid", "doc_id")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+        .join(F.broadcast(q2p), "_pid")
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .select("query_id", "doc_id", "n_occ")
     )
     if min_count > 1:
         occ = occ.filter(F.col("n_occ") >= min_count)
