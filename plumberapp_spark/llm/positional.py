@@ -403,7 +403,7 @@ def phrase_bm25_topk(
         )
     qterms = local_relation(spark, q_rows, qterms_plan.schema)
     cand = _query_postings(
-        spark, lex_path, qterms.select("tk").distinct(), n_buckets
+        spark, lex_path, None, n_buckets, tk_rows=[r["tk"] for r in q_rows]
     )
     # join ORDER matters (guide §3.4): probing the tiny distinct
     # phrase-match pair set FIRST (on doc_id) keeps the pipelined
