@@ -61,9 +61,13 @@ def test_bucketed_join_elides_both_exchanges(spark, bucketed_tables):
 
 
 def test_bucketed_or_parquet_routes_q41_and_matches(spark):
-    """The catalog router (r4): q41 falls back to plain parquet when no
-    bucketed copy exists, reads the bucketed scan when the session has
-    one, and produces identical rows either way."""
+    """The catalog router (r4): q41/q35/q39 fall back to plain parquet
+    when no bucketed copy exists, read the bucketed scan when the
+    session has one (with the pinned merge join on the fact keys — the
+    round-6 contract), and produce identical rows either way. One test,
+    one ensure_bucketed_tables write+drop cycle: the bucketed copies
+    cost ~25 s to build per cycle in this sandbox, so the plain/routed
+    probes for all three queries share a single cycle."""
     import plumberapp_spark.all_queries  # noqa: F401 — registry side effects
     from plumberapp_spark.registry import REGISTRY
     from plumberapp_spark.sources.bucketing import (
@@ -77,6 +81,13 @@ def test_bucketed_or_parquet_routes_q41_and_matches(spark):
     plain_plan = plain_df._jdf.queryExecution().executedPlan().toString()
     assert "SelectedBucketsCount" not in plain_plan
     plain = [tuple(r) for r in plain_df.collect()]
+    # plain-route rows for the pinned-merge-join queries, collected
+    # BEFORE the bucketed copies exist (the router would otherwise
+    # route them bucketed)
+    merge_plain = {
+        q: [tuple(r) for r in REGISTRY[q].fn(spark, SF_DIR).collect()]
+        for q in ("q35_revenue_by_nation", "q39_shipping_priority")
+    }
 
     names = ensure_bucketed_tables(spark, SF_DIR)
     try:
@@ -88,6 +99,17 @@ def test_bucketed_or_parquet_routes_q41_and_matches(spark):
         assert "Exchange hashpartitioning(l_orderkey" not in routed_plan
         assert "Exchange hashpartitioning(o_orderkey" not in routed_plan
         assert [tuple(r) for r in routed_df.collect()] == plain
+        # round-6 pinned merge join: SortMergeJoin on the fact keys with
+        # no hashpartitioning exchange on either side, rows identical to
+        # the plain-parquet route
+        for q, want in merge_plain.items():
+            df = REGISTRY[q].fn(spark, SF_DIR)
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            assert "SortMergeJoin" in plan, q
+            assert "Exchange hashpartitioning(l_orderkey" not in plan, q
+            assert "Exchange hashpartitioning(o_orderkey" not in plan, q
+            got = [tuple(r) for r in df.collect()]
+            assert sorted(map(str, got)) == sorted(map(str, want)), q
     finally:
         for t in names.values():
             spark.sql(f"DROP TABLE IF EXISTS {t}")
@@ -109,30 +131,6 @@ def test_bucketed_join_matches_plain_join(spark, bucketed_tables):
     assert got == want
 
 
-def test_pinned_merge_join_on_bucketed_route(spark):
-    """Round-6: q35/q39/q41 pin the merge join when the session has the
-    bucketed copies — the plan must show a SortMergeJoin on the fact
-    keys with no hashpartitioning exchange on either side (AQE's
-    broadcast route would pay a build the layout made unnecessary), and
-    rows must match the plain-parquet route exactly."""
-    import plumberapp_spark.all_queries  # noqa: F401 — registry side effects
-    from plumberapp_spark.registry import REGISTRY
-    from plumberapp_spark.sources.bucketing import ensure_bucketed_tables
-
-    plain = {
-        q: [tuple(r) for r in REGISTRY[q].fn(spark, SF_DIR).collect()]
-        for q in ("q35_revenue_by_nation", "q39_shipping_priority")
-    }
-    names = ensure_bucketed_tables(spark, SF_DIR)
-    try:
-        for q in plain:
-            df = REGISTRY[q].fn(spark, SF_DIR)
-            plan = df._jdf.queryExecution().executedPlan().toString()
-            assert "SortMergeJoin" in plan, q
-            assert "Exchange hashpartitioning(l_orderkey" not in plan, q
-            assert "Exchange hashpartitioning(o_orderkey" not in plan, q
-            got = [tuple(r) for r in df.collect()]
-            assert sorted(map(str, got)) == sorted(map(str, plain[q])), q
-    finally:
-        for t in names.values():
-            spark.sql(f"DROP TABLE IF EXISTS {t}")
+# (the round-6 pinned-merge-join assertions for q35/q39 now live inside
+# test_bucketed_or_parquet_routes_q41_and_matches above — one bucketed
+# write+drop cycle instead of two)

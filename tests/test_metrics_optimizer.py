@@ -353,7 +353,7 @@ def test_memory_pressure_allocates_and_releases():
         return 0
 
     used_now = 1.0 - MemoryPressure(0.0).available_fraction()
-    target = min(used_now + 0.02, 0.95)  # ~2% of RAM above current usage
+    target = min(used_now + 0.005, 0.95)  # ~0.5% of RAM above current usage (still ~650 MB — far above rss noise, 4x cheaper to memset in this sandbox)
     mp = MemoryPressure(target)
     rss_before = rss()
     grown = mp.refresh()
@@ -370,7 +370,7 @@ def test_memory_pressure_async_stops_and_frees():
     from plumberapp_spark.metrics.memory_pressure import AsyncMemoryPressure, MemoryPressure
 
     used_now = 1.0 - MemoryPressure(0.0).available_fraction()
-    with AsyncMemoryPressure(min(used_now + 0.02, 0.95), refresh_interval_s=0.1) as amp:
+    with AsyncMemoryPressure(min(used_now + 0.005, 0.95), refresh_interval_s=0.1) as amp:
         time.sleep(0.5)
         assert amp.manager.ballast_bytes() > 0
     assert amp.manager.ballast_bytes() == 0  # stop() released everything

@@ -417,7 +417,7 @@ def test_lp_grid_enumeration_brackets_both_solvers(rates, cores, n_seq):
     ),
     max_occ=st.integers(min_value=1, max_value=3),
 )
-@settings(max_examples=15, deadline=None)
+@settings(max_examples=5, deadline=None)
 def test_line_dedup_matches_python_reference(spark, docs, max_occ):
     """line_dedup (q76) vs an independent driver-side reference: count
     occurrences, keep a line everywhere if count <= max_occ, else only
@@ -462,7 +462,7 @@ def test_line_dedup_matches_python_reference(spark, docs, max_occ):
     ),
     ngram=st.integers(min_value=2, max_value=4),
 )
-@settings(max_examples=15, deadline=None)
+@settings(max_examples=5, deadline=None)
 def test_duplicate_spans_matches_python_reference(spark, docs, ngram):
     """duplicate_spans (q84) vs an independent driver-side reference:
     positions whose n-gram occurs >= 2 times in the corpus, merged into
@@ -507,7 +507,7 @@ def test_duplicate_spans_matches_python_reference(spark, docs, ngram):
         max_size=7,
     ),
 )
-@settings(max_examples=15, deadline=None)
+@settings(max_examples=5, deadline=None)
 def test_bm25_matches_python_reference_random(spark, docs):
     """bm25_topk (q83) vs an independent driver-side BM25 on random
     corpora: same scores (round 6), same ranking, zero-overlap docs

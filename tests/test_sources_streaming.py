@@ -105,12 +105,15 @@ def test_repeat_stream_and_stateful_monitor(spark):
     try:
         import time
 
-        deadline = time.time() + 20
+        # poll the sink instead of processAllAvailable(): on a rate
+        # source the latter chases a moving availableOffsets target and
+        # blocked for minutes per call (measured 533 s for this test);
+        # micro-batches land on their own under the default trigger.
+        deadline = time.time() + 120
         while time.time() < deadline:
-            q.processAllAvailable()
             if spark.sql("SELECT count(*) c FROM rep_stream").first()["c"] >= 20:
                 break
-            time.sleep(0.5)
+            time.sleep(0.3)
     finally:
         q.stop()
     got = spark.sql("SELECT max(_epoch) e, count(*) c FROM rep_stream").first()
@@ -122,12 +125,11 @@ def test_repeat_stream_and_stateful_monitor(spark):
     try:
         import time
 
-        deadline = time.time() + 20
+        deadline = time.time() + 120
         while time.time() < deadline:
-            q2.processAllAvailable()
             if spark.sql("SELECT count(*) c FROM rate_mon").first()["c"] >= 1:
                 break
-            time.sleep(0.5)
+            time.sleep(0.3)
     finally:
         q2.stop()
     rows = spark.sql("SELECT * FROM rate_mon").collect()
