@@ -291,20 +291,32 @@ def _path_mtime(path: str) -> float:
     """Freshness stamp for the table cache key. For a parquet DIRECTORY
     the directory's own mtime misses in-place part-file rewrites (same
     names: no create/delete, no dir mtime bump — ADVICE r5), so take the
-    max over the directory and its entries' mtimes (one scandir — no
-    Spark job). ``clear_table_cache()`` remains the escape hatch."""
+    max over the directory and its entries' mtimes. Partitioned
+    relations (postings/_b=N/, cells/_cell=N/) keep their part files
+    one level deeper, where an in-place rewrite bumps no first-level
+    mtime either — recurse into immediate SUBDIRECTORIES one extra
+    level (ADVICE r11; two scandirs deep, no Spark job).
+    ``clear_table_cache()`` remains the escape hatch."""
+
+    def _scan(p: str, depth: int, newest: float) -> float:
+        try:
+            with os.scandir(p) as it:
+                for entry in it:
+                    try:
+                        newest = max(newest, entry.stat().st_mtime)
+                        if depth > 0 and entry.is_dir(follow_symlinks=False):
+                            newest = _scan(entry.path, depth - 1, newest)
+                    except OSError:
+                        pass
+        except OSError:
+            pass
+        return newest
+
     try:
         st = os.stat(path)
         if not os.path.isdir(path):
             return st.st_mtime
-        newest = st.st_mtime
-        with os.scandir(path) as it:
-            for entry in it:
-                try:
-                    newest = max(newest, entry.stat().st_mtime)
-                except OSError:
-                    pass
-        return newest
+        return _scan(path, 1, st.st_mtime)
     except OSError:
         return -1.0
 
@@ -367,15 +379,19 @@ def read_parquet_cached(spark: SparkSession, *paths: str):
     return df
 
 
-def local_parquet_rows(path: str, max_rows: int = 1024) -> list[dict] | None:
+def local_parquet_rows(
+    path: str, max_rows: int = 1024, max_bytes: int = 64 << 20
+) -> list[dict] | None:
     """Driver-side read of a TINY parquet relation (one-row scalars,
     k-row centroid tables) via pyarrow — zero Spark jobs, the
     :func:`stats_bounds` precedent. Returns None when the path is not
     a locally readable parquet dir/file or holds more than
-    ``max_rows`` rows (callers MUST fall back to a Spark read — e.g.
-    on object stores); never raises. The row-count guard keeps this a
-    metadata read: anything bigger than plan-sized belongs on the
-    executors."""
+    ``max_rows`` rows / ``max_bytes`` on-disk bytes (callers MUST fall
+    back to a Spark read — e.g. on object stores); never raises. The
+    row guard keeps this a metadata read, and the byte guard (VERDICT
+    r11 #9) bounds what a wide-row relation under the row cap can pull
+    into Python objects: a 1M-row vector table fits 1<<20 rows but not
+    64 MB, so it stays on the executors."""
     import glob
 
     try:
@@ -389,6 +405,8 @@ def local_parquet_rows(path: str, max_rows: int = 1024) -> list[dict] | None:
             return None
         if not files:
             return None
+        if sum(os.path.getsize(f) for f in files) > max_bytes:
+            return None
         total = 0
         batches = []
         for f in files:
@@ -401,6 +419,36 @@ def local_parquet_rows(path: str, max_rows: int = 1024) -> list[dict] | None:
 
         return pa.concat_tables(batches).to_pylist()
     except Exception:  # noqa: BLE001 — callers fall back to Spark
+        return None
+
+
+def parquet_dir_rows(*paths: str) -> int | None:
+    """Total row count across locally readable parquet dirs/files from
+    footer METADATA only (no data is read). A missing path counts 0
+    rows (a pruned-empty partition directory); any unreadable/remote
+    path returns None — callers keep the scan's natural partitioning.
+    Serving paths use this to size ``coalesce`` from the actual probed
+    input instead of a constant (guide §2.2/§6: scale-adaptive
+    partitioning, never tuned to one core count)."""
+    import glob
+
+    try:
+        import pyarrow.parquet as pq
+
+        total = 0
+        for path in paths:
+            if os.path.isfile(path):
+                files = [path]
+            elif os.path.isdir(path):
+                files = glob.glob(os.path.join(path, "*.parquet"))
+            elif not os.path.exists(path):
+                continue
+            else:
+                return None
+            for f in files:
+                total += pq.ParquetFile(f).metadata.num_rows
+        return total
+    except Exception:  # noqa: BLE001 — callers keep natural partitioning
         return None
 
 
