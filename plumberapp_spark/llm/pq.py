@@ -72,8 +72,10 @@ from plumberapp_spark.llm.similarity import (
     _assign_to_cells,
     _ivf_absorbed,
     _ivf_tomb_dirs,
-    _ivf_tomb_ids,
     _load_centroids,
+    _minus_tombstones,
+    _probe_coalesce,
+    _probed_cell_dirs,
     delete_from_ivf_index,
 )
 
@@ -270,10 +272,7 @@ def _read_pq_cells(spark, path: str) -> DataFrame:
     cells = read_parquet_cached(spark, f"{path}/cells_pq")
     for d in _pq_delta_dirs(path):
         cells = cells.unionByName(read_parquet_cached(spark, f"{d}/cells_pq"))
-    tomb = _ivf_tomb_ids(spark, path)
-    if tomb is not None:
-        cells = cells.join(F.broadcast(tomb), tomb.columns[0], "left_anti")
-    return cells
+    return _minus_tombstones(spark, path, cells)
 
 
 def delete_from_pq_ivf_index(
@@ -453,6 +452,9 @@ def pq_ivf_topk_indexed(
             F.col(id_filter.columns[0]).alias(id_col)
         ).distinct()
         codes_df = codes_df.join(allowed, id_col, "left_semi")
+    codes_df = _probe_coalesce(
+        codes_df, _probed_cell_dirs(path, "cells_pq", _pq_delta_dirs(path), probed)
+    )
     # the per-query LUTs: (|Q|, m_sub, ks) subvector dots — the whole
     # ADC state each executor needs, ~1 KB/query at the defaults
     q_lut = np.einsum(

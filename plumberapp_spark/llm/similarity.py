@@ -1293,6 +1293,97 @@ def _ivf_tomb_ids(spark, path: str) -> DataFrame | None:
     return out
 
 
+def _ivf_tomb_local_ids(path: str, max_ids: int = 10_000):
+    """``(id_column_name, sorted live tombstone values)`` when every
+    tomb relation is locally readable and the union is small enough
+    for an in-plan ``NOT IN`` set — the takedown-set twin of the
+    driver-side scalar reads (round 12, guide §1.2 step 1/§7.3): a
+    bounded id SET needs no broadcast-exchange build job per serve.
+    None → callers use the broadcast anti-join (object stores, big
+    takedowns)."""
+    from plumberapp_spark.session import local_parquet_rows
+
+    tombs = _ivf_tomb_dirs(path)
+    if not tombs:
+        return None
+    col_name, vals = None, []
+    for t in tombs:
+        rows = local_parquet_rows(f"{t}/ids", max_rows=max_ids + 1)
+        if rows is None:
+            return None
+        if rows and col_name is None:
+            col_name = next(iter(rows[0]))
+        vals.extend(next(iter(r.values())) for r in rows)
+        if len(vals) > max_ids:
+            return None
+    if col_name is None:
+        return None
+    # a NULL tomb id matches nothing under the anti-join's equality —
+    # drop it so the IN-set filter agrees exactly
+    return col_name, sorted({v for v in vals if v is not None})
+
+
+def _minus_tombstones(spark, path: str, cells: DataFrame) -> DataFrame:
+    """``cells`` minus tombstoned ids. Small local takedown sets apply
+    as a plan-side ``NOT IN`` filter on the pruned scan (no broadcast
+    build job, pushes into the parquet read); anything else keeps the
+    broadcast anti-join. NULL-keyed rows survive both forms (an
+    anti-join keeps them because NULL equals nothing)."""
+    local = _ivf_tomb_local_ids(path)
+    if local is not None:
+        col_name, vals = local
+        if vals:
+            cells = cells.filter(
+                F.col(col_name).isNull() | ~F.col(col_name).isin(vals)
+            )
+        return cells
+    tomb = _ivf_tomb_ids(spark, path)
+    if tomb is not None:
+        cells = cells.join(F.broadcast(tomb), tomb.columns[0], "left_anti")
+    return cells
+
+
+def _probe_coalesce(
+    df: DataFrame, dirs: list[str], rows_per_task: int | None = None
+) -> DataFrame:
+    """Coalesce a pruned cells scan so each task sees ~rows_per_task
+    rows (guide §2.2/§6): at test scale a probe reads a handful of KB
+    spread over one tiny file per cell, and the filesystem split rules
+    (min-parallelism floor) hand every file its own task — each paying
+    the Python-worker round trip of the Arrow probe. The target is
+    derived from the probed partitions' parquet FOOTER row counts
+    (driver-side metadata only), so the same code keeps full scan
+    parallelism on a big index — ``coalesce`` only ever merges, never
+    splits, and an unreadable/remote path skips the merge entirely.
+    ``SPARK_GRAFT_PROBE_ROWS_PER_TASK`` overrides the per-task target
+    (default 65536 ≈ a few MB of codes — small enough that one task's
+    numpy batch stays cache-friendly, large enough to amortize the
+    per-task Python boundary)."""
+    import os as _os
+
+    from plumberapp_spark.session import parquet_dir_rows
+
+    if rows_per_task is None:
+        rows_per_task = int(
+            _os.environ.get("SPARK_GRAFT_PROBE_ROWS_PER_TASK", "65536") or 65536
+        )
+    rows = parquet_dir_rows(*dirs)
+    if rows is None:
+        return df
+    return df.coalesce(max(1, (rows + rows_per_task - 1) // rows_per_task))
+
+
+def _probed_cell_dirs(path: str, rel: str, delta_dirs: list[str], probed) -> list[str]:
+    """The partition directories a probe will actually read — base +
+    delta ``_cell=N`` dirs for the probed cells."""
+    import os as _os
+
+    dirs = [_os.path.join(path, rel, f"_cell={int(c)}") for c in probed]
+    for d in delta_dirs:
+        dirs.extend(_os.path.join(d, rel, f"_cell={int(c)}") for c in probed)
+    return dirs
+
+
 def delete_from_ivf_index(
     spark, path: str, ids: DataFrame, id_col: str = "vec_id"
 ) -> str:
@@ -1336,10 +1427,7 @@ def _read_ivf_cells(spark, path: str) -> DataFrame:
     cells = read_parquet_cached(spark, f"{path}/cells")
     for d in _ivf_delta_dirs(path):
         cells = cells.unionByName(read_parquet_cached(spark, f"{d}/cells"))
-    tomb = _ivf_tomb_ids(spark, path)
-    if tomb is not None:
-        cells = cells.join(F.broadcast(tomb), tomb.columns[0], "left_anti")
-    return cells
+    return _minus_tombstones(spark, path, cells)
 
 
 def _ivf_absorbed(path: str) -> set[str]:
@@ -1744,6 +1832,9 @@ def ivf_topk_indexed(
             F.col(id_filter.columns[0]).alias(id_col)
         ).distinct()
         cells_df = cells_df.join(allowed, id_col, "left_semi")
+    cells_df = _probe_coalesce(
+        cells_df, _probed_cell_dirs(path, "cells", _ivf_delta_dirs(path), probed)
+    )
     bc = spark.sparkContext.broadcast((q_mat, q_norm, q_ids, cell_to_qpos))
     id_ddl = cells_df.schema[id_col].dataType.simpleString()
     out_schema = f"{query_id_col} {id_ddl}, neighbor_id {id_ddl}, cos_sim double"
@@ -2338,6 +2429,9 @@ def sq_ivf_topk_indexed(
             F.col(id_filter.columns[0]).alias(id_col)
         ).distinct()
         codes_df = codes_df.join(allowed, id_col, "left_semi")
+    codes_df = _probe_coalesce(
+        codes_df, _probed_cell_dirs(path, "cells_sq", _sq_delta_dirs(path), probed)
+    )
     bc = spark.sparkContext.broadcast(
         (q_mat, q_norm, q_ids, cell_to_qpos, scales, int(rerank))
     )
@@ -2568,10 +2662,7 @@ def _read_sq_cells(spark, path: str) -> DataFrame:
     cells = read_parquet_cached(spark, f"{path}/cells_sq")
     for d in _sq_delta_dirs(path):
         cells = cells.unionByName(read_parquet_cached(spark, f"{d}/cells_sq"))
-    tomb = _ivf_tomb_ids(spark, path)
-    if tomb is not None:
-        cells = cells.join(F.broadcast(tomb), tomb.columns[0], "left_anti")
-    return cells
+    return _minus_tombstones(spark, path, cells)
 
 
 def delete_from_sq_ivf_index(
