@@ -969,20 +969,37 @@ def _score_with_bigram_counts(
     """The scoring tail: batch bigram occurrences ⋈ count relations,
     per-doc mean, tokenless/unmatched docs carried with NULL scores.
     Shared verbatim by the direct form and the segmented serving path —
-    only where the counts COME FROM differs."""
-    lp = (
-        bg.join(bgc, ["w1", "w2"])
-        .join(uni.select(F.col("tk").alias("w1"), F.col("_c").alias("_c1")), "w1")
+    only where the counts COME FROM differs.
+
+    Round 12 (guide §2.3/§2.4): the logprob of a bigram depends only on
+    (w1, w2) — so the count joins and the interpolation assemble a
+    BIGRAM-VOCAB-sized logprob table first, and the occurrence relation
+    (corpus-sized, the heavy side) crosses ONE exchange into it instead
+    of three (it used to shuffle on (w1,w2), then w1, then w2). The
+    per-(w1,w2) double is computed by the identical expression from the
+    identical count doubles, so every occurrence row carries a
+    bit-identical ``_l`` and the per-doc mean is unchanged; inner joins
+    associate, so the matched row multiset is unchanged too."""
+    lp_tbl = (
+        bgc.join(uni.select(F.col("tk").alias("w1"), F.col("_c").alias("_c1")), "w1")
         .join(uni.select(F.col("tk").alias("w2"), F.col("_c").alias("_c2")), "w2")
         .crossJoin(F.broadcast(tot))
         .select(
-            id_col,
+            "w1",
+            "w2",
             F.log(
                 lam * (F.col("_c12") / F.col("_c1"))
                 + (1 - lam) * (F.col("_c2") / F.col("_n"))
             ).alias("_l"),
         )
     )
+    # the logprob table scales with the LM's bigram vocabulary (1.6M
+    # rows at the 50k-doc Zipf bed, unbounded at 100 TB) — letting the
+    # planner broadcast it builds a multi-million-entry hash relation on
+    # the driver per serve (measured 2.3x slower at zipf10). Pin the
+    # occurrence join to sort-merge: both sides shuffle by (w1, w2) and
+    # AQE's skew-join splitting still handles the Zipf head (guide §3.1).
+    lp = bg.join(lp_tbl.hint("merge"), ["w1", "w2"]).select(id_col, "_l")
     agg = lp.groupBy(id_col).agg(
         F.count("*").alias("n_bigrams"), F.round(F.avg("_l"), 4).alias("mean_logprob")
     )
