@@ -233,12 +233,30 @@ def phrase_matches(
         key = tuple(tk for _, tk in sorted(offs))
         pid = pid_of.setdefault(key, len(pid_of))
         q2p_rows.append((qid, pid))
+    # a NULL phrase term matches no position row under any join below
+    # (and the old plan-side crc32(NULL) pruned to a NULL bucket), so it
+    # contributes nothing — skip it rather than crash on .encode (ADVICE
+    # r11: guard None before encoding)
+    terms = sorted({r["tk"] for r in qt_rows if r["tk"] is not None})
     buckets = sorted(
-        {zlib.crc32(r["tk"].encode("utf-8")) % n_buckets for r in qt_rows}
+        {zlib.crc32(tk.encode("utf-8")) % n_buckets for tk in terms}
     )
     positions = read_parquet_cached(spark, f"{path}/positions")
     if buckets:
         positions = positions.filter(F.col("_b").isin(buckets))
+    # Round 12 (guide §6): prune WITHIN the buckets to the phrase terms
+    # themselves — a bucket holds 1/n_buckets of the whole vocabulary,
+    # so the adjacency window used to sort every co-bucketed token's
+    # positions. Filtering to phrase terms preserves every true phrase
+    # adjacency (both terms of a phrase bigram are phrase terms, so both
+    # rows survive) and cannot invent one (lead() then keeps only
+    # pos2 == pos+1, and a filtered-out true neighbour is by
+    # construction not a phrase term, so its bigram could never match a
+    # phrase prefix) — the same argument that makes bucket pruning safe,
+    # one level finer. Skipped above 10k distinct terms to bound the
+    # in-plan literal set.
+    if terms and len(terms) <= 10_000:
+        positions = positions.filter(F.col("tk").isin(terms))
     positions = positions.select("tk", "doc_id", "pos")
 
     long_f = StructField("_pid", LongType(), False)
@@ -280,14 +298,22 @@ def phrase_matches(
             "_pid", "doc_id", F.col("pos").alias("_anchor"), "_m"
         )
         max_m = max(m for _, _, _, m in multis)
+        # ADVICE r11: the old loop rebuilt matched as
+        # done.unionByName(cont) with BOTH branches referencing the
+        # previous matched, so the logical plan doubled per offset —
+        # exponential in phrase length. Keep ONE single-chain recurrence
+        # (each iteration's survivor frame references the previous once)
+        # and collect the finished-length branches for one union at the
+        # end: total plan size is now quadratic in max phrase length.
+        finished = []
         for j in range(3, max_m + 1):
             step = [
                 (ph[j - 1], pid)
                 for ph, pid in pid_of.items()
                 if len(ph) >= j
             ]
-            done = matched.filter(F.col("_m") < j)
-            cont = (
+            finished.append(matched.filter(F.col("_m") == j - 1))
+            matched = (
                 matched.filter(F.col("_m") >= j)
                 .join(
                     F.broadcast(
@@ -301,7 +327,8 @@ def phrase_matches(
                 .join(positions, ["tk", "doc_id", "pos"], "left_semi")
                 .select("_pid", "doc_id", "_anchor", "_m")
             )
-            matched = done.unionByName(cont)
+        for fin in finished:
+            matched = matched.unionByName(fin)
         branches.append(matched)
     if not branches:
         return queries.sparkSession.createDataFrame(
