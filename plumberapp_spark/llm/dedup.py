@@ -931,7 +931,14 @@ def connected_components(
     exists for.
 
     ``edges`` must have columns ``id_a``/``id_b``; ``nodes`` one row per
-    node carrying ``id_col``. ``stats``, when given, receives
+    node carrying ``id_col``. Contract (ADVICE r11): edges must only
+    reference ids present in ``nodes`` — the round-11 endpoint-only
+    iteration derives its working set from edge endpoints, so an
+    out-of-frame endpoint would JOIN the output (and could lower an
+    in-frame node's label) instead of being silently ignored as the
+    pre-r11 code did. Every caller in this package builds edges from
+    nodes; external callers with dirty edge sets must semi-join them
+    against ``nodes`` first. ``stats``, when given, receives
     ``{"rounds": N}`` for round-count instrumentation.
     """
     spark = nodes.sparkSession

@@ -268,9 +268,21 @@ def _query_postings(
     else:
         tk_rows = sorted(set(tk_rows))
     if len(tk_rows) > 100_000:
-        raise ValueError(
-            "_query_postings: query term set exceeds the broadcastable "
-            "contract (> 100000 distinct terms); batch the queries"
+        # above the bounded-collect contract: keep the OLD distributed
+        # path (full postings scan semi-joined against the distinct
+        # term frame — no driver-side bucket pruning, which needs the
+        # term strings in hand) instead of failing hard (ADVICE r11).
+        # ``query_terms`` is required here; tk_rows callers all enforce
+        # their own 100k guard before collecting.
+        if query_terms is None:
+            raise ValueError(
+                "_query_postings: term set exceeds the 100000-term "
+                "bounded-collect contract and no distributed term frame "
+                "was provided; pass query_terms or batch the queries"
+            )
+        postings = read_parquet_cached(spark, f"{path}/postings")
+        return postings.join(
+            F.broadcast(query_terms.select("tk").distinct()), "tk", "left_semi"
         )
     buckets = sorted(
         {zlib.crc32(tk.encode("utf-8")) % n_buckets for tk in tk_rows}

@@ -154,3 +154,30 @@ def test_lexical_index_rebuilds_on_format_bump(spark, tmp_path, monkeypatch):
     monkeypatch.setattr(lex, "INDEX_FORMAT", lex.INDEX_FORMAT + 1)
     lex.ensure_lexical_index(spark, sf_dir, "documents")
     assert os.stat(marker).st_mtime > built1, "format bump did not rebuild"
+
+
+def test_crc32_bucket_parity_driver_vs_plan(spark):
+    """Every driver-side pruning-bucket computation (lexical
+    _query_postings, segmented serves, positional phrase_matches) rests
+    on zlib.crc32(tk.encode()) % n == Spark crc32(tk) % n. Pin the
+    parity directly over unicode/edge-case tokens (ADVICE r11): a
+    divergence here silently drops postings rows from every pruned
+    serve."""
+    import zlib
+
+    from plumberapp_spark.llm.lexical import _bucket
+    from plumberapp_spark.session import local_relation
+
+    toks = [
+        "", "a", "the", "w00042", "Tok", "tok ", " tok", "añejo",
+        "日本語", "emoji🙂", "tab\tsep", "mixedCASE", "ßharp", "0",
+        "very-long-" + "x" * 200,
+    ]
+    n = 64
+    df = local_relation(spark, [(t,) for t in toks], "tk string")
+    got = {
+        r["tk"]: r["b"]
+        for r in df.select("tk", _bucket("tk", n).alias("b")).collect()
+    }
+    for t in toks:
+        assert got[t] == zlib.crc32(t.encode("utf-8")) % n, t
