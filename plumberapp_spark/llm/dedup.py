@@ -746,11 +746,18 @@ def _tfidf_weights(
         StorageLevel.MEMORY_AND_DISK
     )
     _RETRIEVAL_CACHES.append(tf)
-    n_docs = df.groupBy().agg(F.count("*").alias("_nd"))
+    # Round 12 (guide §5/§2.6): materialize the persist EAGERLY — the
+    # consumer plan's concurrent broadcast builds (df(t) rollup, query
+    # weights/norms) otherwise race the lazy cache and each re-run the
+    # Arrow pass from parquet (the bm25_topk stage-profile finding; see
+    # OPTIMIZATION_r12.md). One count() action pins exactly one
+    # materialization. N enters the idf as a literal: bigint/bigint in
+    # Spark is the same double division either way, so _w is unchanged.
+    n_docs = df.count()
+    tf.count()
     wts = (
         tf.join(_doc_frequencies(tf), "tk")
-        .crossJoin(F.broadcast(n_docs))
-        .withColumn("_w", F.col("_tf") * F.log(F.col("_nd") / F.col("_df")))
+        .withColumn("_w", F.col("_tf") * F.log(F.lit(n_docs) / F.col("_df")))
     )
     norms = wts.groupBy(id_col).agg(
         F.sqrt(F.sum(F.col("_w") * F.col("_w"))).alias("_nrm")
@@ -1539,23 +1546,32 @@ def bm25_topk(
         StorageLevel.MEMORY_AND_DISK
     )
     _RETRIEVAL_CACHES.append(tf)
-    nd = df.groupBy().agg(F.count("*").alias("_nd"))
-    scalars = (
-        tf.groupBy()
-        .agg(F.sum("_tf").alias("_tt"))
-        .crossJoin(F.broadcast(nd))
-        .select("_nd", (F.col("_tt") / F.col("_nd")).alias("_avgdl"))
-    )
+    # Round 12 (guide §5/§2.6): materialize the persisted pass EAGERLY,
+    # before any consumer plan is built. The scored plan's broadcast
+    # builds (query terms, the AQE-broadcast df(t) rollup, the scalars)
+    # run as CONCURRENT jobs, and a lazily-persisted relation is raced:
+    # each build that starts before the first materialization finishes
+    # recomputes the whole Arrow pass from parquet (measured at zipf100:
+    # 3 extra full passes, ~600 core-s each, stage profile in
+    # OPTIMIZATION_r12.md). The materializing action doubles as the
+    # scalar computation: Σtf and N collect driver-side and enter the
+    # weight expression as LITERALS — the long→double conversions and
+    # the division are the same IEEE-754 operations Spark's
+    # crossJoin(scalars) form performed, so _w is bit-identical.
+    n_docs = df.count()
+    tt = tf.groupBy().agg(F.sum("_tf").alias("_tt")).first()["_tt"]
+    # tt is NULL on a tokenless corpus — tf has no rows then, so wts is
+    # empty regardless of the literal's value; 0.0 keeps the type double
+    avgdl = (float(tt) / float(n_docs)) if (tt is not None and n_docs) else 0.0
     wts = (
         tf.join(_doc_frequencies(tf), "tk")
-        .crossJoin(F.broadcast(scalars))
         .withColumn(
             "_w",
-            F.log(F.lit(1.0) + (F.col("_nd") - F.col("_df") + 0.5) / (F.col("_df") + 0.5))
+            F.log(F.lit(1.0) + (F.lit(n_docs) - F.col("_df") + 0.5) / (F.col("_df") + 0.5))
             * (F.col("_tf") * (k1 + 1))
             / (
                 F.col("_tf")
-                + k1 * (1 - b + b * F.col("_dl") / F.col("_avgdl"))
+                + k1 * (1 - b + b * F.col("_dl") / F.lit(avgdl))
             ),
         )
     )

@@ -53,7 +53,10 @@ def get_spark(app_name: str = "plumberapp_spark", shuffle_partitions: int | None
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
-        .config("spark.ui.enabled", "false")
+        # Off for bench/driver runs (default); SPARK_GRAFT_UI=true turns
+        # the UI on for ad-hoc profiling (tools/stage_profile.py reads
+        # per-stage metrics from its REST API — guide §7.1)
+        .config("spark.ui.enabled", os.environ.get("SPARK_GRAFT_UI", "false"))
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # Managed-table warehouse (bucketed tables, sources/bucketing.py)
